@@ -1,0 +1,12 @@
+"""Test harness: force an 8-device virtual CPU platform before JAX init.
+
+Multi-device sharding paths (DP psum, FSDP all-gather) run on a virtual CPU
+mesh so the suite needs no TPU pod (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "0")

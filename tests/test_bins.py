@@ -1,0 +1,58 @@
+from yat_tpu.data.bins import (
+    ASPECT_RATIO_256_BIN,
+    ASPECT_RATIO_512_BIN,
+    ASPECT_RATIO_1024_BIN,
+    ASPECT_RATIO_2048_BIN,
+    bin_for_resolution,
+    bucket_size,
+    find_closest_ratio,
+    latent_size,
+)
+
+
+def test_tables_consistent_scaling():
+    for key, (h, w) in ASPECT_RATIO_1024_BIN.items():
+        assert ASPECT_RATIO_512_BIN[key] == (h // 2, w // 2)
+        assert ASPECT_RATIO_256_BIN[key] == (h // 4, w // 4)
+        assert ASPECT_RATIO_2048_BIN[key] == (h * 2, w * 2)
+
+
+def test_all_dims_vae_aligned():
+    # base table is all multiples of 64, so each scaled table keeps
+    # divisibility by (64 * scale): 16 at 256px up to 128 at 2048px
+    for table, mult in ((ASPECT_RATIO_256_BIN, 16), (ASPECT_RATIO_512_BIN, 32),
+                        (ASPECT_RATIO_1024_BIN, 64), (ASPECT_RATIO_2048_BIN, 128)):
+        for h, w in table.values():
+            assert h % mult == 0 and w % mult == 0
+
+
+def test_keys_roughly_match_ratio():
+    for key, (h, w) in ASPECT_RATIO_1024_BIN.items():
+        assert abs(float(key) - h / w) < 0.08, (key, h, w)
+
+
+def test_bin_for_resolution():
+    assert bin_for_resolution(256) is ASPECT_RATIO_256_BIN
+    assert bin_for_resolution(512) is ASPECT_RATIO_512_BIN
+    assert bin_for_resolution(1024) is ASPECT_RATIO_1024_BIN
+    # anything else falls through to 2048 (train_sana.py:53-54)
+    assert bin_for_resolution(2048) is ASPECT_RATIO_2048_BIN
+    assert bin_for_resolution(4096) is ASPECT_RATIO_2048_BIN
+
+
+def test_find_closest_ratio():
+    assert find_closest_ratio(1.0, ASPECT_RATIO_1024_BIN) == "1.0"
+    assert find_closest_ratio(0.99, ASPECT_RATIO_1024_BIN) == "1.0"
+    assert find_closest_ratio(0.26, ASPECT_RATIO_1024_BIN) == "0.25"
+    assert find_closest_ratio(10.0, ASPECT_RATIO_1024_BIN) == "4.0"
+    assert find_closest_ratio(0.01, ASPECT_RATIO_1024_BIN) == "0.25"
+    # portrait photo 3:4 → h/w = 1.333…
+    key = find_closest_ratio(4 / 3, ASPECT_RATIO_1024_BIN)
+    assert key in ("1.29", "1.38")
+
+
+def test_latent_size():
+    assert bucket_size("1.0", ASPECT_RATIO_512_BIN) == (512, 512)
+    assert latent_size("1.0", ASPECT_RATIO_512_BIN, 8) == (64, 64)
+    assert latent_size("1.0", ASPECT_RATIO_512_BIN, 32) == (16, 16)
+    assert latent_size("0.5", ASPECT_RATIO_1024_BIN, 8) == (88, 176)

@@ -1,0 +1,134 @@
+import pytest
+import yaml
+
+from yat_tpu.config import ConfigError, TrainingParameters
+
+
+BASE = {
+    "urls": ["https://example.com/shard-{000000..000009}.tar"],
+    "batch_size": "4",
+    "learning_rate": "1e-4",
+    "steps": "1000",
+    "num_steps_per_validation": "100",
+    "validation_prompts": ["a cat"],
+}
+
+
+def write_cfg(tmp_path, extra=None, remove=()):
+    cfg = dict(BASE)
+    if extra:
+        cfg.update(extra)
+    for k in remove:
+        cfg.pop(k, None)
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+def test_minimal_config(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path))
+    assert p.batch_size == 4
+    assert p.learning_rate == pytest.approx(1e-4)
+    assert p.steps == 1000
+    assert p.cache_size == 1000          # default, README.md:19
+    assert p.gradient_accumulation_steps == 1
+    assert p.weight_decay == 0.0
+    assert not p.bfloat16 and not p.use_ema and not p.dual_gpu
+
+
+def test_presence_booleans(tmp_path):
+    # presence of the key turns the flag on regardless of value
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "bfloat16": "false", "use_ema": "0", "low_vram": "", "dual_gpu": "no",
+        "use_repa": "x", "save_to_disk": "n",
+    }))
+    assert p.bfloat16 and p.use_ema and p.low_vram and p.dual_gpu
+    assert p.use_repa and p.save_to_disk
+
+
+def test_use_adamw_8bit_trailing_space_typo(tmp_path):
+    # the reference matches 'use_adamw_8bit ' with a trailing space
+    # (training_parameters_reader.py:168); accept both spellings
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {"use_adamw_8bit ": "1"}))
+    assert p.use_adamw_8bit
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {"use_adamw_8bit": "1"}))
+    assert p.use_adamw_8bit
+
+
+def test_lora_block(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "lora_rank": "8", "lora_alpha": "16", "lora_algo": "lokr",
+        "lora_target_modules": ["to_q", "to_k", "to_v"],
+        "lora_dropout": "0.1",
+    }))
+    assert p.lora_rank == 8 and p.lora_alpha == 16
+    assert p.lora_algo == "lokr"
+    assert p.lora_dropout == pytest.approx(0.1)
+    assert p.lora_target_modules == ["to_q", "to_k", "to_v"]
+
+
+def test_lora_requires_algo(tmp_path):
+    with pytest.raises(ConfigError, match="lora_algo"):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, {
+            "lora_rank": "8", "lora_alpha": "8",
+            "lora_target_modules": ["to_q"],
+        }))
+
+
+def test_bad_lora_algo_rejected(tmp_path):
+    with pytest.raises(ConfigError, match="unknown lora_algo"):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, {
+            "lora_rank": "8", "lora_alpha": "8", "lora_algo": "bogus",
+            "lora_target_modules": ["to_q"],
+        }))
+
+
+def test_compute_features_requires_batch_sizes(tmp_path):
+    with pytest.raises(ConfigError, match="vae_max_batch_size"):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, {"compute_features": "1"}))
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "compute_features": "1", "vae_max_batch_size": "2",
+        "text_encoder_max_batch_size": "2",
+    }))
+    assert p.compute_features and p.vae_max_batch_size == 2
+
+
+def test_r2_credentials_all_or_nothing(tmp_path):
+    with pytest.raises(ConfigError, match="r2_secret_key"):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, {
+            "r2_endpoint": "https://x.r2.cloudflarestorage.com",
+            "r2_access_key": "a", "r2_bucket_name": "b",
+        }))
+
+
+def test_missing_required_key(tmp_path):
+    with pytest.raises(ConfigError, match="learning_rate"):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, remove=("learning_rate",)))
+
+
+def test_timesteps_list(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "timesteps": ["0", "250", "500"],
+    }))
+    assert p.timesteps == [0, 250, 500]
+
+
+def test_aspect_ratio_override_validated(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {"aspect_ratio": "512"}))
+    assert p.aspect_ratios == 512
+    with pytest.raises(ConfigError):
+        TrainingParameters.read_yaml(write_cfg(tmp_path, {"aspect_ratio": "300"}))
+
+
+def test_preservation_defaults(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "use_preservation": "1", "preservation_ratio": "0.3",
+    }))
+    assert p.use_preservation and p.preservation_ratio == pytest.approx(0.3)
+
+
+def test_mesh_shape_extension(tmp_path):
+    p = TrainingParameters.read_yaml(write_cfg(tmp_path, {
+        "mesh_shape": {"dp": "2", "fsdp": "4"},
+    }))
+    assert p.mesh_shape == {"dp": 2, "fsdp": 4}

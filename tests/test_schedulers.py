@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.ops.schedulers import (
+    DDPMSchedule,
+    FlowMatchSchedule,
+    sample_timestep_density,
+)
+
+
+class TestFlowMatch:
+    def test_sigma_range_and_monotonicity(self):
+        sched = FlowMatchSchedule(shift=3.0)
+        s = np.asarray(sched.sigmas())
+        assert s.shape == (1000,)
+        assert s[0] == pytest.approx(1.0)
+        assert s[-1] > 0.0
+        assert np.all(np.diff(s) < 0)  # strictly decreasing
+
+    def test_shift_identity(self):
+        # shift=1 → sigma == t exactly
+        sched = FlowMatchSchedule(shift=1.0)
+        s = np.asarray(sched.sigmas())
+        t = np.linspace(1.0, 1.0 / 1000, 1000, dtype=np.float32)
+        np.testing.assert_allclose(s, t, rtol=1e-5, atol=1e-7)
+
+    def test_shift_formula(self):
+        sched = FlowMatchSchedule(shift=3.0)
+        s = np.asarray(sched.sigmas())
+        t = np.linspace(1.0, 1.0 / 1000, 1000, dtype=np.float32)
+        np.testing.assert_allclose(s, 3 * t / (1 + 2 * t), rtol=1e-5)
+
+    def test_add_noise_endpoints(self):
+        sched = FlowMatchSchedule()
+        x = jnp.ones((2, 4, 8, 8))
+        eps = jnp.zeros((2, 4, 8, 8))
+        # sigma=0 → pure data; sigma=1 → pure noise
+        np.testing.assert_allclose(
+            np.asarray(sched.add_noise(x, eps, jnp.zeros(2))), np.ones((2, 4, 8, 8)))
+        np.testing.assert_allclose(
+            np.asarray(sched.add_noise(x, eps, jnp.ones(2))), np.zeros((2, 4, 8, 8)))
+
+    def test_velocity_target(self):
+        sched = FlowMatchSchedule()
+        x = jnp.full((1, 2, 2, 2), 3.0)
+        eps = jnp.full((1, 2, 2, 2), 5.0)
+        np.testing.assert_allclose(np.asarray(sched.velocity_target(x, eps)), 2.0)
+
+    def test_training_draw_shapes_and_consistency(self):
+        sched = FlowMatchSchedule(shift=3.0)
+        t, s = sched.training_draw(jax.random.PRNGKey(0), 16)
+        assert t.shape == (16,) and s.shape == (16,)
+        # timesteps = sigma * N
+        np.testing.assert_allclose(np.asarray(t), np.asarray(s) * 1000, rtol=1e-5)
+        assert np.all(np.asarray(s) > 0) and np.all(np.asarray(s) <= 1.0)
+
+    def test_training_draw_timestep_list(self):
+        sched = FlowMatchSchedule()
+        t, s = sched.training_draw(jax.random.PRNGKey(0), 64,
+                                   timestep_list=(100, 500))
+        sig = np.asarray(sched.sigmas())
+        allowed = {float(sig[100] * 1000), float(sig[500] * 1000)}
+        for v in np.asarray(t):
+            assert any(abs(v - a) < 1e-3 for a in allowed)
+
+    def test_euler_integration_recovers_data_for_perfect_model(self):
+        # with the true velocity eps - x0, Euler integration from pure noise
+        # must land exactly on x0 regardless of step count
+        sched = FlowMatchSchedule(shift=1.0)
+        key = jax.random.PRNGKey(1)
+        x0 = jax.random.normal(key, (1, 4, 4, 4))
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4))
+        sigmas = sched.inference_sigmas(8)
+        x = noise  # sample at sigma=1
+        v = noise - x0  # constant true velocity along the straight path
+        for i in range(8):
+            x = sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-5)
+
+    def test_dynamic_shifting_mu(self):
+        sched = FlowMatchSchedule(use_dynamic_shifting=True)
+        mu_small = sched.mu_for_seq_len(256)
+        mu_large = sched.mu_for_seq_len(4096)
+        assert mu_small == pytest.approx(0.5)
+        assert mu_large == pytest.approx(1.15)
+        s_small = np.asarray(sched.sigmas(mu_small))
+        s_large = np.asarray(sched.sigmas(mu_large))
+        # larger mu → more time at high noise
+        assert s_large[500] > s_small[500]
+
+
+class TestDDPM:
+    def test_alphas_cumprod_decreasing(self):
+        sched = DDPMSchedule()
+        abar = np.asarray(sched.alphas_cumprod())
+        assert abar.shape == (1000,)
+        assert np.all(np.diff(abar) < 0)
+        assert abar[0] == pytest.approx(1 - 0.00085, rel=1e-4)
+
+    def test_add_noise_variance_preserving(self):
+        sched = DDPMSchedule()
+        x = jnp.ones((1, 4, 8, 8))
+        eps = jnp.ones((1, 4, 8, 8))
+        t = jnp.array([500])
+        out = np.asarray(sched.add_noise(x, eps, t))
+        abar = float(np.asarray(sched.alphas_cumprod())[500])
+        expected = np.sqrt(abar) + np.sqrt(1 - abar)
+        np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+    def test_epsilon_target(self):
+        sched = DDPMSchedule()
+        x = jnp.zeros((1, 2, 2, 2))
+        eps = jnp.full((1, 2, 2, 2), 7.0)
+        np.testing.assert_allclose(
+            np.asarray(sched.target(x, eps, jnp.array([10]))), 7.0)
+
+    def test_v_prediction_target(self):
+        sched = DDPMSchedule(prediction_type="v_prediction")
+        x = jnp.ones((1, 2, 2, 2))
+        eps = jnp.zeros((1, 2, 2, 2))
+        t = jnp.array([0])
+        v = np.asarray(sched.target(x, eps, t))
+        abar0 = float(np.asarray(sched.alphas_cumprod())[0])
+        np.testing.assert_allclose(v, -np.sqrt(1 - abar0), rtol=1e-4)
+
+    def test_ddim_perfect_eps_recovers_x0(self):
+        sched = DDPMSchedule()
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+        eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+        t = jnp.array([999])
+        xt = sched.add_noise(x0, eps, t)
+        # single DDIM jump to t_prev=-1 with the true eps → exact x0
+        out = sched.ddim_step(xt, eps, t, jnp.array([-1]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+    def test_training_draw_range(self):
+        sched = DDPMSchedule()
+        t = sched.training_draw(jax.random.PRNGKey(0), 128)
+        tn = np.asarray(t)
+        assert tn.min() >= 0 and tn.max() < 1000
+
+
+class TestDensity:
+    def test_logit_normal_in_unit_interval(self):
+        u = np.asarray(sample_timestep_density(jax.random.PRNGKey(0), 4096))
+        assert np.all(u > 0) and np.all(u < 1)
+        # logit-normal(0,1) is symmetric around 0.5
+        assert abs(u.mean() - 0.5) < 0.02
+
+    def test_mode_scheme_runs(self):
+        u = np.asarray(sample_timestep_density(
+            jax.random.PRNGKey(0), 1024, weighting_scheme="mode"))
+        assert u.shape == (1024,)
+
+    def test_uniform(self):
+        u = np.asarray(sample_timestep_density(
+            jax.random.PRNGKey(0), 4096, weighting_scheme="uniform"))
+        assert abs(u.mean() - 0.5) < 0.02

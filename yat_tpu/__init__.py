@@ -1,0 +1,15 @@
+"""YAT-TPU: a TPU-native diffusion-model training framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capability set of frutiemax92/YAT
+(reference mounted at /root/reference): streaming WebDataset TAR ingest from
+Cloudflare R2 / public URLs / local disk, dynamic aspect-ratio bucketing, a
+two-phase latent/embedding precompute pipeline, flow-matching and
+epsilon-prediction training for SANA / PixArt-Sigma / SD1.5 / SDXL / SD3.5 /
+Flux-2-Klein / PixelDiT backbones, LoRA/LoHa/LoKr/DoRA/FourierFT adapters,
+Dreambooth, preservation loss, REPA alignment, EMA and validation-image
+logging — re-designed for TPU (pjit data/FSDP parallelism over a device mesh,
+per-bucket compiled step functions, Pallas attention kernels) rather than
+ported.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,358 @@
+"""Typed training configuration, YAML-compatible with the reference trainer.
+
+The reference (frutiemax92/YAT) parses a flat YAML file with
+``yaml.BaseLoader`` — every scalar is a string, numerics are manually cast,
+and several flags are *presence* booleans (the key existing at all turns the
+feature on, regardless of value; see
+/root/reference/common/training_parameters_reader.py:62-232).  This module
+reproduces those exact semantics behind a typed dataclass, and adds what the
+reference lacks: schema validation with helpful error messages, and explicit
+defaults.
+
+Reference key inventory: common/training_parameters_reader.py:5-232.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+# Keys whose mere *presence* in the YAML enables a feature
+# (training_parameters_reader.py:78-79,96,113,131,138-140,142,146,168,179-182,
+#  188,191-192,197-198,201,210-212).  Note 'use_adamw_8bit ' (trailing space)
+# is a reference typo we accept both spellings of.
+_PRESENCE_KEYS = frozenset({
+    "compute_features", "extract_features", "dual_gpu", "bfloat16",
+    "use_ema", "lora_use_dora", "lora_use_rslora", "lora_bias",
+    "lora_base_model_8bit", "lora_base_model_4bit", "use_adamw_8bit",
+    "use_adamw_8bit ", "low_vram", "use_calculated_features", "use_repa",
+    "save_to_disk", "use_preservation",
+})
+
+_VALID_LORA_ALGOS = ("lora", "loha", "lokr", "fourierft", "full")
+
+
+class ConfigError(ValueError):
+    """Raised when the YAML config fails validation."""
+
+
+def _as_int(d: dict, key: str, default=None):
+    if key not in d:
+        return default
+    try:
+        return int(d[key])
+    except (TypeError, ValueError) as e:
+        raise ConfigError(f"config key '{key}' must be an integer, got {d[key]!r}") from e
+
+
+def _as_float(d: dict, key: str, default=None):
+    if key not in d:
+        return default
+    try:
+        return float(d[key])
+    except (TypeError, ValueError) as e:
+        raise ConfigError(f"config key '{key}' must be a number, got {d[key]!r}") from e
+
+
+def _as_str(d: dict, key: str, default=None):
+    return d.get(key, default)
+
+
+@dataclass
+class TrainingParameters:
+    """Full config surface of the reference trainer, plus TPU extensions."""
+
+    # --- object store / dataset source (reader :66-74,84-92,162-167) ---
+    r2_endpoint: Optional[str] = None
+    r2_access_key: Optional[str] = None
+    r2_secret_key: Optional[str] = None
+    r2_bucket_name: Optional[str] = None
+    r2_tar_files: Optional[list] = None
+    r2_dataset_folder: Optional[str] = None
+    r2_upload_key: Optional[str] = None
+    r2_upload_shard_size: Optional[int] = None
+    urls: Optional[list] = None
+    url_probs: Optional[list] = None
+    huggingface_dataset_repo: Optional[str] = None
+    local_shard_paths: Optional[list] = None
+    num_shards: Optional[int] = None
+    dataset_seed: int = 0
+
+    # --- core training (reader :76,98,109-112,126-136) ---
+    batch_size: int = 4
+    learning_rate: Optional[float] = None
+    steps: Optional[int] = None
+    num_steps_per_validation: Optional[int] = None
+    validation_prompts: Optional[list] = None
+    warmup_steps: Optional[int] = None
+    weight_decay: float = 0.0
+    gradient_accumulation_steps: int = 1
+    bfloat16: bool = False
+    use_ema: bool = False
+    ema_decay: float = 0.999                      # trainer.py:267
+    max_grad_norm: float = 1.0                    # trainer.py:347
+    train_unconditional_prob: float = 0.0
+    exploration_steps: Optional[int] = None
+
+    # --- model paths (reader :100-107) ---
+    pretrained_pipe_path: Optional[str] = None
+    pretrained_model_path: Optional[str] = None
+    pretrained_pipe_single_file: Optional[str] = None
+
+    # --- feature pipeline (reader :78-82,96,121-124,198,210-216) ---
+    compute_features: bool = False
+    extract_features: bool = False
+    vae_max_batch_size: Optional[int] = None
+    text_encoder_max_batch_size: Optional[int] = None
+    cache_size: int = 1000
+    use_calculated_features: bool = False
+    save_to_disk: bool = False
+    bucket_repeat: int = 1
+
+    # --- adapters (reader :171-196) ---
+    lora_rank: Optional[int] = None
+    lora_alpha: Optional[int] = None
+    lora_dropout: float = 0.0
+    lora_target_modules: Optional[list] = None
+    lora_algo: Optional[str] = None
+    lora_bias: bool = False
+    lora_use_rslora: bool = False
+    lora_use_dora: bool = False
+    lora_pretrained: Optional[str] = None
+    lora_base_model_8bit: bool = False
+    lora_base_model_4bit: bool = False
+    fourierft_alpha: float = 0.01
+    fourierft_n_frequency: int = 1000
+
+    # --- optimizer (reader :168; trainer.py:243-250) ---
+    use_adamw_8bit: bool = False   # despite the name: Lion with 8-bit state
+
+    # --- lr schedule (reader :149-160; cyclic parsed but unused upstream —
+    #     we implement it as documented) ---
+    cyclic_lr_max_lr: Optional[float] = None
+    cyclic_lr_step_size_up: int = 2000
+    cyclic_lr_step_size_down: int = 2000
+    cyclic_lr_mode: str = "triangular"
+
+    # --- refiner / timesteps (reader :117-118) ---
+    timesteps: list = field(default_factory=list)
+
+    # --- memory / precision (reader :197) ---
+    low_vram: bool = False
+    dual_gpu: bool = False
+
+    # --- aspect ratio override (reader :219) ---
+    aspect_ratios: Optional[int] = None
+
+    # --- dreambooth (reader :222-228,193-194) ---
+    dreambooth_dataset_folder: Optional[str] = None
+    dreambooth_regularization_folder: Optional[str] = None
+    dreambooth_instance: Optional[str] = None
+    dreambooth_class: Optional[str] = None
+    dreambooth_num_repeats: int = 1
+    dreambooth_lambda: float = 1.0
+    dreambooth_num_regularisation_passes: int = 1
+
+    # --- preservation loss (reader :25-26; README.md:81-82 — documented in
+    #     the reference but never wired into its loop; implemented here) ---
+    use_preservation: bool = False
+    preservation_ratio: float = 0.5
+
+    # --- REPA (reader :201-208) ---
+    use_repa: bool = False
+    repa_lambda: float = 0.05
+    repa_pretrained_model: Optional[str] = None
+
+    # --- output (reader :24) ---
+    output_repo: Optional[str] = None
+    output_dir: str = "models"
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    mesh_shape: Optional[dict] = None       # e.g. {'dp': 8} or {'dp': 2, 'fsdp': 4}
+    checkpoint_dir: Optional[str] = None    # orbax full-state checkpoints
+    resume: bool = False                    # resume full train state
+    profile_dir: Optional[str] = None       # jax.profiler trace output
+    model_family: Optional[str] = None      # sana/pixart/sd15/sdxl/sd35/flux/pixeldit
+    model_config_overrides: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def read_yaml(cls, path: str) -> "TrainingParameters":
+        with open(path) as f:
+            raw = yaml.load(f.read(), Loader=yaml.BaseLoader)
+        if raw is None:
+            raise ConfigError(f"empty config file: {path}")
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "TrainingParameters":
+        p = cls()
+
+        # object store (reader :66-74)
+        if "r2_endpoint" in raw:
+            for k in ("r2_access_key", "r2_secret_key", "r2_bucket_name"):
+                if k not in raw:
+                    raise ConfigError(
+                        f"'r2_endpoint' given but '{k}' missing — all four R2 "
+                        "credentials keys are required together")
+            p.r2_endpoint = raw["r2_endpoint"]
+            p.r2_access_key = raw["r2_access_key"]
+            p.r2_secret_key = raw["r2_secret_key"]
+            p.r2_bucket_name = raw["r2_bucket_name"]
+            p.r2_tar_files = raw.get("r2_tar_files")
+        else:
+            p.urls = raw.get("urls")
+
+        p.warmup_steps = _as_int(raw, "warmup_steps")
+
+        # feature pipeline (reader :78-82)
+        if "compute_features" in raw:
+            p.compute_features = True
+            if "vae_max_batch_size" not in raw or "text_encoder_max_batch_size" not in raw:
+                raise ConfigError(
+                    "'compute_features' requires 'vae_max_batch_size' and "
+                    "'text_encoder_max_batch_size'")
+            p.vae_max_batch_size = _as_int(raw, "vae_max_batch_size")
+            p.text_encoder_max_batch_size = _as_int(raw, "text_encoder_max_batch_size")
+
+        p.num_shards = _as_int(raw, "num_shards")
+        p.r2_dataset_folder = _as_str(raw, "r2_dataset_folder")
+        if "r2_upload_key" in raw:
+            p.r2_upload_key = raw["r2_upload_key"]
+            p.r2_upload_shard_size = _as_int(raw, "r2_upload_shard_size")
+
+        if "url_probs" in raw:
+            p.url_probs = [float(x) for x in raw["url_probs"]]
+        p.dataset_seed = _as_int(raw, "dataset_seed", 0)
+        p.extract_features = "extract_features" in raw
+
+        if "batch_size" not in raw:
+            raise ConfigError("'batch_size' is required")
+        p.batch_size = _as_int(raw, "batch_size")
+
+        p.pretrained_model_path = _as_str(raw, "pretrained_model_path")
+        p.pretrained_pipe_single_file = _as_str(raw, "pretrained_pipe_single_file")
+        p.pretrained_pipe_path = _as_str(raw, "pretrained_pipe_path")
+
+        for k in ("learning_rate", "steps", "num_steps_per_validation"):
+            if k not in raw:
+                raise ConfigError(f"'{k}' is required")
+        p.learning_rate = _as_float(raw, "learning_rate")
+        p.steps = _as_int(raw, "steps")
+        p.num_steps_per_validation = _as_int(raw, "num_steps_per_validation")
+        p.validation_prompts = raw.get("validation_prompts")
+        p.dual_gpu = "dual_gpu" in raw
+
+        if "timesteps" in raw:
+            p.timesteps = [int(t) for t in raw["timesteps"]]
+
+        p.cache_size = _as_int(raw, "cache_size", 1000)
+        p.weight_decay = _as_float(raw, "weight_decay", 0.0)
+        p.bfloat16 = "bfloat16" in raw
+        p.gradient_accumulation_steps = _as_int(raw, "gradient_accumulation_steps", 1)
+        p.use_ema = "use_ema" in raw
+        p.ema_decay = _as_float(raw, "ema_decay", 0.999)
+        p.max_grad_norm = _as_float(raw, "max_grad_norm", 1.0)
+        p.lora_use_dora = "lora_use_dora" in raw
+        p.train_unconditional_prob = _as_float(raw, "train_unconditional_prob", 0.0)
+
+        if "cyclic_lr_max_lr" in raw:
+            p.cyclic_lr_max_lr = _as_float(raw, "cyclic_lr_max_lr")
+            p.cyclic_lr_step_size_up = _as_int(raw, "cyclic_lr_step_size_up", 2000)
+            p.cyclic_lr_step_size_down = _as_int(raw, "cyclic_lr_step_size_down", 2000)
+            # also accept the reference's 'cylic_lr_mode' typo (reader :159)
+            p.cyclic_lr_mode = raw.get("cyclic_lr_mode", raw.get("cylic_lr_mode", "triangular"))
+
+        p.huggingface_dataset_repo = _as_str(raw, "huggingface_dataset_repo")
+        p.local_shard_paths = raw.get("local_shard_paths")
+        p.use_adamw_8bit = ("use_adamw_8bit" in raw) or ("use_adamw_8bit " in raw)
+
+        # adapters (reader :171-196)
+        if "lora_rank" in raw:
+            p.lora_pretrained = _as_str(raw, "lora_pretrained")
+            if "lora_target_modules" not in raw:
+                raise ConfigError("'lora_rank' requires 'lora_target_modules'")
+            p.lora_target_modules = raw["lora_target_modules"]
+            if isinstance(p.lora_target_modules, str):
+                p.lora_target_modules = [p.lora_target_modules]
+            p.lora_rank = _as_int(raw, "lora_rank")
+            p.lora_alpha = _as_int(raw, "lora_alpha", p.lora_rank)
+            p.lora_base_model_8bit = "lora_base_model_8bit" in raw
+            p.lora_base_model_4bit = "lora_base_model_4bit" in raw
+            p.lora_dropout = _as_float(raw, "lora_dropout", 0.0)
+            p.lora_bias = "lora_bias" in raw
+            if "lora_algo" not in raw:
+                raise ConfigError("'lora_rank' requires 'lora_algo' "
+                                  f"(one of {_VALID_LORA_ALGOS})")
+            p.lora_algo = raw["lora_algo"]
+            if p.lora_algo not in _VALID_LORA_ALGOS:
+                raise ConfigError(
+                    f"unknown lora_algo {p.lora_algo!r}; expected one of {_VALID_LORA_ALGOS}")
+            p.lora_use_rslora = "lora_use_rslora" in raw
+            p.lora_use_dora = "lora_use_dora" in raw
+            p.dreambooth_lambda = _as_float(raw, "dreambooth_lambda", 1.0)
+            p.dreambooth_num_regularisation_passes = _as_int(
+                raw, "dreambooth_num_regularisation_passes", 1)
+
+        p.fourierft_alpha = _as_float(raw, "fourierft_alpha", 0.01)
+        p.fourierft_n_frequency = _as_int(raw, "fourierft_n_frequency", 1000)
+        p.low_vram = "low_vram" in raw
+        p.use_calculated_features = "use_calculated_features" in raw
+
+        p.use_repa = "use_repa" in raw
+        p.repa_lambda = _as_float(raw, "repa_lambda", 0.05)
+        p.repa_pretrained_model = _as_str(raw, "repa_pretrained_model")
+
+        p.save_to_disk = "save_to_disk" in raw
+        p.bucket_repeat = _as_int(raw, "bucket_repeat", 1)
+        p.aspect_ratios = _as_int(raw, "aspect_ratio")
+
+        p.dreambooth_dataset_folder = _as_str(raw, "dreambooth_dataset_folder")
+        p.dreambooth_num_repeats = _as_int(raw, "dreambooth_num_repeats", 1)
+        p.dreambooth_instance = _as_str(raw, "dreambooth_instance")
+        p.dreambooth_class = _as_str(raw, "dreambooth_class")
+        p.dreambooth_regularization_folder = _as_str(raw, "dreambooth_regularization_folder")
+
+        p.exploration_steps = _as_int(raw, "exploration_steps")
+
+        # preservation loss (reader :25-26, README.md:81-82)
+        p.use_preservation = "use_preservation" in raw
+        p.preservation_ratio = _as_float(raw, "preservation_ratio", 0.5)
+
+        # TPU extensions
+        if "mesh_shape" in raw:
+            ms = raw["mesh_shape"]
+            if not isinstance(ms, dict):
+                raise ConfigError("'mesh_shape' must be a mapping, e.g. {dp: 8}")
+            p.mesh_shape = {str(k): int(v) for k, v in ms.items()}
+        p.checkpoint_dir = _as_str(raw, "checkpoint_dir")
+        p.resume = "resume" in raw
+        p.profile_dir = _as_str(raw, "profile_dir")
+        p.model_family = _as_str(raw, "model_family")
+        p.output_dir = _as_str(raw, "output_dir", "models")
+        if "model_config_overrides" in raw:
+            p.model_config_overrides = dict(raw["model_config_overrides"])
+
+        p.validate()
+        return p
+
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        if self.batch_size < 1:
+            raise ConfigError("batch_size must be >= 1")
+        if self.learning_rate is not None and self.learning_rate <= 0:
+            raise ConfigError("learning_rate must be > 0")
+        if self.gradient_accumulation_steps < 1:
+            raise ConfigError("gradient_accumulation_steps must be >= 1")
+        if not (0.0 <= self.train_unconditional_prob <= 1.0):
+            raise ConfigError("train_unconditional_prob must be in [0, 1]")
+        if self.aspect_ratios is not None and self.aspect_ratios not in (256, 512, 1024, 2048):
+            raise ConfigError("aspect_ratio override must be one of 256/512/1024/2048")
+        if self.use_preservation and not (0.0 <= self.preservation_ratio <= 1.0):
+            raise ConfigError("preservation_ratio must be in [0, 1]")
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

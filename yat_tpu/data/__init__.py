@@ -1,0 +1,8 @@
+from yat_tpu.data.bins import (
+    ASPECT_RATIO_256_BIN,
+    ASPECT_RATIO_512_BIN,
+    ASPECT_RATIO_1024_BIN,
+    ASPECT_RATIO_2048_BIN,
+    bin_for_resolution,
+    find_closest_ratio,
+)

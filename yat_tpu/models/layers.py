@@ -1,0 +1,401 @@
+"""Shared neural-net building blocks for every model family.
+
+Design notes (TPU-first, not a port):
+
+* **AdapterDense** is the only Dense used inside backbones.  Instead of the
+  reference's PEFT module surgery (/root/reference/common/trainer.py:211-241),
+  adapters live in a *separate flax variable collection* ``adapters`` whose
+  tree mirrors the param tree.  When the collection carries adapter leaves for
+  this module, the forward adds the adapter contribution with exact PEFT
+  numerics (LoRA/DoRA input-side branch incl. dropout; LoHa/LoKr/FourierFT as
+  merged deltas, which is also how PEFT computes them).  When absent, the
+  module is a plain Dense — zero overhead, zero surgery.
+* Layouts are NHWC / [B, N, D] tokens throughout (TPU-native), bf16 compute
+  with fp32 parameter masters handled by the optimizer, fp32 islands where
+  numerics demand (norms, attention softmax accumulation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _maybe(mod: nn.Module, col: str, name: str):
+    return mod.get_variable(col, name) if mod.has_variable(col, name) else None
+
+
+class AdapterDense(nn.Module):
+    """Dense layer that transparently applies adapters from the ``adapters``
+    variable collection.
+
+    Recognised adapter leaf sets (all optional, found by name in this
+    module's scope within the ``adapters`` collection):
+
+    * LoRA:     ``lora_a`` (in, r), ``lora_b`` (r, out), scalars in
+                ``lora_scale``; optional DoRA magnitude ``dora_m`` (out,).
+    * LoHa:     ``hada_w1_a`` (in, r), ``hada_w1_b`` (r, out),
+                ``hada_w2_a``, ``hada_w2_b``, scalar ``scale``.
+    * LoKr:     ``lokr_w1`` (u1, v1), ``lokr_w2_a`` (u2, r), ``lokr_w2_b``
+                (r, v2) with u1*u2 = in, v1*v2 = out, scalar ``scale``.
+    * FourierFT: ``fft_spectrum`` (n_freq,), ``fft_indices`` (2, n_freq)
+                int32 (non-trainable), scalar ``fft_alpha``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+                if self.use_bias else None)
+
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+
+        lora_a = _maybe(self, "adapters", "lora_a")
+        hada_w1_a = _maybe(self, "adapters", "hada_w1_a")
+        lokr_w1 = _maybe(self, "adapters", "lokr_w1")
+        fft_spectrum = _maybe(self, "adapters", "fft_spectrum")
+
+        w = kernel.astype(dtype)
+
+        if lora_a is not None:
+            lora_b = self.get_variable("adapters", "lora_b")
+            scale = self.get_variable("adapters", "lora_scale")
+            dora_m = _maybe(self, "adapters", "dora_m")
+            dropout_rate = float(self.get_variable("adapters", "lora_dropout")) \
+                if self.has_variable("adapters", "lora_dropout") else 0.0
+            if dora_m is not None:
+                # DoRA: W' = m * (W + s*BA) / ||W + s*BA||_col   (PEFT numerics)
+                merged = w + scale.astype(dtype) * (lora_a.astype(dtype) @ lora_b.astype(dtype))
+                col_norm = jnp.linalg.norm(merged.astype(jnp.float32), axis=0,
+                                           keepdims=True)
+                w_eff = (dora_m.astype(jnp.float32)[None, :] *
+                         merged.astype(jnp.float32) / (col_norm + 1e-8)).astype(dtype)
+                y = x @ w_eff
+            else:
+                y = x @ w
+                xa = x
+                if dropout_rate > 0.0 and not deterministic:
+                    rng = self.make_rng("dropout")
+                    keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
+                    xa = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+                y = y + scale.astype(dtype) * ((xa @ lora_a.astype(dtype))
+                                               @ lora_b.astype(dtype))
+        elif hada_w1_a is not None:
+            w1b = self.get_variable("adapters", "hada_w1_b")
+            w2a = self.get_variable("adapters", "hada_w2_a")
+            w2b = self.get_variable("adapters", "hada_w2_b")
+            scale = self.get_variable("adapters", "scale")
+            delta = (hada_w1_a.astype(dtype) @ w1b.astype(dtype)) * \
+                    (w2a.astype(dtype) @ w2b.astype(dtype))
+            y = x @ (w + scale.astype(dtype) * delta)
+        elif lokr_w1 is not None:
+            w2a = self.get_variable("adapters", "lokr_w2_a")
+            w2b = self.get_variable("adapters", "lokr_w2_b")
+            scale = self.get_variable("adapters", "scale")
+            w2 = w2a.astype(dtype) @ w2b.astype(dtype)
+            delta = jnp.kron(lokr_w1.astype(dtype), w2)
+            y = x @ (w + scale.astype(dtype) * delta)
+        elif fft_spectrum is not None:
+            indices = self.get_variable("adapters", "fft_indices")
+            alpha = self.get_variable("adapters", "fft_alpha")
+            dense = jnp.zeros((in_features, self.features), jnp.float32)
+            dense = dense.at[indices[0], indices[1]].set(
+                fft_spectrum.astype(jnp.float32))
+            delta = jnp.fft.ifft2(dense, norm="ortho").real
+            y = x @ (w + alpha.astype(dtype) * delta.astype(dtype))
+        else:
+            y = x @ w
+
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
+class RMSNorm(nn.Module):
+    """RMS norm with fp32 accumulation (numerics island in a bf16 pipeline)."""
+
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (x.shape[-1],), self.param_dtype)
+            y = y * scale.astype(jnp.float32)
+        return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 accumulation; optionally affine-free (AdaLN use)."""
+
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (x.shape[-1],), self.param_dtype)
+            y = y * scale.astype(jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (x.shape[-1],), self.param_dtype)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(dtype)
+
+
+def sinusoidal_timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                                  max_period: float = 10000.0,
+                                  flip_sin_to_cos: bool = True,
+                                  downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Classic transformer sinusoidal embedding of (possibly fractional)
+    diffusion timesteps.  fp32 throughout."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift))
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """MLP(swish) over the sinusoidal embedding → conditioning vector."""
+
+    hidden_dim: int
+    freq_dim: int = 256
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        emb = sinusoidal_timestep_embedding(timesteps, self.freq_dim)
+        emb = AdapterDense(self.hidden_dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = AdapterDense(self.hidden_dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class Attention(nn.Module):
+    """Multi-head softmax attention (self or cross) with fp32 softmax.
+
+    Uses ``jax.nn.dot_product_attention`` so XLA lowers to its fused TPU
+    flash-attention path; a Pallas splash kernel can be slotted in via
+    ``implementation``.  Replaces xformers / torch SDPA in the reference
+    (common/trainer.py:122-135).
+    """
+
+    num_heads: int
+    head_dim: int
+    out_features: Optional[int] = None
+    qk_norm: Optional[str] = None          # None | 'rms'
+    use_bias: bool = True
+    out_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        out_features = self.out_features or x.shape[-1]
+        kv = x if context is None else context
+
+        q = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_q")(x, deterministic=deterministic)
+        k = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_k")(kv, deterministic=deterministic)
+        v = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_v")(kv, deterministic=deterministic)
+
+        b, nq = q.shape[0], q.shape[1]
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.num_heads, self.head_dim)
+        k = k.reshape(b, nk, self.num_heads, self.head_dim)
+        v = v.reshape(b, nk, self.num_heads, self.head_dim)
+
+        if self.qk_norm == "rms":
+            q = RMSNorm(name="norm_q")(q)
+            k = RMSNorm(name="norm_k")(k)
+
+        attn_mask = None
+        if mask is not None:
+            # mask: [B, Nk] keep-mask → [B, 1, 1, Nk] bool
+            attn_mask = mask[:, None, None, :].astype(bool)
+
+        y = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        y = y.reshape(b, nq, inner)
+        return AdapterDense(out_features, use_bias=self.out_bias, dtype=self.dtype,
+                            name="to_out")(y, deterministic=deterministic)
+
+
+class LiteLinearAttention(nn.Module):
+    """SANA's ReLU linear attention (LiteMLA), O(N) in sequence length.
+
+    softmax(QK^T)V is replaced by relu(Q) (relu(K)^T V) with a running
+    normalizer.  The contraction order keeps the big matmuls MXU-shaped:
+    [B,H,N,d]x[B,H,N,d+1] → KV [B,H,d,d+1] then Q·KV.  fp32 accumulation for
+    the normalizer (the 1/(q·k_sum) term is numerically fragile in bf16).
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: Optional[Dtype] = None
+    eps: float = 1e-15
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        b, n, _ = x.shape
+
+        q = AdapterDense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_q")(x, deterministic=deterministic)
+        k = AdapterDense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(x, deterministic=deterministic)
+        v = AdapterDense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(x, deterministic=deterministic)
+
+        q = nn.relu(q).reshape(b, n, self.num_heads, self.head_dim)
+        k = nn.relu(k).reshape(b, n, self.num_heads, self.head_dim)
+        v = v.reshape(b, n, self.num_heads, self.head_dim)
+
+        # fp32 island: linear attention normalizer is unstable in bf16
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        v32 = v.astype(jnp.float32)
+        # pad v with ones so one contraction yields both numerator and norm
+        v_pad = jnp.concatenate([v32, jnp.ones((b, n, self.num_heads, 1),
+                                               jnp.float32)], axis=-1)
+        # kv: [B, H, d, d+1]
+        kv = jnp.einsum("bnhd,bnhe->bhde", k32, v_pad)
+        out = jnp.einsum("bnhd,bhde->bnhe", q32, kv)
+        num, den = out[..., :-1], out[..., -1:]
+        y = (num / (den + self.eps)).astype(x.dtype)
+        y = y.reshape(b, n, inner)
+        return AdapterDense(x.shape[-1], use_bias=True, dtype=self.dtype,
+                            name="to_out")(y, deterministic=deterministic)
+
+
+class GLUMBConv(nn.Module):
+    """SANA's gated inverted-residual conv FFN over the 2D token grid.
+
+    1x1 expand → 3x3 depthwise → GLU gate → 1x1 project, NHWC layout.
+    """
+
+    expand_ratio: float = 2.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hw: Tuple[int, int], *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        b, n, d = x.shape
+        h, w = hw
+        hidden = int(d * self.expand_ratio)
+
+        y = AdapterDense(hidden * 2, use_bias=True, dtype=self.dtype,
+                         name="conv_inverted")(x, deterministic=deterministic)
+        y = nn.silu(y)
+        y = y.reshape(b, h, w, hidden * 2)
+        y = nn.Conv(hidden * 2, (3, 3), padding="SAME",
+                    feature_group_count=hidden * 2, use_bias=True,
+                    dtype=self.dtype, name="conv_depth")(y)
+        y, gate = jnp.split(y, 2, axis=-1)
+        y = y * nn.silu(gate)
+        y = y.reshape(b, n, hidden)
+        y = AdapterDense(d, use_bias=False, dtype=self.dtype,
+                         name="conv_point")(y, deterministic=deterministic)
+        return y
+
+
+class MLP(nn.Module):
+    """Standard transformer FFN (gelu-approx like PixArt/DiT)."""
+
+    mlp_ratio: float = 4.0
+    activation: str = "gelu_tanh"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        hidden = int(d * self.mlp_ratio)
+        y = AdapterDense(hidden, dtype=self.dtype, name="fc1")(
+            x, deterministic=deterministic)
+        if self.activation == "gelu_tanh":
+            y = nn.gelu(y, approximate=True)
+        elif self.activation == "silu":
+            y = nn.silu(y)
+        elif self.activation == "gelu":
+            y = nn.gelu(y, approximate=False)
+        else:
+            raise ValueError(self.activation)
+        y = AdapterDense(d, dtype=self.dtype, name="fc2")(
+            y, deterministic=deterministic)
+        return y
+
+
+class PatchEmbed(nn.Module):
+    """[B, H, W, C] latents → [B, N, D] tokens via non-overlapping patches.
+
+    patch_size=1 degenerates to a Dense over channels (SANA on 32x latents).
+    """
+
+    hidden_dim: int
+    patch_size: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        if p > 1:
+            x = x.reshape(b, h // p, p, w // p, p, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p),
+                                                      p * p * c)
+        else:
+            x = x.reshape(b, h * w, c)
+        return AdapterDense(self.hidden_dim, use_bias=self.use_bias,
+                            dtype=self.dtype, name="proj")(x)
+
+
+def unpatchify(tokens: jnp.ndarray, hw: Tuple[int, int], patch_size: int,
+               out_channels: int) -> jnp.ndarray:
+    """[B, N, p*p*C] → [B, H, W, C]."""
+    b = tokens.shape[0]
+    h, w = hw
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = tokens.reshape(b, gh, gw, p, p, out_channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, out_channels)
+    return x

@@ -1,0 +1,177 @@
+"""SANA: linear-attention DiT for text-to-image flow matching.
+
+TPU-native reimplementation of the architecture trained by the reference's
+``train_sana.py`` (diffusers ``SanaTransformer2DModel``): patch-1 embedding of
+32x-compressed DC-AE latents, N blocks of [ReLU linear self-attention →
+softmax cross-attention over Gemma text embeddings → GLUMBConv gated conv
+FFN], AdaLN-single timestep conditioning (one shared 6-way modulation from
+the timestep embedding plus per-block learned shift tables), RMS-normed
+cross-attention queries/keys, and an AdaLN-modulated output projection.
+
+Reference behavior being matched (not code): /root/reference/train_sana.py
+:163-219 (training step semantics), :45-57 (resolution→bin selection).
+
+Layout: latents are NHWC, tokens are [B, N, D].  All sequence lengths are
+static per aspect-ratio bucket, so XLA compiles one program per bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import (
+    AdapterDense,
+    Attention,
+    GLUMBConv,
+    LayerNorm,
+    LiteLinearAttention,
+    PatchEmbed,
+    RMSNorm,
+    TimestepEmbedder,
+    unpatchify,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SanaConfig:
+    """SANA-0.6B (512px) defaults; 1.6B = dim 2240 / 20 heads / 20 layers."""
+
+    in_channels: int = 32
+    out_channels: int = 32
+    hidden_dim: int = 1152            # 36 heads x 32
+    num_layers: int = 28
+    num_attention_heads: int = 36
+    attention_head_dim: int = 32
+    num_cross_attention_heads: int = 16
+    cross_attention_head_dim: int = 72
+    caption_channels: int = 2304      # Gemma-2-2b hidden size
+    mlp_ratio: float = 2.5
+    patch_size: int = 1
+    sample_size: int = 16             # 512px / 32x VAE
+    vae_compression: int = 32
+    max_caption_len: int = 512        # train_sana.py:171 pads embeds to 512
+    qk_norm: str = "rms"
+
+    @property
+    def resolution(self) -> int:
+        return self.sample_size * self.vae_compression
+
+
+class SanaBlock(nn.Module):
+    cfg: SanaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask,
+                 hw: Tuple[int, int], *, deterministic: bool = True):
+        c = self.cfg
+        # AdaLN-single: 6 modulation vectors = shared table + per-step emb
+        # scale_shift_table: [6, D] learned; cond_emb: [B, 6, D]
+        mod = scale_shift_table[None] + cond_emb  # [B, 6, D]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
+
+        # 1) linear self-attention
+        h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
+        h = h * (1 + scale_msa) + shift_msa
+        h = LiteLinearAttention(
+            num_heads=c.num_attention_heads, head_dim=c.attention_head_dim,
+            dtype=self.dtype, name="attn1")(h, deterministic=deterministic)
+        x = x + gate_msa * h
+
+        # 2) softmax cross-attention on the caption tokens
+        h = Attention(
+            num_heads=c.num_cross_attention_heads,
+            head_dim=c.cross_attention_head_dim,
+            out_features=c.hidden_dim, qk_norm=c.qk_norm,
+            dtype=self.dtype, name="attn2")(
+                x, context=text_emb, mask=text_mask, deterministic=deterministic)
+        x = x + h
+
+        # 3) gated conv FFN
+        h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
+        h = h * (1 + scale_mlp) + shift_mlp
+        h = GLUMBConv(expand_ratio=c.mlp_ratio, dtype=self.dtype,
+                      name="ff")(h, hw, deterministic=deterministic)
+        x = x + gate_mlp * h
+        return x
+
+
+class SanaTransformer2D(nn.Module):
+    """The denoiser.  ``__call__(latents, text_emb, timesteps, text_mask)``
+    → velocity prediction with the same shape as ``latents``."""
+
+    cfg: SanaConfig = SanaConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
+                 timesteps: jnp.ndarray,
+                 text_mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        b, h, w, _ = latents.shape
+        p = c.patch_size
+        grid_hw = (h // p, w // p)
+
+        x = PatchEmbed(c.hidden_dim, patch_size=p, dtype=self.dtype,
+                       name="patch_embed")(latents.astype(self.dtype))
+
+        # timestep conditioning → 6-way modulation shared by all blocks
+        t_emb = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
+                                 name="time_embed")(timesteps)
+        cond = AdapterDense(6 * c.hidden_dim, dtype=jnp.float32,
+                            name="time_proj")(nn.silu(t_emb))
+        cond = cond.reshape(b, 6, c.hidden_dim)
+
+        scale_shift_table = self.param(
+            "scale_shift_table",
+            lambda key, shape: jnp.zeros(shape, jnp.float32),
+            (6, c.hidden_dim))
+
+        # caption projection into model width
+        ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
+                           name="caption_projection")(text_emb.astype(self.dtype))
+        ctx = RMSNorm(name="caption_norm")(ctx)
+
+        block_cls = SanaBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(SanaBlock, static_argnums=(6,),
+                                 prevent_cse=False)
+        for i in range(c.num_layers):
+            x = block_cls(cfg=c, dtype=self.dtype, name=f"blocks_{i}")(
+                x, cond, scale_shift_table, ctx, text_mask, grid_hw,
+                deterministic=deterministic)
+
+        # output: AdaLN-modulated norm → projection to patch pixels
+        out_table = self.param(
+            "out_scale_shift_table",
+            lambda key, shape: jnp.zeros(shape, jnp.float32),
+            (2, c.hidden_dim))
+        out_mod = out_table[None] + t_emb[:, None, :]          # [B, 2, D]
+        shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
+                        out_mod[:, 1][:, None, :].astype(x.dtype))
+        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
+        x = x * (1 + scale) + shift
+        x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
+                         name="proj_out")(x, deterministic=deterministic)
+        return unpatchify(x, (h, w), p, c.out_channels)
+
+
+# Named size presets (diffusers checkpoints map onto these shapes)
+SANA_600M = SanaConfig()
+SANA_1600M = SanaConfig(hidden_dim=2240, num_layers=20,
+                        num_attention_heads=70, attention_head_dim=32,
+                        num_cross_attention_heads=20,
+                        cross_attention_head_dim=112)
+SANA_TINY_TEST = SanaConfig(hidden_dim=64, num_layers=2,
+                            num_attention_heads=2, attention_head_dim=32,
+                            num_cross_attention_heads=2,
+                            cross_attention_head_dim=32,
+                            caption_channels=32, max_caption_len=16,
+                            in_channels=4, out_channels=4, sample_size=8)

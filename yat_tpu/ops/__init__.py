@@ -1,0 +1,5 @@
+from yat_tpu.ops.schedulers import (
+    FlowMatchSchedule,
+    DDPMSchedule,
+    sample_timestep_density,
+)

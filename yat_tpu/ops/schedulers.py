@@ -1,0 +1,239 @@
+"""Noise schedules and timestep samplers, as pure JAX functions.
+
+Two families cover every model the framework trains:
+
+* **Flow matching** (SANA, SD3.5, Flux-2 Klein, PixelDiT): the reference uses
+  diffusers' ``FlowMatchEulerDiscreteScheduler``
+  (/root/reference/train_sana.py:41,195-207): sigmas are a shifted linear ramp,
+  the noisy input is ``(1-sigma) x + sigma eps`` and the target is
+  ``eps - x`` (velocity).
+* **DDPM epsilon-prediction** (PixArt-Sigma, SD1.5, SDXL): ``add_noise`` with
+  the cumulative-alpha schedule, target is the noise itself
+  (/root/reference/train_pixart_sigma.py:173-184, train_sd15.py:140-165).
+
+Timestep sampling matches diffusers' ``compute_density_for_timestep_sampling``
+as called by the reference: logit-normal(mean 0, std 1) with mode_scale 1.29
+(/root/reference/common/trainer.py:96-101) — note that in the 'logit_normal'
+branch mode_scale is unused; the 'mode' branch uses it.  Both are implemented.
+
+Everything here is shape-static and jit-friendly; schedule tables are plain
+jnp arrays computed once at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_to(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Right-pad trailing singleton dims so x broadcasts over a batch."""
+    return x.reshape(x.shape + (1,) * (ndim - x.ndim))
+
+
+# ---------------------------------------------------------------------------
+# Timestep density sampling
+# ---------------------------------------------------------------------------
+
+def sample_timestep_density(
+    key: jax.Array,
+    batch_size: int,
+    weighting_scheme: str = "logit_normal",
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
+    mode_scale: float = 1.29,
+) -> jnp.ndarray:
+    """Draw u in (0, 1) controlling which sigma each sample trains at.
+
+    Parity with diffusers ``compute_density_for_timestep_sampling`` for the
+    schemes the reference uses (common/trainer.py:98).
+    """
+    if weighting_scheme == "logit_normal":
+        z = jax.random.normal(key, (batch_size,)) * logit_std + logit_mean
+        u = jax.nn.sigmoid(z)
+    elif weighting_scheme == "mode":
+        u = jax.random.uniform(key, (batch_size,))
+        u = 1.0 - u - mode_scale * (jnp.cos(jnp.pi * u / 2.0) ** 2 - 1.0 + u)
+    elif weighting_scheme == "uniform":
+        u = jax.random.uniform(key, (batch_size,))
+    else:
+        raise ValueError(f"unknown weighting scheme {weighting_scheme!r}")
+    return u
+
+
+# ---------------------------------------------------------------------------
+# Flow matching
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FlowMatchSchedule:
+    """Shifted-linear flow-matching schedule (FlowMatchEulerDiscrete parity).
+
+    sigmas[i] descend from ~1 to ~1/N; ``timesteps = sigmas * N``.  With
+    ``use_dynamic_shifting`` (Flux), the shift becomes a per-resolution mu.
+    """
+
+    num_train_timesteps: int = 1000
+    shift: float = 3.0
+    use_dynamic_shifting: bool = False
+    base_shift: float = 0.5       # Flux dynamic-shift line endpoints
+    max_shift: float = 1.15
+    base_image_seq_len: int = 256
+    max_image_seq_len: int = 4096
+
+    def sigmas(self, mu: Optional[float] = None) -> jnp.ndarray:
+        n = self.num_train_timesteps
+        t = jnp.linspace(1.0, 1.0 / n, n, dtype=jnp.float32)
+        if self.use_dynamic_shifting:
+            if mu is None:
+                mu = float(jnp.log(self.shift))
+            return jnp.exp(mu) / (jnp.exp(mu) + (1.0 / t - 1.0))
+        return self.shift * t / (1.0 + (self.shift - 1.0) * t)
+
+    def mu_for_seq_len(self, seq_len: int) -> float:
+        """Flux-style resolution-dependent shift exponent."""
+        m = (self.max_shift - self.base_shift) / (self.max_image_seq_len - self.base_image_seq_len)
+        b = self.base_shift - m * self.base_image_seq_len
+        return seq_len * m + b
+
+    def timesteps(self, mu: Optional[float] = None) -> jnp.ndarray:
+        return self.sigmas(mu) * self.num_train_timesteps
+
+    def training_draw(
+        self, key: jax.Array, batch_size: int,
+        weighting_scheme: str = "logit_normal",
+        logit_mean: float = 0.0, logit_std: float = 1.0, mode_scale: float = 1.29,
+        timestep_list: Optional[Tuple[int, ...]] = None,
+        mu: Optional[float] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample (timesteps, sigmas) for a training batch.
+
+        Default: logit-normal density → index into the sigma table
+        (train_sana.py:185-206).  ``timestep_list`` overrides with uniform
+        choice from a fixed list (refiner mode, common/trainer.py:51-64).
+        """
+        sig = self.sigmas(mu)
+        if timestep_list is not None and len(timestep_list) > 0:
+            choice = jax.random.randint(key, (batch_size,), 0, len(timestep_list))
+            indices = jnp.asarray(timestep_list, dtype=jnp.int32)[choice]
+        else:
+            u = sample_timestep_density(
+                key, batch_size, weighting_scheme, logit_mean, logit_std, mode_scale)
+            indices = (u * self.num_train_timesteps).astype(jnp.int32)
+        indices = jnp.clip(indices, 0, self.num_train_timesteps - 1)
+        sigmas = sig[indices]
+        timesteps = sigmas * self.num_train_timesteps
+        return timesteps, sigmas
+
+    def add_noise(self, latents: jnp.ndarray, noise: jnp.ndarray,
+                  sigmas: jnp.ndarray) -> jnp.ndarray:
+        """x_sigma = (1 - sigma) x + sigma eps  (train_sana.py:207)."""
+        s = _expand_to(sigmas.astype(latents.dtype), latents.ndim)
+        return (1.0 - s) * latents + s * noise
+
+    def velocity_target(self, latents: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+        """target = eps - x  (train_sana.py:217)."""
+        return noise - latents
+
+    def euler_step(self, sample: jnp.ndarray, velocity: jnp.ndarray,
+                   sigma: jnp.ndarray, sigma_next: jnp.ndarray) -> jnp.ndarray:
+        """One Euler integration step for inference."""
+        return sample + (sigma_next - sigma) * velocity
+
+    def inference_sigmas(self, num_steps: int, mu: Optional[float] = None) -> jnp.ndarray:
+        """Sigma ladder for sampling: num_steps+1 values ending at 0."""
+        n = self.num_train_timesteps
+        t = jnp.linspace(1.0, 1.0 / n, num_steps, dtype=jnp.float32)
+        if self.use_dynamic_shifting:
+            if mu is None:
+                mu = float(jnp.log(self.shift))
+            s = jnp.exp(mu) / (jnp.exp(mu) + (1.0 / t - 1.0))
+        else:
+            s = self.shift * t / (1.0 + (self.shift - 1.0) * t)
+        return jnp.concatenate([s, jnp.zeros((1,), jnp.float32)])
+
+
+# ---------------------------------------------------------------------------
+# DDPM (epsilon prediction)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Classic DDPM cumulative-alpha schedule (diffusers DDPMScheduler parity).
+
+    SD1.5/SDXL/PixArt-Sigma all use scaled_linear betas
+    (beta_start=0.00085, beta_end=0.012, 1000 steps).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+
+    def betas(self) -> jnp.ndarray:
+        n = self.num_train_timesteps
+        if self.beta_schedule == "linear":
+            return jnp.linspace(self.beta_start, self.beta_end, n, dtype=jnp.float32)
+        if self.beta_schedule == "scaled_linear":
+            return jnp.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5, n,
+                                dtype=jnp.float32) ** 2
+        if self.beta_schedule == "squaredcos_cap_v2":
+            steps = jnp.arange(n + 1, dtype=jnp.float32) / n
+            alpha_bar = jnp.cos((steps + 0.008) / 1.008 * jnp.pi / 2) ** 2
+            return jnp.clip(1.0 - alpha_bar[1:] / alpha_bar[:-1], 0.0, 0.999)
+        raise ValueError(f"unknown beta schedule {self.beta_schedule!r}")
+
+    def alphas_cumprod(self) -> jnp.ndarray:
+        return jnp.cumprod(1.0 - self.betas())
+
+    def add_noise(self, latents: jnp.ndarray, noise: jnp.ndarray,
+                  timesteps: jnp.ndarray) -> jnp.ndarray:
+        """x_t = sqrt(abar_t) x + sqrt(1-abar_t) eps."""
+        abar = self.alphas_cumprod()[timesteps.astype(jnp.int32)]
+        sqrt_abar = _expand_to(jnp.sqrt(abar).astype(latents.dtype), latents.ndim)
+        sqrt_1m = _expand_to(jnp.sqrt(1.0 - abar).astype(latents.dtype), latents.ndim)
+        return sqrt_abar * latents + sqrt_1m * noise
+
+    def training_draw(self, key: jax.Array, batch_size: int,
+                      weighting_scheme: str = "logit_normal",
+                      logit_mean: float = 0.0, logit_std: float = 1.0,
+                      mode_scale: float = 1.29,
+                      timestep_list: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
+        """Integer timesteps for a training batch.
+
+        The reference samples DDPM timesteps from the same logit-normal
+        density as flow matching (train_sd15.py:148-165).
+        """
+        if timestep_list is not None and len(timestep_list) > 0:
+            choice = jax.random.randint(key, (batch_size,), 0, len(timestep_list))
+            return jnp.asarray(timestep_list, dtype=jnp.int32)[choice]
+        u = sample_timestep_density(
+            key, batch_size, weighting_scheme, logit_mean, logit_std, mode_scale)
+        return jnp.clip((u * self.num_train_timesteps).astype(jnp.int32),
+                        0, self.num_train_timesteps - 1)
+
+    def target(self, latents: jnp.ndarray, noise: jnp.ndarray,
+               timesteps: jnp.ndarray) -> jnp.ndarray:
+        if self.prediction_type == "epsilon":
+            return noise
+        if self.prediction_type == "v_prediction":
+            abar = self.alphas_cumprod()[timesteps.astype(jnp.int32)]
+            sqrt_abar = _expand_to(jnp.sqrt(abar).astype(latents.dtype), latents.ndim)
+            sqrt_1m = _expand_to(jnp.sqrt(1.0 - abar).astype(latents.dtype), latents.ndim)
+            return sqrt_abar * noise - sqrt_1m * latents
+        raise ValueError(f"unknown prediction type {self.prediction_type!r}")
+
+    def ddim_step(self, sample: jnp.ndarray, eps_pred: jnp.ndarray,
+                  t: jnp.ndarray, t_prev: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic DDIM update (eta=0) for inference."""
+        abar = self.alphas_cumprod()
+        a_t = abar[t.astype(jnp.int32)]
+        a_prev = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0).astype(jnp.int32)], 1.0)
+        a_t = _expand_to(a_t.astype(sample.dtype), sample.ndim)
+        a_prev = _expand_to(a_prev.astype(sample.dtype), sample.ndim)
+        x0 = (sample - jnp.sqrt(1.0 - a_t) * eps_pred) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_pred
