@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""North-star benchmark: SANA-0.6B 512px LoRA train images/sec/chip.
+
+Runs the full jitted training step (forward + backward + optimizer + EMA on
+LoRA adapters over a frozen bf16 base) on synthetic 512px-bucket feature
+batches — the same work per step the reference does after its feature cache
+is warm (/root/reference/train_sana.py:163-219), minus host I/O.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md).  The north
+star is >2x A100 per-chip images/sec; the A100 anchor here is an estimate —
+SANA-0.6B 512px LoRA ≈ 2.8 TFLOPs/image (fwd+bwd), A100 bf16 312 TFLOPs peak
+at a generous 25% MFU for the reference's eager torch loop → ~28 imgs/s.
+vs_baseline = measured / 28.0 (so 2.0 == the >2x target).  See BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_ESTIMATE_IMGS_PER_SEC = 28.0
+
+
+def build(batch_size: int, remat: bool):
+    from yat_tpu.adapters.builder import AdapterSpec, build_adapter_params
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.models.sana import SANA_600M, SanaTransformer2D
+    from yat_tpu.ops.schedulers import FlowMatchSchedule
+    from yat_tpu.train.state import create_train_state, make_optimizer
+    from yat_tpu.train.step import make_train_step
+    from yat_tpu.train.tasks import make_flow_matching_loss
+
+    cfg = SANA_600M
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.bfloat16,
+                              gradient_checkpointing=remat)
+
+    b = batch_size
+    batch = {
+        "latents": jnp.zeros((b, cfg.sample_size, cfg.sample_size,
+                              cfg.in_channels), jnp.bfloat16),
+        "embeddings": jnp.zeros((b, cfg.max_caption_len,
+                                 cfg.caption_channels), jnp.bfloat16),
+        "text_mask": jnp.ones((b, cfg.max_caption_len), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["latents"],
+                           batch["embeddings"], jnp.zeros((b,)),
+                           batch["text_mask"])
+    # bf16 base weights like the reference trains with (README.md:66)
+    variables = {"params": jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables["params"])}
+
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": str(b), "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "1000000",
+        "validation_prompts": [],
+        "lora_rank": "8", "lora_alpha": "8", "lora_algo": "lora",
+        "lora_target_modules": ["to_q", "to_k", "to_v", "to_out"],
+    })
+    tx = make_optimizer(params)
+    adapters, meta = build_adapter_params(
+        variables, AdapterSpec("lora", rank=8, alpha=8,
+                               target_modules=["to_q", "to_k", "to_v",
+                                               "to_out"]),
+        jax.random.PRNGKey(1))
+    state = create_train_state(variables["params"], tx, adapters=adapters,
+                               adapters_meta=meta)
+
+    schedule = FlowMatchSchedule(shift=3.0)
+    step = make_train_step(
+        task_loss=make_flow_matching_loss(model, schedule), tx=tx,
+        donate=True)
+    return state, batch, step
+
+
+def measure(batch_size: int, remat: bool, warmup: int = 3,
+            iters: int = 20) -> float:
+    state, batch, step = build(batch_size, remat)
+    rng = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        # NOTE: on the axon remote platform block_until_ready returns
+        # before execution finishes; only a data fetch truly synchronizes
+        float(metrics["loss"])
+    loss_chain = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        loss_chain = loss_chain + metrics["loss"]
+    float(loss_chain)   # forces completion of every step
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    n_chips = max(1, len(jax.devices()))
+    result = None
+    # known-good config first (remote compile helper 500s on very large
+    # unrolled graphs); later configs only improve on it
+    for batch_size, remat in ((16, True), (32, True), (32, False)):
+        try:
+            imgs_per_sec = measure(batch_size, remat)
+            if result is None or imgs_per_sec > result[0]:
+                result = (imgs_per_sec, batch_size, remat)
+        except Exception as e:  # noqa: BLE001 — OOM/compile → next config
+            msg = str(e)[:300].replace("\n", " ")
+            print(f"# batch={batch_size} remat={remat} failed: {msg}")
+            continue
+    if result is None:
+        print(json.dumps({"metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0, "error": "all configs failed"}))
+        return
+    imgs_per_sec, batch_size, remat = result
+    per_chip = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
+        "value": round(per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / A100_ESTIMATE_IMGS_PER_SEC, 3),
+        "batch_size": batch_size,
+        "remat": remat,
+        "n_chips": n_chips,
+        "device": str(jax.devices()[0].device_kind),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,19 @@ mesh so the suite needs no TPU pod (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+# A sitecustomize pre-imports jax with the remote-TPU (axon) plugin before
+# this file runs, so env vars alone are too late.  Backends initialize
+# lazily, so jax.config.update still redirects everything to the virtual
+# 8-device CPU platform — tests must never touch the remote TPU.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402  (after XLA_FLAGS so the CPU backend sees it)
+
+jax.config.update("jax_platforms", "cpu")
+# the CPU backend's default matmul path splits f32 into bf16 passes; force
+# true fp32 so numeric-identity tests (merge-vs-apply etc.) are meaningful
+jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, \
+    "tests must run on the virtual 8-device CPU mesh"

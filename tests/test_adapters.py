@@ -1,0 +1,161 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from yat_tpu.adapters.builder import (
+    AdapterSpec,
+    build_adapter_params,
+    count_adapter_params,
+    merge_adapters,
+)
+from yat_tpu.models.layers import AdapterDense
+
+
+class TwoLayer(nn.Module):
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = AdapterDense(16, name="to_q")(x, deterministic=deterministic)
+        x = AdapterDense(8, name="other")(x, deterministic=deterministic)
+        return x
+
+
+@pytest.fixture(scope="module")
+def base():
+    m = TwoLayer()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 12)))
+    return m, params
+
+
+def _apply(m, params, adapters, meta, x):
+    variables = {"params": params["params"], "adapters": adapters,
+                 "adapters_meta": meta}
+    return m.apply(variables, x)
+
+
+class TestLoRA:
+    def test_targets_only_matched_modules(self, base):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=8,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        assert "to_q" in ad and "other" not in ad
+        assert ad["to_q"]["lora_a"].shape == (12, 4)
+        assert ad["to_q"]["lora_b"].shape == (4, 16)
+        assert float(meta["to_q"]["lora_scale"]) == pytest.approx(2.0)  # alpha/r
+
+    def test_zero_init_delta(self, base):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=8,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y0 = m.apply(params, x)
+        y1 = _apply(m, params, ad, meta, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def test_nonzero_after_b_update(self, base):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=4,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        ad["to_q"]["lora_b"] = jnp.ones((4, 16)) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y0 = m.apply(params, x)
+        y1 = _apply(m, params, ad, meta, x)
+        assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+    def test_merge_equals_apply(self, base):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=4,
+                                target_modules=["to_q", "other"]),
+            jax.random.PRNGKey(1))
+        ad["to_q"]["lora_b"] = jax.random.normal(jax.random.PRNGKey(3), (4, 16)) * 0.2
+        ad["other"]["lora_b"] = jax.random.normal(jax.random.PRNGKey(4), (4, 8)) * 0.2
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y_adapter = _apply(m, params, ad, meta, x)
+        merged = merge_adapters(params, ad, meta)
+        y_merged = m.apply(merged, x)
+        np.testing.assert_allclose(np.asarray(y_adapter), np.asarray(y_merged),
+                                   atol=1e-5)
+
+    def test_rslora_scale(self, base):
+        _, params = base
+        _, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=8, use_rslora=True,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        assert float(meta["to_q"]["lora_scale"]) == pytest.approx(8 / math.sqrt(4))
+
+    def test_dora_zero_init_is_identity(self, base):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=4, alpha=4, use_dora=True,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        # with B=0 the merged weight equals W and m = ||W||, so
+        # m * W/||W|| == W exactly
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y0 = m.apply(params, x)
+        y1 = _apply(m, params, ad, meta, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+class TestLoHaLoKrFourier:
+    @pytest.mark.parametrize("algo", ["loha", "lokr", "fourierft"])
+    def test_zero_init_delta(self, base, algo):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec(algo, rank=4, alpha=4,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y0 = m.apply(params, x)
+        y1 = _apply(m, params, ad, meta, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    @pytest.mark.parametrize("algo", ["loha", "lokr", "fourierft"])
+    def test_merge_equals_apply_after_perturbation(self, base, algo):
+        m, params = base
+        ad, meta = build_adapter_params(
+            params, AdapterSpec(algo, rank=4, alpha=4,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        # perturb the zero-initialised factor so the delta is non-zero
+        leaf = {"loha": "hada_w2_b", "lokr": "lokr_w2_b",
+                "fourierft": "fft_spectrum"}[algo]
+        ad["to_q"][leaf] = jax.random.normal(
+            jax.random.PRNGKey(5), ad["to_q"][leaf].shape) * 0.3
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12))
+        y_adapter = _apply(m, params, ad, meta, x)
+        y_base = m.apply(params, x)
+        assert not np.allclose(np.asarray(y_adapter), np.asarray(y_base))
+        merged = merge_adapters(params, ad, meta)
+        y_merged = m.apply(merged, x)
+        np.testing.assert_allclose(np.asarray(y_adapter), np.asarray(y_merged),
+                                   atol=1e-5)
+
+    def test_lokr_kron_shapes(self, base):
+        _, params = base
+        ad, _ = build_adapter_params(
+            params, AdapterSpec("lokr", rank=2, alpha=2,
+                                target_modules=["to_q"]), jax.random.PRNGKey(1))
+        w1 = ad["to_q"]["lokr_w1"]
+        w2a, w2b = ad["to_q"]["lokr_w2_a"], ad["to_q"]["lokr_w2_b"]
+        assert w1.shape[0] * w2a.shape[0] == 12
+        assert w1.shape[1] * w2b.shape[1] == 16
+
+
+def test_no_match_raises(base):
+    _, params = base
+    with pytest.raises(ValueError, match="matched nothing"):
+        build_adapter_params(params, AdapterSpec("lora", target_modules=["zzz"]),
+                             jax.random.PRNGKey(0))
+
+
+def test_count(base):
+    _, params = base
+    ad, _ = build_adapter_params(
+        params, AdapterSpec("lora", rank=4, target_modules=["to_q"]),
+        jax.random.PRNGKey(0))
+    assert count_adapter_params(ad) == 12 * 4 + 4 * 16

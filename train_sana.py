@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""SANA trainer CLI: ``python train_sana.py --config config.yaml``.
+
+CLI-surface parity with /root/reference/train_sana.py:221-237 (single
+--config flag; 'extract_features' in the YAML switches to the precompute
+phase)."""
+
+from yat_tpu.frontends.sana import main
+
+if __name__ == "__main__":
+    main()

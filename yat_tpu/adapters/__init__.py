@@ -1,0 +1,6 @@
+from yat_tpu.adapters.builder import (
+    AdapterSpec,
+    build_adapter_params,
+    count_adapter_params,
+    merge_adapters,
+)

@@ -1,0 +1,241 @@
+"""Adapter parameter trees: LoRA / LoHa / LoKr / DoRA / FourierFT.
+
+Instead of the reference's PEFT module wrapping
+(/root/reference/common/trainer.py:211-241), adapters here are *parameter
+trees* mirroring the base model's tree structure.  ``build_adapter_params``
+walks the base params, matches module paths against ``target_modules`` with
+PEFT's name-suffix semantics, and emits two collections:
+
+* ``adapters``       — trainable leaves,
+* ``adapters_meta``  — static scales / dropout rates / spectral indices.
+
+``yat_tpu.models.layers.AdapterDense`` consumes both at apply time with exact
+PEFT numerics (see its docstring).  ``merge_adapters`` folds the deltas into
+base weights for export/inference.
+
+Initialization parity with PEFT:
+  LoRA:  A ~ kaiming-uniform(a=sqrt(5)), B = 0, scale = alpha/r
+         (alpha/sqrt(r) under rslora); DoRA adds m = ||W||_col.
+  LoHa:  w1_a ~ normal(0.1), w1_b ~ kaiming, w2_a kaiming, w2_b = 0.
+  LoKr:  w1 ~ kaiming (full factor), w2_b = 0 so the initial delta is zero.
+  FourierFT: spectrum = 0 (zero delta), random-but-seeded frequency indices,
+         alpha from config (reference key fourierft_alpha,
+         training_parameters_reader.py:196).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class AdapterSpec:
+    algo: str                       # 'lora' | 'loha' | 'lokr' | 'fourierft'
+    rank: int = 8
+    alpha: float = 8.0
+    dropout: float = 0.0
+    target_modules: Sequence[str] = ()
+    use_dora: bool = False
+    use_rslora: bool = False
+    # fourierft
+    n_frequency: int = 1000
+    fourier_alpha: float = 0.01
+    # lokr: factorization split heuristic
+    lokr_factor: int = -1
+
+    @property
+    def scale(self) -> float:
+        if self.use_rslora:
+            return self.alpha / math.sqrt(self.rank)
+        return self.alpha / self.rank
+
+
+def _matches(path: Tuple[str, ...], targets: Sequence[str]) -> bool:
+    """PEFT-style matching: the module name equals a target, or the dotted
+    path ends with '.' + target."""
+    if not targets:
+        return False
+    name = path[-1]
+    dotted = ".".join(path)
+    for t in targets:
+        if name == t or dotted.endswith("." + t):
+            return True
+    return False
+
+
+def _kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch.nn.init.kaiming_uniform_(a=sqrt(5)) on an (in, out) kernel.
+
+    torch stores (out, in) and uses fan_in = in_features; bound =
+    sqrt(6 / ((1 + a^2) * fan_in)) = 1/sqrt(fan_in).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _factorize(n: int, factor: int = -1) -> Tuple[int, int]:
+    """LyCORIS LoKr dimension factorization: n = u * v with v the largest
+    divisor <= sqrt(n) (or <= factor if given), returned as (u, v)."""
+    if factor > 0 and n % factor == 0:
+        return n // factor, factor
+    limit = int(math.sqrt(n))
+    for v in range(limit, 0, -1):
+        if n % v == 0:
+            return n // v, v
+    return n, 1
+
+
+def _iter_kernels(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        path = prefix + (k,)
+        if isinstance(v, dict):
+            yield from _iter_kernels(v, path)
+        elif k == "kernel" and hasattr(v, "ndim") and v.ndim == 2:
+            yield prefix, v  # module path (without 'kernel'), kernel leaf
+
+
+def _set_path(tree: dict, path: Tuple[str, ...], leaf_dict: dict):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = leaf_dict
+
+
+def build_adapter_params(
+    base_params: Dict[str, Any],
+    spec: AdapterSpec,
+    rng: jax.Array,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Create (adapters, adapters_meta) trees for all matched modules."""
+    if spec.algo not in ("lora", "loha", "lokr", "fourierft"):
+        raise ValueError(f"unknown adapter algo {spec.algo!r}")
+
+    params = base_params.get("params", base_params)
+    adapters: dict = {}
+    meta: dict = {}
+    matched = 0
+
+    for path, kernel in _iter_kernels(params):
+        if not _matches(path, spec.target_modules):
+            continue
+        matched += 1
+        d_in, d_out = int(kernel.shape[0]), int(kernel.shape[1])
+        rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+
+        if spec.algo == "lora":
+            leaves = {
+                "lora_a": _kaiming_uniform(k1, (d_in, spec.rank)),
+                "lora_b": jnp.zeros((spec.rank, d_out), jnp.float32),
+            }
+            if spec.use_dora:
+                col_norm = jnp.linalg.norm(
+                    kernel.astype(jnp.float32), axis=0)
+                leaves["dora_m"] = col_norm
+            meta_leaves = {
+                "lora_scale": jnp.asarray(spec.scale, jnp.float32),
+                "lora_dropout": jnp.asarray(spec.dropout, jnp.float32),
+            }
+        elif spec.algo == "loha":
+            leaves = {
+                "hada_w1_a": jax.random.normal(k1, (d_in, spec.rank)) * 0.1,
+                "hada_w1_b": _kaiming_uniform(k2, (spec.rank, d_out)),
+                "hada_w2_a": _kaiming_uniform(k3, (d_in, spec.rank)),
+                "hada_w2_b": jnp.zeros((spec.rank, d_out), jnp.float32),
+            }
+            meta_leaves = {"scale": jnp.asarray(spec.scale, jnp.float32)}
+        elif spec.algo == "lokr":
+            u_in, v_in = _factorize(d_in, spec.lokr_factor)
+            u_out, v_out = _factorize(d_out, spec.lokr_factor)
+            leaves = {
+                # kron(w1 [u_in, u_out], w2 [v_in, v_out]) = [d_in, d_out]
+                "lokr_w1": _kaiming_uniform(k1, (u_in, u_out)),
+                "lokr_w2_a": _kaiming_uniform(k2, (v_in, spec.rank)),
+                "lokr_w2_b": jnp.zeros((spec.rank, v_out), jnp.float32),
+            }
+            meta_leaves = {"scale": jnp.asarray(spec.scale, jnp.float32)}
+        else:  # fourierft
+            n_freq = min(spec.n_frequency, d_in * d_out)
+            flat = jax.random.choice(
+                k1, d_in * d_out, shape=(n_freq,), replace=False)
+            indices = jnp.stack(
+                [flat // d_out, flat % d_out]).astype(jnp.int32)
+            leaves = {"fft_spectrum": jnp.zeros((n_freq,), jnp.float32)}
+            meta_leaves = {
+                "fft_indices": indices,
+                "fft_alpha": jnp.asarray(spec.fourier_alpha, jnp.float32),
+            }
+
+        _set_path(adapters, path, leaves)
+        _set_path(meta, path, meta_leaves)
+
+    if matched == 0:
+        raise ValueError(
+            f"target_modules {list(spec.target_modules)} matched nothing in "
+            "the base parameter tree")
+    return adapters, meta
+
+
+def count_adapter_params(adapters: Dict[str, Any]) -> int:
+    return sum(math.prod(x.shape) for x in jax.tree.leaves(adapters))
+
+
+def _delta_for(leaves: dict, meta_leaves: dict, kernel: jnp.ndarray) -> jnp.ndarray:
+    if "lora_a" in leaves:
+        delta = (leaves["lora_a"] @ leaves["lora_b"]) * meta_leaves["lora_scale"]
+        if "dora_m" in leaves:
+            merged = kernel.astype(jnp.float32) + delta
+            col = jnp.linalg.norm(merged, axis=0, keepdims=True)
+            return leaves["dora_m"][None, :] * merged / (col + 1e-8) - \
+                kernel.astype(jnp.float32)
+        return delta
+    if "hada_w1_a" in leaves:
+        return meta_leaves["scale"] * (
+            (leaves["hada_w1_a"] @ leaves["hada_w1_b"]) *
+            (leaves["hada_w2_a"] @ leaves["hada_w2_b"]))
+    if "lokr_w1" in leaves:
+        w2 = leaves["lokr_w2_a"] @ leaves["lokr_w2_b"]
+        return meta_leaves["scale"] * jnp.kron(leaves["lokr_w1"], w2)
+    if "fft_spectrum" in leaves:
+        d_in, d_out = kernel.shape
+        dense = jnp.zeros((d_in, d_out), jnp.float32)
+        dense = dense.at[meta_leaves["fft_indices"][0],
+                         meta_leaves["fft_indices"][1]].set(leaves["fft_spectrum"])
+        return meta_leaves["fft_alpha"] * jnp.fft.ifft2(dense, norm="ortho").real
+    raise ValueError(f"unrecognised adapter leaves: {list(leaves)}")
+
+
+def merge_adapters(base_params: Dict[str, Any], adapters: Dict[str, Any],
+                   meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold adapter deltas into base kernels (for export or fast inference)."""
+
+    def walk(base: dict, ad: Optional[dict], mt: Optional[dict]) -> dict:
+        out = {}
+        for k, v in base.items():
+            sub_ad = ad.get(k) if isinstance(ad, dict) else None
+            sub_mt = mt.get(k) if isinstance(mt, dict) else None
+            if isinstance(v, dict):
+                if sub_ad is not None and any(
+                        not isinstance(x, dict) for x in sub_ad.values()):
+                    # sub_ad holds adapter leaves for module k; merge kernel
+                    out[k] = dict(v)
+                    kernel = v["kernel"]
+                    delta = _delta_for(sub_ad, sub_mt, kernel)
+                    out[k]["kernel"] = (kernel.astype(jnp.float32) +
+                                        delta).astype(kernel.dtype)
+                else:
+                    out[k] = walk(v, sub_ad, sub_mt)
+            else:
+                out[k] = v
+        return out
+
+    has_params_key = "params" in base_params
+    params = base_params["params"] if has_params_key else base_params
+    merged = walk(params, adapters, meta)
+    return {"params": merged} if has_params_key else merged

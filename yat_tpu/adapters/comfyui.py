@@ -1,0 +1,94 @@
+"""Export SDXL LoRA adapters to ComfyUI/Kohya ``lora_unet_*`` naming.
+
+Functional parity with /root/reference/utils/convert_sdxl_peft_to_comfyui.py:
+diffusers-style block coordinates are remapped to LDM input/middle/output
+block indices (:16-76), lora_A/lora_B become lora_down/lora_up in torch
+[r, in]/[out, r] layout (:187-193), and a per-module ``alpha`` tensor is
+injected (:202-206).
+
+Input here is this framework's adapter tree over the flax SDXL UNet
+(yat_tpu/models/unet.py); module paths are translated:
+
+    down_{L}_attn_{J}.transformer_blocks_{T}.attn1.to_q
+        → lora_unet_input_blocks_{1+3L+J}_1_transformer_blocks_{T}_attn1_to_q
+    mid_attn.…      → lora_unet_middle_block_1_…
+    up_{L}_attn_{J}.… → lora_unet_output_blocks_{3(maxL-L)+J}_1_…
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+_DOWN = re.compile(r"^down_(\d+)_attn_(\d+)$")
+_UP = re.compile(r"^up_(\d+)_attn_(\d+)$")
+_LEAF_MAP = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+             "to_out": "to_out_0"}
+
+
+def _ldm_block_name(head: str, num_levels: int) -> str:
+    m = _DOWN.match(head)
+    if m:
+        level, j = int(m.group(1)), int(m.group(2))
+        return f"input_blocks_{1 + level * 3 + j}_1"
+    if head == "mid_attn":
+        return "middle_block_1"
+    m = _UP.match(head)
+    if m:
+        level, j = int(m.group(1)), int(m.group(2))
+        return f"output_blocks_{(num_levels - 1 - level) * 3 + j}_1"
+    raise KeyError(f"unrecognised attention block path head: {head}")
+
+
+def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def convert_sdxl_adapters_to_comfyui(
+    adapters: Dict[str, Any],
+    meta: Dict[str, Any],
+    lora_alpha: float,
+    num_levels: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Adapter tree → flat ComfyUI tensor dict (save with safetensors)."""
+    out: Dict[str, np.ndarray] = {}
+    modules_seen = set()
+    for path, leaf in _flatten(adapters):
+        *module_path, leaf_name = path
+        if leaf_name not in ("lora_a", "lora_b"):
+            continue
+        head = module_path[0]
+        ldm = _ldm_block_name(head, num_levels)
+        rest = [p if not p.startswith("transformer_blocks_") else
+                p.replace("transformer_blocks_", "transformer_blocks_")
+                for p in module_path[1:]]
+        tail = "_".join(_LEAF_MAP.get(p, p) for p in rest)
+        key_base = f"lora_unet_{ldm}_{tail}"
+        arr = np.asarray(leaf, np.float32)
+        if leaf_name == "lora_a":
+            # ours [in, r] → kohya lora_down [r, in]
+            out[f"{key_base}.lora_down.weight"] = np.ascontiguousarray(arr.T)
+        else:
+            # ours [r, out] → kohya lora_up [out, r]
+            out[f"{key_base}.lora_up.weight"] = np.ascontiguousarray(arr.T)
+        if key_base not in modules_seen:
+            out[f"{key_base}.alpha"] = np.asarray(lora_alpha, np.float32)
+            modules_seen.add(key_base)
+    return out
+
+
+def export_comfyui_safetensors(path: str, adapters: Dict[str, Any],
+                               meta: Dict[str, Any], lora_alpha: float,
+                               num_levels: int = 3) -> None:
+    from safetensors.numpy import save_file
+    tensors = convert_sdxl_adapters_to_comfyui(adapters, meta, lora_alpha,
+                                               num_levels)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(tensors, path)

@@ -1,0 +1,107 @@
+"""Adapter weight import/export: safetensors with PEFT-compatible naming.
+
+The reference saves adapters with PEFT ``save_pretrained`` to
+``models/{step}/adapter_model.safetensors`` (/root/reference/common/
+trainer.py:295-296) and resumes weights-only from ``lora_pretrained``
+(trainer.py:239-240).  Export here writes flat keys of the form
+
+    base_model.model.{dotted.module.path}.lora_A.weight   [r, in]   (torch layout)
+    base_model.model.{dotted.module.path}.lora_B.weight   [out, r]
+
+so PEFT/ComfyUI toolchains can consume them; import accepts both that naming
+and our native dotted tree naming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# our leaf name ↔ (peft suffix, transpose_needed)
+_PEFT_NAMES = {
+    "lora_a": ("lora_A.weight", True),
+    "lora_b": ("lora_B.weight", True),
+    "dora_m": ("lora_magnitude_vector.weight", False),
+    "hada_w1_a": ("hada_w1_a", True),
+    "hada_w1_b": ("hada_w1_b", True),
+    "hada_w2_a": ("hada_w2_a", True),
+    "hada_w2_b": ("hada_w2_b", True),
+    "lokr_w1": ("lokr_w1", True),
+    "lokr_w2_a": ("lokr_w2_a", True),
+    "lokr_w2_b": ("lokr_w2_b", True),
+    "fft_spectrum": ("fourierft_spectrum", False),
+}
+_PEFT_REVERSE = {v[0]: (k, v[1]) for k, v in _PEFT_NAMES.items()}
+
+
+def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def save_adapter_safetensors(path: str, adapters: Dict[str, Any],
+                             meta: Optional[Dict[str, Any]] = None) -> None:
+    from safetensors.numpy import save_file
+
+    tensors = {}
+    for path_keys, leaf in _flatten(adapters):
+        *module, leaf_name = path_keys
+        suffix, transpose = _PEFT_NAMES.get(leaf_name, (leaf_name, False))
+        arr = np.asarray(leaf)
+        if transpose and arr.ndim == 2:
+            arr = arr.T          # torch linear layout is [out, in]
+        key = "base_model.model." + ".".join(module) + "." + suffix
+        tensors[key] = np.ascontiguousarray(arr)
+    header = {}
+    if meta is not None:
+        scales = {".".join(p): float(v) for p, v in _flatten(meta)
+                  if np.asarray(v).ndim == 0}
+        header["yat_meta"] = json.dumps(scales)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(tensors, path, metadata=header or None)
+
+
+def load_adapter_safetensors(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
+    """Load adapter weights into the structure of ``like`` (same shapes)."""
+    from safetensors.numpy import load_file
+    if os.path.isdir(path):
+        path = os.path.join(path, "adapter_model.safetensors")
+    tensors = load_file(path)
+
+    out = {}
+    loaded = set()
+    for path_keys, leaf in _flatten(like):
+        *module, leaf_name = path_keys
+        suffix, transpose = _PEFT_NAMES.get(leaf_name, (leaf_name, False))
+        dotted = ".".join(module)
+        candidates = [
+            f"base_model.model.{dotted}.{suffix}",
+            f"{dotted}.{leaf_name}",
+            f"{dotted}.{suffix}",
+        ]
+        arr = None
+        for c in candidates:
+            if c in tensors:
+                arr = tensors[c]
+                if transpose and arr.ndim == 2:
+                    arr = arr.T
+                loaded.add(c)
+                break
+        if arr is None:
+            raise KeyError(
+                f"adapter file {path} missing weight for {dotted}.{leaf_name}")
+        if tuple(arr.shape) != tuple(np.asarray(leaf).shape):
+            raise ValueError(
+                f"shape mismatch for {dotted}.{leaf_name}: file "
+                f"{arr.shape} vs expected {np.asarray(leaf).shape}")
+        node = out
+        for k in path_keys[:-1]:
+            node = node.setdefault(k, {})
+        node[path_keys[-1]] = np.asarray(arr, np.float32)
+    return out

@@ -1,0 +1,385 @@
+"""Streaming aspect-ratio bucket samplers.
+
+Rebuild of /root/reference/common/bucket_sampler.py with the TPU-shaped fixes
+SURVEY.md §5/§7 calls for:
+
+* **No per-sample collectives.**  The reference gathers per-bucket counts
+  over NCCL after *every decoded sample* (bucket_sampler.py:225-237).  Here
+  bucket selection is purely local + deterministic; cross-host agreement is
+  achieved by giving every host the same shard *order* (seeded) and draining
+  buckets in canonical key order whenever one fills.  A pluggable
+  ``sync_hook`` exists for windowed multi-host reconciliation.
+* **Static shapes per bucket.**  Batches arrive padded to
+  (batch_size, bucket_h, bucket_w) latents and (batch_size, max_caption_len)
+  embeddings + mask, so XLA compiles one program per bucket.
+* **Background prefetch** via a daemon thread and a bounded queue (depth 4,
+  bucket_sampler.py:99 parity), local paths or presigned-URL downloads.
+
+Three samplers mirror the reference's three:
+  FeatureBucketSampler   — pre-extracted {ratio, latent, emb} shards
+                           (BucketSampler, :42-274)
+  ImageBucketSampler     — raw {jpg/png, txt} shards, yields decoded +
+                           resized image batches for on-the-fly encoding
+                           (BucketSamplerExtractFeatures, :276-398)
+  DreamboothSampler      — instance/regularization alternation
+                           (BucketSamplerDreambooth, :400-556)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import queue
+import random
+import threading
+from collections import deque
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yat_tpu.data.bins import find_closest_ratio
+from yat_tpu.data.tar import IMAGE_EXTS, iter_tar_samples
+
+
+@dataclasses.dataclass
+class Batch:
+    """Mirror of the reference Batch record (bucket_sampler.py:32-39)."""
+
+    ratio: str
+    latents: Optional[np.ndarray] = None          # [B, H, W, C]
+    images: Optional[np.ndarray] = None           # [B, H, W, 3] in [-1, 1]
+    captions: Optional[List[str]] = None
+    embeddings: Optional[np.ndarray] = None       # [B, L, D]
+    text_mask: Optional[np.ndarray] = None        # [B, L]
+    repa_features: Optional[np.ndarray] = None    # [B, 256, 768]
+    repa_spatial_dims: Optional[Tuple[int, int]] = None
+    proj_spatial_dims: Optional[Tuple[int, int]] = None
+    is_regularization: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Shard sources
+# ---------------------------------------------------------------------------
+
+class LocalShardSource:
+    """Cycle over local TAR paths, shuffled per epoch from a seed
+    (bucket_sampler.py:81-90 local_file_getter, made deterministic)."""
+
+    def __init__(self, paths: Sequence[str], seed: int = 0):
+        if not paths:
+            raise ValueError("no shard paths given")
+        self.paths = list(paths)
+        self.rng = random.Random(seed)
+
+    def __iter__(self) -> Iterator[str]:
+        while True:
+            order = list(self.paths)
+            self.rng.shuffle(order)
+            for p in order:
+                if os.path.exists(p):
+                    yield p
+
+
+class RemoteShardSource:
+    """Background-download presigned-URL shards with a bounded prefetch
+    queue (bucket_sampler.py:92-126 parity, thread not process: the work is
+    network-bound and numpy decode releases the GIL)."""
+
+    def __init__(self, shards: Sequence[str], features_path: str,
+                 r2_access_key: str, r2_secret_key: str, r2_endpoint: str,
+                 r2_bucket_name: str, seed: int = 0,
+                 local_temp_dir: str = "temp", queue_depth: int = 4,
+                 process_index: int = 0):
+        from yat_tpu.data.r2 import R2Client
+        self.shards = list(shards)
+        self.features_path = features_path
+        self.client = R2Client(r2_access_key, r2_secret_key, r2_endpoint)
+        self.bucket = r2_bucket_name
+        self.temp = local_temp_dir
+        self.rng = random.Random(seed + process_index)
+        self.q: "queue.Queue[str]" = queue.Queue(maxsize=queue_depth)
+        self.process_index = process_index
+        self._started = False
+        self._stop = threading.Event()
+
+    def _worker(self):
+        from yat_tpu.data.r2 import download_tar
+        os.makedirs(self.temp, exist_ok=True)
+        item = 0
+        while not self._stop.is_set():
+            name = self.shards[self.rng.randrange(len(self.shards))]
+            key = f"{self.features_path}/{name}" if self.features_path else name
+            url = self.client.presign_get(self.bucket, key)
+            path = os.path.join(self.temp,
+                                f"shard_{self.process_index}_{item}.tar")
+            try:
+                download_tar(url, path)
+            except Exception as e:  # noqa: BLE001 — skip to next shard (:108-113)
+                print(f"[sampler] shard download failed, skipping: {e}")
+                continue
+            self.q.put(path)
+            item += 1
+
+    def __iter__(self) -> Iterator[str]:
+        if not self._started:
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._started = True
+        while True:
+            path = self.q.get()
+            yield path
+            # consumed: delete the local copy (bucket_sampler.py:164-167)
+            if os.path.exists(path):
+                os.remove(path)
+
+    def stop(self):
+        self._stop.set()
+
+
+# ---------------------------------------------------------------------------
+# Embedding padding (static shapes)
+# ---------------------------------------------------------------------------
+
+def pad_embeddings(embs: Sequence[np.ndarray], max_len: int,
+                   dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Variable-length [L_i, D] embeddings → ([B, max_len, D], [B, max_len])
+    mask.  Parity with train_sana.py:167-175 (pad + binary mask)."""
+    b = len(embs)
+    d = embs[0].shape[-1]
+    out = np.zeros((b, max_len, d), dtype=dtype)
+    mask = np.zeros((b, max_len), dtype=np.int32)
+    for i, e in enumerate(embs):
+        e = np.asarray(e)
+        if e.ndim == 3:   # [1, L, D] squeeze
+            e = e[0]
+        n = min(e.shape[0], max_len)
+        out[i, :n] = e[:n]
+        mask[i, :n] = 1
+    return out, mask
+
+
+def _chw_to_hwc(x: np.ndarray) -> np.ndarray:
+    """Accept reference-produced [C,H,W] latents; ours are already [H,W,C]."""
+    if x.ndim == 3 and x.shape[0] <= 64 and x.shape[0] < x.shape[-1]:
+        return np.transpose(x, (1, 2, 0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+class FeatureBucketSampler:
+    """Pre-extracted feature shards → device-ready batches.
+
+    Each sample carries its bucket key in the ``ratio`` field
+    (features_extractor.py:82-89 format).  Buckets drain in canonical key
+    order the moment one holds ``batch_size`` items, deterministically from
+    the shard order alone — the cross-rank count gather of
+    bucket_sampler.py:225-237 is designed out.
+    """
+
+    def __init__(self, shard_source, batch_size: int, max_caption_len: int,
+                 shuffle_buffer: int = 1000, seed: int = 0,
+                 sync_hook: Optional[Callable[[Dict[str, int]], None]] = None,
+                 latent_dtype=np.float32):
+        self.source = shard_source
+        self.batch_size = batch_size
+        self.max_caption_len = max_caption_len
+        self.buckets: Dict[str, deque] = {}
+        self.shuffle_buffer = shuffle_buffer
+        self.rng = random.Random(seed)
+        self.sync_hook = sync_hook
+        self.latent_dtype = latent_dtype
+
+    def _emit(self, key: str) -> Batch:
+        items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
+        latents = np.stack([_chw_to_hwc(np.asarray(l, self.latent_dtype))
+                            for l, _ in items])
+        embs, mask = pad_embeddings([e for _, e in items],
+                                    self.max_caption_len)
+        return Batch(ratio=key, latents=latents, embeddings=embs,
+                     text_mask=mask)
+
+    def __iter__(self) -> Iterator[Batch]:
+        buf: List[Tuple[str, Any, Any]] = []
+        for shard_path in self.source:
+            for elem in iter_tar_samples(shard_path):
+                if "ratio" not in elem:
+                    continue
+                latent = elem.get("latent.npy", elem.get("latent.pt"))
+                emb = elem.get("emb.npy", elem.get("emb.pt"))
+                if latent is None or emb is None:
+                    continue
+                # bounded shuffle (reference .shuffle(1000), :218)
+                buf.append((str(elem["ratio"]), latent, emb))
+                if len(buf) < self.shuffle_buffer:
+                    continue
+                idx = self.rng.randrange(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield from self._ingest(*buf.pop())
+        while buf:
+            yield from self._ingest(*buf.pop())
+
+    def _ingest(self, key: str, latent, emb) -> Iterator[Batch]:
+        self.buckets.setdefault(key, deque()).append((latent, emb))
+        ready = sorted(k for k, v in self.buckets.items()
+                       if len(v) >= self.batch_size)
+        if self.sync_hook is not None and ready:
+            self.sync_hook({k: len(self.buckets[k]) for k in ready})
+        for k in ready:
+            yield self._emit(k)
+
+
+class ImageBucketSampler:
+    """Raw {jpg/jpeg/png/webp, txt} shards → resized, normalized image
+    batches + captions per bucket (BucketSamplerExtractFeatures parity,
+    bucket_sampler.py:324-398).  Feature extraction (VAE/TE/DINO) is the
+    encoder pipeline's job; this yields pixels in [-1, 1] NHWC.
+    """
+
+    def __init__(self, shard_source, batch_size: int,
+                 aspect_ratios: Dict[str, Tuple[int, int]],
+                 seed: int = 0, shuffle_buffer: int = 256,
+                 caption_fn: Optional[Callable[[dict], str]] = None):
+        self.source = shard_source
+        self.batch_size = batch_size
+        self.aspect_ratios = aspect_ratios
+        self.buckets: Dict[str, deque] = {}
+        self.rng = random.Random(seed)
+        self.shuffle_buffer = shuffle_buffer
+        self.caption_fn = caption_fn
+
+    @staticmethod
+    def decode_image(data: bytes) -> Optional[np.ndarray]:
+        """JPEG/PNG/WebP bytes → RGB uint8 HWC (cv2, libjpeg-turbo-backed;
+        tolerant of truncation like PIL LOAD_TRUNCATED_IMAGES,
+        bucket_sampler.py:26)."""
+        import cv2
+        arr = np.frombuffer(data, np.uint8)
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def resize_normalize(self, img: np.ndarray, key: str) -> np.ndarray:
+        """Resize to the bucket size, scale to [-1, 1]
+        (transforms.Normalize(0.5, 0.5) parity, bucket_sampler.py:390-398)."""
+        import cv2
+        th, tw = self.aspect_ratios[key]
+        interp = cv2.INTER_AREA if (img.shape[0] > th) else cv2.INTER_LINEAR
+        img = cv2.resize(img, (int(tw), int(th)), interpolation=interp)
+        return img.astype(np.float32) / 127.5 - 1.0
+
+    def _caption_of(self, elem: dict) -> Optional[str]:
+        if self.caption_fn is not None:
+            return self.caption_fn(elem)
+        return elem.get("txt")
+
+    def _emit(self, key: str) -> Batch:
+        items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
+        images = np.stack([self.resize_normalize(im, key)
+                           for im, _ in items])
+        captions = [c for _, c in items]
+        return Batch(ratio=key, images=images, captions=captions)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for shard_path in self.source:
+            for elem in iter_tar_samples(shard_path):
+                img_bytes = next((elem[e] for e in IMAGE_EXTS if e in elem),
+                                 None)
+                caption = self._caption_of(elem)
+                if img_bytes is None or caption is None:
+                    continue
+                img = self.decode_image(img_bytes)
+                if img is None:
+                    continue
+                ratio = img.shape[0] / img.shape[1]       # h/w (:333-335)
+                key = find_closest_ratio(ratio, self.aspect_ratios)
+                self.buckets.setdefault(key, deque()).append((img, caption))
+                for k in sorted(k for k, v in self.buckets.items()
+                                if len(v) >= self.batch_size):
+                    yield self._emit(k)
+
+
+class DreamboothSampler(ImageBucketSampler):
+    """Alternate instance-folder passes with regularization passes
+    (BucketSamplerDreambooth, bucket_sampler.py:400-556).
+
+    Instance images caption as '<instance> <class>'; regularization images
+    caption as '<class>' unless they carry their own txt (:504-517).
+    """
+
+    def __init__(self, instance_folder: str, regularization_folder: Optional[str],
+                 instance: str, class_name: str, num_repeats: int,
+                 batch_size: int, aspect_ratios: Dict[str, Tuple[int, int]],
+                 num_regularisation_passes: int = 1, seed: int = 0,
+                 reg_shard_source=None):
+        super().__init__(shard_source=None, batch_size=batch_size,
+                         aspect_ratios=aspect_ratios, seed=seed)
+        self.instance_folder = instance_folder
+        self.regularization_folder = regularization_folder
+        self.instance = instance
+        self.class_name = class_name
+        self.num_repeats = num_repeats
+        self.num_reg_passes = num_regularisation_passes
+        self.reg_shard_source = iter(reg_shard_source) if reg_shard_source else None
+
+    def _iter_folder(self, folder: str) -> Iterator[Tuple[np.ndarray, Optional[str]]]:
+        names = sorted(os.listdir(folder))
+        self.rng.shuffle(names)
+        for name in names:
+            if not name.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                continue
+            with open(os.path.join(folder, name), "rb") as f:
+                img = self.decode_image(f.read())
+            if img is None:
+                continue
+            cap_path = os.path.splitext(os.path.join(folder, name))[0] + ".txt"
+            caption = None
+            if os.path.exists(cap_path):
+                with open(cap_path) as f:
+                    caption = f.read().strip()
+            yield img, caption
+
+    def _drain(self, is_reg: bool) -> Iterator[Batch]:
+        for k in sorted(k for k, v in self.buckets.items()
+                        if len(v) >= self.batch_size):
+            b = self._emit(k)
+            b.is_regularization = is_reg
+            yield b
+
+    def _ingest_image(self, img, caption, default_caption):
+        ratio = img.shape[0] / img.shape[1]
+        key = find_closest_ratio(ratio, self.aspect_ratios)
+        self.buckets.setdefault(key, deque()).append(
+            (img, caption or default_caption))
+
+    def __iter__(self) -> Iterator[Batch]:
+        instance_caption = f"{self.instance} {self.class_name}"
+        while True:
+            for _ in range(self.num_repeats):
+                for img, cap in self._iter_folder(self.instance_folder):
+                    self._ingest_image(img, cap, instance_caption)
+                    yield from self._drain(False)
+            self.buckets.clear()
+            for _ in range(self.num_reg_passes):
+                if self.reg_shard_source is not None:
+                    shard = next(self.reg_shard_source)
+                    for elem in iter_tar_samples(shard):
+                        data = next((elem[e] for e in IMAGE_EXTS if e in elem),
+                                    None)
+                        if data is None:
+                            continue
+                        img = self.decode_image(data)
+                        if img is None:
+                            continue
+                        self._ingest_image(img, elem.get("txt"),
+                                           self.class_name)
+                        yield from self._drain(True)
+                elif self.regularization_folder:
+                    for img, cap in self._iter_folder(self.regularization_folder):
+                        self._ingest_image(img, cap, self.class_name)
+                        yield from self._drain(True)
+            self.buckets.clear()

@@ -1,0 +1,143 @@
+"""SANA frontend: wires config → model/schedule/sampler/trainer.
+
+CLI parity with ``python train_sana.py --config config.yaml``
+(/root/reference/train_sana.py:221-237).  Training semantics matched:
+flow matching with shifted sigmas, logit-normal timesteps, embeddings padded
+to 512 with mask (here in the data plane so shapes stay static), MSE in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.bins import bin_for_resolution
+from yat_tpu.data.sampler import FeatureBucketSampler, LocalShardSource, RemoteShardSource
+from yat_tpu.models.sana import SANA_600M, SANA_1600M, SanaConfig, SanaTransformer2D
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_flow_matching_loss, make_preservation_loss
+
+PRESETS = {"600M": SANA_600M, "1600M": SANA_1600M}
+
+
+def build_sana_config(params: TrainingParameters) -> SanaConfig:
+    cfg = SANA_600M
+    over = dict(params.model_config_overrides)
+    preset = over.pop("preset", None)
+    if preset:
+        cfg = PRESETS[preset]
+    # a local diffusers-format transformer config maps onto our fields
+    if params.pretrained_model_path:
+        cfg_path = os.path.join(params.pretrained_model_path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                dj = json.load(f)
+            cfg = SanaConfig(
+                in_channels=dj.get("in_channels", cfg.in_channels),
+                out_channels=dj.get("out_channels", cfg.out_channels),
+                hidden_dim=dj.get("num_attention_heads", cfg.num_attention_heads)
+                * dj.get("attention_head_dim", cfg.attention_head_dim),
+                num_layers=dj.get("num_layers", cfg.num_layers),
+                num_attention_heads=dj.get("num_attention_heads",
+                                           cfg.num_attention_heads),
+                attention_head_dim=dj.get("attention_head_dim",
+                                          cfg.attention_head_dim),
+                num_cross_attention_heads=dj.get("num_cross_attention_heads",
+                                                 cfg.num_cross_attention_heads),
+                cross_attention_head_dim=dj.get("cross_attention_head_dim",
+                                                cfg.cross_attention_head_dim),
+                caption_channels=dj.get("caption_channels",
+                                        cfg.caption_channels),
+                mlp_ratio=dj.get("mlp_ratio", cfg.mlp_ratio),
+                patch_size=dj.get("patch_size", cfg.patch_size),
+                sample_size=dj.get("sample_size", cfg.sample_size),
+            )
+    if over:
+        cfg = dataclasses.replace(
+            cfg, **{k: type(getattr(cfg, k))(v) for k, v in over.items()})
+    return cfg
+
+
+def build_sampler(params: TrainingParameters, cfg: SanaConfig):
+    """Feature-shard streaming (the compute_features=False path the
+    reference broke, SURVEY §2d — here it is first-class)."""
+    if params.local_shard_paths:
+        source = LocalShardSource(params.local_shard_paths,
+                                  seed=params.dataset_seed)
+    elif params.r2_endpoint:
+        num = params.num_shards or 1
+        # per-host shard range (trainer.py:66-84 parity)
+        pi, np_ = jax.process_index(), jax.process_count()
+        per = max(1, num // np_)
+        begin = pi * per
+        end = num if pi == np_ - 1 else begin + per
+        shards = [f"shard-{i:06d}.tar" for i in range(begin, end)]
+        source = RemoteShardSource(
+            shards, params.r2_dataset_folder or "",
+            params.r2_access_key, params.r2_secret_key,
+            params.r2_endpoint, params.r2_bucket_name,
+            seed=params.dataset_seed, process_index=pi)
+    else:
+        raise ValueError("need local_shard_paths or R2 credentials")
+    return FeatureBucketSampler(
+        source, params.batch_size, cfg.max_caption_len,
+        seed=params.dataset_seed)
+
+
+def make_trainer(params: TrainingParameters,
+                 sampler=None, init_variables=None) -> Trainer:
+    cfg = build_sana_config(params)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = SanaTransformer2D(cfg=cfg, dtype=dtype,
+                              gradient_checkpointing=params.low_vram)
+    schedule = FlowMatchSchedule(shift=3.0)
+    loss = make_flow_matching_loss(
+        model, schedule, timestep_list=params.timesteps or None)
+    pres = make_preservation_loss(model, schedule, is_flow=True) \
+        if params.use_preservation else None
+
+    if sampler is None and (params.local_shard_paths or params.r2_endpoint):
+        sampler = build_sampler(params, cfg)
+
+    if init_variables is None:
+        lat_hw = cfg.sample_size
+        example = {
+            "latents": jnp.zeros((1, lat_hw, lat_hw, cfg.in_channels), dtype),
+            "embeddings": jnp.zeros((1, cfg.max_caption_len,
+                                     cfg.caption_channels), dtype),
+            "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
+        }
+    else:
+        example = None
+
+    trainer = Trainer(
+        params, model, loss, sampler=sampler, preservation_loss=pres,
+        init_variables=init_variables, example_batch=example)
+    trainer.sana_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    from yat_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, type=str)
+    args = p.parse_args(argv)
+    params = TrainingParameters.read_yaml(args.config)
+    trainer = make_trainer(params)
+    if params.extract_features:
+        from yat_tpu.train.extract import run_feature_extraction
+        run_feature_extraction(trainer)
+    else:
+        trainer.run()

@@ -1,0 +1,245 @@
+"""Torch checkpoint → flax param tree converters.
+
+The reference loads every model from HF-format torch checkpoints via
+diffusers/transformers ``from_pretrained`` (/root/reference/train_sana.py:
+20-39, train_sd15.py:19-28 single-file CompVis included).  These converters
+map those state dicts onto this framework's trees so a reference user can
+bring their checkpoints across.
+
+Layout rules: torch ``Linear.weight`` is [out, in] → flax kernel [in, out]
+(transpose); ``Conv2d.weight`` [out, in, kh, kw] → flax [kh, kw, in, out];
+norm ``weight``/``bias`` → ``scale``/``bias``; Gemma RMSNorm stores w with
+``y = x * (1 + w)`` so +1 is folded in here.
+
+Offline-testable parity: tiny torch CLIP/T5/Gemma2 models from the installed
+``transformers`` are converted and checked against our flax forwards in
+tests/test_convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load .safetensors or .pt/.bin/.ckpt into numpy arrays."""
+    if os.path.isdir(path):
+        for name in ("diffusion_pytorch_model.safetensors",
+                     "model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _set(tree: dict, dotted: str, value: np.ndarray):
+    keys = dotted.split(".")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _linear(sd, torch_prefix, tree, flax_prefix, bias=True):
+    _set(tree, f"{flax_prefix}.kernel", np.ascontiguousarray(
+        sd[f"{torch_prefix}.weight"].T))
+    if bias and f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{flax_prefix}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def _norm(sd, torch_prefix, tree, flax_prefix, plus_one=False):
+    w = sd[f"{torch_prefix}.weight"]
+    _set(tree, f"{flax_prefix}.scale", w + 1.0 if plus_one else w)
+    if f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{flax_prefix}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def _conv(sd, torch_prefix, tree, flax_prefix):
+    w = sd[f"{torch_prefix}.weight"]           # [out, in, kh, kw]
+    _set(tree, f"{flax_prefix}.kernel",
+         np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))))
+    if f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{flax_prefix}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def _embed(sd, torch_prefix, tree, flax_prefix):
+    _set(tree, f"{flax_prefix}.embedding", sd[f"{torch_prefix}.weight"])
+
+
+# ---------------------------------------------------------------------------
+# CLIP text model (transformers CLIPTextModel / CLIPTextModelWithProjection)
+# ---------------------------------------------------------------------------
+
+def convert_clip_text(sd: Dict[str, np.ndarray],
+                      num_layers: int) -> Dict[str, Any]:
+    t = "text_model."
+    if not any(k.startswith(t) for k in sd):
+        t = ""
+    tree: dict = {}
+    _embed(sd, f"{t}embeddings.token_embedding", tree, "token_embedding")
+    tree["position_embedding"] = sd[f"{t}embeddings.position_embedding.weight"]
+    for i in range(num_layers):
+        p = f"{t}encoder.layers.{i}"
+        q = f"layers_{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, f"{p}.self_attn.{name}", tree, f"{q}.{name}")
+        _norm(sd, f"{p}.layer_norm1", tree, f"{q}.layer_norm1")
+        _norm(sd, f"{p}.layer_norm2", tree, f"{q}.layer_norm2")
+        _linear(sd, f"{p}.mlp.fc1", tree, f"{q}.fc1")
+        _linear(sd, f"{p}.mlp.fc2", tree, f"{q}.fc2")
+    _norm(sd, f"{t}final_layer_norm", tree, "final_layer_norm")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (transformers T5EncoderModel)
+# ---------------------------------------------------------------------------
+
+def convert_t5_encoder(sd: Dict[str, np.ndarray],
+                       num_layers: int) -> Dict[str, Any]:
+    tree: dict = {}
+    emb_key = "shared.weight" if "shared.weight" in sd else \
+        "encoder.embed_tokens.weight"
+    tree["token_embedding"] = {"embedding": sd[emb_key]}
+    tree["relative_attention_bias"] = sd[
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    for i in range(num_layers):
+        p = f"encoder.block.{i}"
+        q = f"layers_{i}"
+        for name in ("q", "k", "v", "o"):
+            _linear(sd, f"{p}.layer.0.SelfAttention.{name}", tree,
+                    f"{q}.{name}", bias=False)
+        _norm(sd, f"{p}.layer.0.layer_norm", tree, f"{q}.norm1")
+        _linear(sd, f"{p}.layer.1.DenseReluDense.wi_0", tree, f"{q}.wi_0",
+                bias=False)
+        _linear(sd, f"{p}.layer.1.DenseReluDense.wi_1", tree, f"{q}.wi_1",
+                bias=False)
+        _linear(sd, f"{p}.layer.1.DenseReluDense.wo", tree, f"{q}.wo",
+                bias=False)
+        _norm(sd, f"{p}.layer.1.layer_norm", tree, f"{q}.norm2")
+    _norm(sd, "encoder.final_layer_norm", tree, "final_norm")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Gemma-2 (transformers Gemma2Model)
+# ---------------------------------------------------------------------------
+
+def convert_gemma2(sd: Dict[str, np.ndarray],
+                   num_layers: int) -> Dict[str, Any]:
+    t = "model." if any(k.startswith("model.") for k in sd) else ""
+    tree: dict = {}
+    _embed(sd, f"{t}embed_tokens", tree, "token_embedding")
+    for i in range(num_layers):
+        p = f"{t}layers.{i}"
+        q = f"layers_{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            _linear(sd, f"{p}.self_attn.{name}", tree, f"{q}.{name}",
+                    bias=False)
+        _norm(sd, f"{p}.input_layernorm", tree, f"{q}.input_norm",
+              plus_one=True)
+        _norm(sd, f"{p}.post_attention_layernorm", tree,
+              f"{q}.post_attn_norm", plus_one=True)
+        _norm(sd, f"{p}.pre_feedforward_layernorm", tree,
+              f"{q}.pre_ffn_norm", plus_one=True)
+        _norm(sd, f"{p}.post_feedforward_layernorm", tree,
+              f"{q}.post_ffn_norm", plus_one=True)
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            _linear(sd, f"{p}.mlp.{name}", tree, f"{q}.{name}", bias=False)
+    _norm(sd, f"{t}norm", tree, "final_norm", plus_one=True)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# SANA transformer (diffusers SanaTransformer2DModel)
+# ---------------------------------------------------------------------------
+
+def convert_sana(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
+    tree: dict = {}
+    _linear(sd, "patch_embed.proj", tree, "patch_embed.proj") \
+        if "patch_embed.proj.weight" in sd and sd["patch_embed.proj.weight"].ndim == 2 \
+        else _conv_as_linear(sd, "patch_embed.proj", tree, "patch_embed.proj")
+    _linear(sd, "time_embed.emb.timestep_embedder.linear_1", tree,
+            "time_embed.linear_1")
+    _linear(sd, "time_embed.emb.timestep_embedder.linear_2", tree,
+            "time_embed.linear_2")
+    _linear(sd, "time_embed.linear", tree, "time_proj")
+    _linear(sd, "caption_projection.linear_1", tree, "caption_projection") \
+        if "caption_projection.linear_1.weight" in sd else \
+        _linear(sd, "caption_projection", tree, "caption_projection")
+    if "caption_norm.weight" in sd:
+        _norm(sd, "caption_norm", tree, "caption_norm")
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}"
+        q = f"blocks_{i}"
+        for a, b in (("attn1", "attn1"), ("attn2", "attn2")):
+            for name in ("to_q", "to_k", "to_v"):
+                _linear(sd, f"{p}.{a}.{name}", tree, f"{q}.{b}.{name}")
+            _linear(sd, f"{p}.{a}.to_out.0", tree, f"{q}.{b}.to_out")
+            if f"{p}.{a}.norm_q.weight" in sd:
+                _norm(sd, f"{p}.{a}.norm_q", tree, f"{q}.{b}.norm_q")
+                _norm(sd, f"{p}.{a}.norm_k", tree, f"{q}.{b}.norm_k")
+        _linear(sd, f"{p}.ff.conv_inverted", tree, f"{q}.ff.conv_inverted") \
+            if sd.get(f"{p}.ff.conv_inverted.weight", np.zeros(2)).ndim == 2 \
+            else _conv(sd, f"{p}.ff.conv_inverted", tree, f"{q}.ff.conv_inverted")
+        _conv(sd, f"{p}.ff.conv_depth", tree, f"{q}.ff.conv_depth")
+        _linear(sd, f"{p}.ff.conv_point", tree, f"{q}.ff.conv_point",
+                bias=False) \
+            if sd.get(f"{p}.ff.conv_point.weight", np.zeros(2)).ndim == 2 \
+            else _conv(sd, f"{p}.ff.conv_point", tree, f"{q}.ff.conv_point")
+        if f"{p}.scale_shift_table" in sd:
+            # per-block tables exist in some variants; ours is shared — skip
+            pass
+    if "scale_shift_table" in sd:
+        tree["scale_shift_table"] = sd["scale_shift_table"]
+    if "proj_out.weight" in sd:
+        _linear(sd, "proj_out", tree, "proj_out")
+    return tree
+
+
+def _conv_as_linear(sd, torch_prefix, tree, flax_prefix):
+    """1x1 Conv2d checkpoint → our Dense (patch_size=1 patch embed)."""
+    w = sd[f"{torch_prefix}.weight"]           # [out, in, 1, 1]
+    _set(tree, f"{flax_prefix}.kernel",
+         np.ascontiguousarray(w[:, :, 0, 0].T))
+    if f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{flax_prefix}.bias", sd[f"{torch_prefix}.bias"])
+
+
+def merge_into(base: Dict[str, Any], converted: Dict[str, Any],
+               strict: bool = True) -> Dict[str, Any]:
+    """Overlay converted leaves onto an init tree (shape-checked)."""
+
+    def walk(b, c, path=""):
+        out = {}
+        for k, v in b.items():
+            name = f"{path}.{k}" if path else k
+            if k in c:
+                if isinstance(v, dict):
+                    out[k] = walk(v, c[k], name)
+                else:
+                    arr = np.asarray(c[k])
+                    if tuple(arr.shape) != tuple(np.asarray(v).shape):
+                        raise ValueError(
+                            f"shape mismatch at {name}: checkpoint "
+                            f"{arr.shape} vs model {np.asarray(v).shape}")
+                    out[k] = arr.astype(np.asarray(v).dtype)
+            else:
+                if strict and not isinstance(v, dict):
+                    raise KeyError(f"checkpoint missing parameter {name}")
+                out[k] = v
+        return out
+
+    return walk(base, converted)

@@ -1,0 +1,136 @@
+"""DINOv2 ViT-B/14 image encoder (frozen) for REPA alignment targets.
+
+The reference loads DINOv2 from torch.hub and extracts
+``x_norm_patchtokens`` [B, 256, 768] from 224x224 bicubic-resized,
+ImageNet-normalized images (/root/reference/common/bucket_sampler.py:130-136,
+363-388).  This is the flax equivalent: standard pre-LN ViT with patch-14
+conv embedding, cls token, LayerScale, and the patch-token output taken
+after the final norm (cls dropped).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import AdapterDense, LayerNorm
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    patch_size: int = 14
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    image_size: int = 224
+    layerscale_init: float = 1e-5
+
+
+DINOV2_VITB14 = DinoV2Config()
+DINOV2_TINY_TEST = DinoV2Config(patch_size=14, hidden_dim=32, num_layers=2,
+                                num_heads=2, image_size=28)
+
+
+class DinoBlock(nn.Module):
+    cfg: DinoV2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        d = c.hidden_dim
+        ls1 = self.param("ls1", nn.initializers.constant(c.layerscale_init),
+                         (d,), jnp.float32)
+        ls2 = self.param("ls2", nn.initializers.constant(c.layerscale_init),
+                         (d,), jnp.float32)
+        h = LayerNorm(name="norm1")(x)
+        b, n, _ = h.shape
+        hd = d // c.num_heads
+        q = AdapterDense(d, name="q")(h).reshape(b, n, c.num_heads, hd)
+        k = AdapterDense(d, name="k")(h).reshape(b, n, c.num_heads, hd)
+        v = AdapterDense(d, name="v")(h).reshape(b, n, c.num_heads, hd)
+        attn = jax.nn.dot_product_attention(q, k, v).reshape(b, n, d)
+        x = x + ls1 * AdapterDense(d, name="proj")(attn)
+        h = LayerNorm(name="norm2")(x)
+        h = AdapterDense(int(d * c.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = AdapterDense(d, name="fc2")(h)
+        return x + ls2 * h
+
+
+class DinoV2(nn.Module):
+    cfg: DinoV2Config = DINOV2_VITB14
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images [B, 224, 224, 3], ImageNet-normalized →
+        x_norm_patchtokens [B, 256, 768]."""
+        c = self.cfg
+        b = images.shape[0]
+        x = nn.Conv(c.hidden_dim, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size),
+                    name="patch_embed")(images.astype(jnp.float32))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, c.hidden_dim)
+        cls = self.param("cls_token", nn.initializers.zeros_init(),
+                         (1, 1, c.hidden_dim), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, c.hidden_dim), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.hidden_dim)), x],
+                            axis=1) + pos
+        for i in range(c.num_layers):
+            x = DinoBlock(c, name=f"blocks_{i}")(x)
+        x = LayerNorm(name="norm")(x)
+        return x[:, 1:]                                # drop cls
+
+
+def preprocess_for_dino(images_m1_1: jnp.ndarray,
+                        size: int = 224) -> jnp.ndarray:
+    """[-1,1] NHWC → 224x224 ImageNet-normalized (bucket_sampler.py:370-378
+    parity: [0,1] rescale, bicubic resize, ImageNet mean/std)."""
+    x = (images_m1_1.astype(jnp.float32) + 1.0) / 2.0
+    b, h, w, c = x.shape
+    x = jax.image.resize(x, (b, size, size, c), method="bicubic")
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std
+
+
+def convert_dinov2(sd, num_layers: int = 12):
+    """torch.hub dinov2_vitb14 state dict → flax tree."""
+    import numpy as np
+    from yat_tpu.models.convert import _linear, _norm, _set
+
+    tree: dict = {}
+    w = sd["patch_embed.proj.weight"]            # [D, 3, 14, 14]
+    _set(tree, "patch_embed.kernel",
+         np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))))
+    _set(tree, "patch_embed.bias", sd["patch_embed.proj.bias"])
+    tree["cls_token"] = sd["cls_token"]
+    tree["pos_embed"] = sd["pos_embed"]
+    for i in range(num_layers):
+        p, q = f"blocks.{i}", f"blocks_{i}"
+        qkv_w = sd[f"{p}.attn.qkv.weight"]       # [3D, D]
+        qkv_b = sd[f"{p}.attn.qkv.bias"]
+        d = qkv_w.shape[1]
+        for j, name in enumerate(("q", "k", "v")):
+            _set(tree, f"{q}.{name}.kernel",
+                 np.ascontiguousarray(qkv_w[j * d:(j + 1) * d].T))
+            _set(tree, f"{q}.{name}.bias", qkv_b[j * d:(j + 1) * d])
+        _linear(sd, f"{p}.attn.proj", tree, f"{q}.proj")
+        _norm(sd, f"{p}.norm1", tree, f"{q}.norm1")
+        _norm(sd, f"{p}.norm2", tree, f"{q}.norm2")
+        _set(tree, f"{q}.ls1", sd[f"{p}.ls1.gamma"])
+        _set(tree, f"{q}.ls2", sd[f"{p}.ls2.gamma"])
+        _linear(sd, f"{p}.mlp.fc1", tree, f"{q}.fc1")
+        _linear(sd, f"{p}.mlp.fc2", tree, f"{q}.fc2")
+    _norm(sd, "norm", tree, "norm")
+    return tree

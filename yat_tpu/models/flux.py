@@ -1,0 +1,304 @@
+"""Flux-2-Klein: flow-matching transformer with packed 2x2 latent patches.
+
+TPU-native rebuild of the architecture the reference trains in
+``train_flux_klein.py``: KL-VAE 16-channel latents are patchified 2x2 into
+64-channel tokens and standardized with the VAE's running batch-norm stats
+(/root/reference/train_flux_klein.py:42-54); tokens carry 3D rotary position
+ids (text index, y, x) (:105-162 ``_prepare_latent_ids``/``_pack_latents``);
+the transformer is the Flux topology — N *double-stream* blocks (separate
+image/text weights, joint attention) followed by M *single-stream* blocks
+over the concatenated sequence — with modulation from the timestep (+
+guidance) embedding; timesteps are fed as t/1000 (:141).
+
+Packing/unpacking helpers live here so the loss can compare in unpacked
+latent space exactly like the reference (:150-162).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import (
+    AdapterDense,
+    LayerNorm,
+    RMSNorm,
+    TimestepEmbedder,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64            # 16 VAE ch x 2x2 patch
+    hidden_dim: int = 3072
+    num_double_blocks: int = 8       # Klein is the distilled small variant
+    num_single_blocks: int = 16
+    num_heads: int = 24
+    mlp_ratio: float = 4.0
+    text_dim: int = 4096
+    axes_dims: Tuple[int, ...] = (16, 56, 56)   # rope split: (idx, y, x)
+    guidance_embed: bool = True
+    theta: float = 10000.0
+
+
+FLUX2_KLEIN = FluxConfig()
+FLUX_TINY_TEST = FluxConfig(in_channels=16, hidden_dim=32,
+                            num_double_blocks=1, num_single_blocks=1,
+                            num_heads=2, text_dim=16, axes_dims=(4, 6, 6))
+
+
+# ---------------------------------------------------------------------------
+# Latent packing (reference :42-54, :105-162)
+# ---------------------------------------------------------------------------
+
+def patchify_latents(latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/2, W/2, 4C] (2x2 space-to-depth)."""
+    b, h, w, c = latents.shape
+    x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpatchify_latents(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, 4C] → [B, 2h, 2w, C]."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, c)
+
+
+def standardize_latents(x: jnp.ndarray, mean: jnp.ndarray,
+                        var: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """BatchNorm-style standardization with the VAE's running stats
+    (train_flux_klein.py:47-54)."""
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def pack_latents(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, C] grid → [B, h*w, C] token sequence."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
+def unpack_latents(tokens: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    b, n, c = tokens.shape
+    h, w = hw
+    return tokens.reshape(b, h, w, c)
+
+
+def latent_ids(h: int, w: int) -> jnp.ndarray:
+    """[h*w, 3] (0, y, x) rotary ids (reference ``_prepare_latent_ids``)."""
+    ys = jnp.repeat(jnp.arange(h), w)
+    xs = jnp.tile(jnp.arange(w), h)
+    return jnp.stack([jnp.zeros_like(ys), ys, xs], axis=-1)
+
+
+def text_ids(n: int) -> jnp.ndarray:
+    return jnp.zeros((n, 3), jnp.int32)
+
+
+def rope_freqs(ids: jnp.ndarray, axes_dims: Sequence[int],
+               theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ids [N, 3] → (cos, sin) each [N, sum(axes_dims)/2] fp32."""
+    outs_cos, outs_sin = [], []
+    for i, d in enumerate(axes_dims):
+        pos = ids[:, i].astype(jnp.float32)
+        freq = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+        ang = pos[:, None] * freq[None, :]
+        outs_cos.append(jnp.cos(ang))
+        outs_sin.append(jnp.sin(ang))
+    return jnp.concatenate(outs_cos, -1), jnp.concatenate(outs_sin, -1)
+
+
+def apply_rope_pairs(x: jnp.ndarray, cos: jnp.ndarray,
+                     sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, N, H, D] rotated pairwise (even/odd interleave)."""
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., 0::2], x32[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+class Modulation(nn.Module):
+    hidden_dim: int
+    n: int
+
+    @nn.compact
+    def __call__(self, cond):
+        m = AdapterDense(self.n * self.hidden_dim, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros_init(),
+                         name="lin")(nn.silu(cond))
+        return jnp.split(m[:, None, :], self.n, axis=-1)
+
+
+class FluxDoubleBlock(nn.Module):
+    cfg: FluxConfig
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img, txt, cond, cos, sin):
+        c = self.cfg
+        hd = c.hidden_dim // c.num_heads
+        n_txt = txt.shape[1]
+
+        i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = Modulation(
+            c.hidden_dim, 6, name="img_mod")(cond)
+        t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = Modulation(
+            c.hidden_dim, 6, name="txt_mod")(cond)
+
+        def qkv(h, tag):
+            b, n, _ = h.shape
+            q = AdapterDense(c.hidden_dim, name=f"{tag}_to_q",
+                             dtype=self.dtype)(h)
+            k = AdapterDense(c.hidden_dim, name=f"{tag}_to_k",
+                             dtype=self.dtype)(h)
+            v = AdapterDense(c.hidden_dim, name=f"{tag}_to_v",
+                             dtype=self.dtype)(h)
+            q = RMSNorm(name=f"{tag}_norm_q")(q.reshape(b, n, c.num_heads, hd))
+            k = RMSNorm(name=f"{tag}_norm_k")(k.reshape(b, n, c.num_heads, hd))
+            return q, k, v.reshape(b, n, c.num_heads, hd)
+
+        hi = LayerNorm(use_scale=False, use_bias=False, name="img_norm1")(img)
+        hi = hi * (1 + i_sc1.astype(img.dtype)) + i_sh1.astype(img.dtype)
+        ht = LayerNorm(use_scale=False, use_bias=False, name="txt_norm1")(txt)
+        ht = ht * (1 + t_sc1.astype(img.dtype)) + t_sh1.astype(img.dtype)
+
+        qi, ki, vi = qkv(hi, "img")
+        qt, kt, vt = qkv(ht, "txt")
+        q = jnp.concatenate([qt, qi], axis=1)
+        k = jnp.concatenate([kt, ki], axis=1)
+        v = jnp.concatenate([vt, vi], axis=1)
+        q = apply_rope_pairs(q, cos, sin)
+        k = apply_rope_pairs(k, cos, sin)
+        attn = jax.nn.dot_product_attention(q, k, v)
+        b = img.shape[0]
+        attn = attn.reshape(b, attn.shape[1], c.hidden_dim)
+        a_txt, a_img = attn[:, :n_txt], attn[:, n_txt:]
+
+        img = img + i_g1.astype(img.dtype) * AdapterDense(
+            c.hidden_dim, name="img_to_out", dtype=self.dtype)(a_img)
+        hi = LayerNorm(use_scale=False, use_bias=False, name="img_norm2")(img)
+        hi = hi * (1 + i_sc2.astype(img.dtype)) + i_sh2.astype(img.dtype)
+        ff = AdapterDense(int(c.hidden_dim * c.mlp_ratio), name="img_ff_1",
+                          dtype=self.dtype)(hi)
+        ff = AdapterDense(c.hidden_dim, name="img_ff_2",
+                          dtype=self.dtype)(nn.gelu(ff, approximate=True))
+        img = img + i_g2.astype(img.dtype) * ff
+
+        txt = txt + t_g1.astype(img.dtype) * AdapterDense(
+            c.hidden_dim, name="txt_to_out", dtype=self.dtype)(a_txt)
+        ht = LayerNorm(use_scale=False, use_bias=False, name="txt_norm2")(txt)
+        ht = ht * (1 + t_sc2.astype(img.dtype)) + t_sh2.astype(img.dtype)
+        ff = AdapterDense(int(c.hidden_dim * c.mlp_ratio), name="txt_ff_1",
+                          dtype=self.dtype)(ht)
+        ff = AdapterDense(c.hidden_dim, name="txt_ff_2",
+                          dtype=self.dtype)(nn.gelu(ff, approximate=True))
+        txt = txt + t_g2.astype(img.dtype) * ff
+        return img, txt
+
+
+class FluxSingleBlock(nn.Module):
+    """Fused single-stream block: qkv + mlp-in in one projection, attention
+    and gelu-mlp in parallel, fused output projection (the Flux design —
+    fewer, larger matmuls: MXU-friendly)."""
+
+    cfg: FluxConfig
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, cos, sin):
+        c = self.cfg
+        hd = c.hidden_dim // c.num_heads
+        mlp_dim = int(c.hidden_dim * c.mlp_ratio)
+        sh, sc, gate = Modulation(c.hidden_dim, 3, name="mod")(cond)
+
+        h = LayerNorm(use_scale=False, use_bias=False, name="pre_norm")(x)
+        h = h * (1 + sc.astype(x.dtype)) + sh.astype(x.dtype)
+        b, n, _ = h.shape
+        fused = AdapterDense(3 * c.hidden_dim + mlp_dim, name="linear1",
+                             dtype=self.dtype)(h)
+        q, k, v, mlp = jnp.split(
+            fused, [c.hidden_dim, 2 * c.hidden_dim, 3 * c.hidden_dim], -1)
+        q = RMSNorm(name="norm_q")(q.reshape(b, n, c.num_heads, hd))
+        k = RMSNorm(name="norm_k")(k.reshape(b, n, c.num_heads, hd))
+        v = v.reshape(b, n, c.num_heads, hd)
+        q = apply_rope_pairs(q, cos, sin)
+        k = apply_rope_pairs(k, cos, sin)
+        attn = jax.nn.dot_product_attention(q, k, v).reshape(b, n,
+                                                             c.hidden_dim)
+        out = jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], -1)
+        out = AdapterDense(c.hidden_dim, name="linear2",
+                           dtype=self.dtype)(out)
+        return x + gate.astype(x.dtype) * out
+
+
+class FluxTransformer(nn.Module):
+    cfg: FluxConfig = FLUX2_KLEIN
+    dtype: jnp.dtype = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, packed_latents: jnp.ndarray, text_emb: jnp.ndarray,
+                 timesteps: jnp.ndarray, img_ids: jnp.ndarray,
+                 txt_ids: Optional[jnp.ndarray] = None, *,
+                 guidance: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """packed_latents [B, N_img, in_channels]; timesteps already /1000
+        semantics are handled by the caller (train_flux_klein.py:141)."""
+        c = self.cfg
+        b, n_img, _ = packed_latents.shape
+        n_txt = text_emb.shape[1]
+
+        img = AdapterDense(c.hidden_dim, name="img_in",
+                           dtype=self.dtype)(packed_latents.astype(self.dtype))
+        txt = AdapterDense(c.hidden_dim, name="txt_in",
+                           dtype=self.dtype)(text_emb.astype(self.dtype))
+
+        cond = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
+                                name="time_embed")(timesteps * 1000.0)
+        if c.guidance_embed:
+            g = guidance if guidance is not None else jnp.ones((b,),
+                                                               jnp.float32)
+            cond = cond + TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
+                                           name="guidance_embed")(g * 1000.0)
+
+        if txt_ids is None:
+            txt_ids = jnp.zeros((n_txt, 3), jnp.int32)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        cos, sin = rope_freqs(ids, c.axes_dims, c.theta)
+
+        dbl = FluxDoubleBlock
+        sgl = FluxSingleBlock
+        if self.gradient_checkpointing:
+            dbl = nn.remat(FluxDoubleBlock, prevent_cse=False)
+            sgl = nn.remat(FluxSingleBlock, prevent_cse=False)
+
+        for i in range(c.num_double_blocks):
+            img, txt = dbl(cfg=c, deterministic=deterministic,
+                           dtype=self.dtype, name=f"double_{i}")(
+                img, txt, cond, cos, sin)
+        x = jnp.concatenate([txt, img], axis=1)
+        for i in range(c.num_single_blocks):
+            x = sgl(cfg=c, deterministic=deterministic, dtype=self.dtype,
+                    name=f"single_{i}")(x, cond, cos, sin)
+        x = x[:, n_txt:]
+
+        mod = AdapterDense(2 * c.hidden_dim, dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros_init(),
+                           name="final_mod")(nn.silu(cond))
+        shift, scale = jnp.split(mod[:, None, :], 2, -1)
+        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
+        x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+        return AdapterDense(c.in_channels, name="proj_out",
+                            dtype=self.dtype)(x)

@@ -38,14 +38,18 @@ class AdapterDense(nn.Module):
     Recognised adapter leaf sets (all optional, found by name in this
     module's scope within the ``adapters`` collection):
 
-    * LoRA:     ``lora_a`` (in, r), ``lora_b`` (r, out), scalars in
-                ``lora_scale``; optional DoRA magnitude ``dora_m`` (out,).
+    Trainable leaves live in the ``adapters`` collection; static metadata
+    (scales, dropout rates, spectral index tables) lives in ``adapters_meta``
+    so gradients never touch it:
+
+    * LoRA:     ``lora_a`` (in, r), ``lora_b`` (r, out); meta ``lora_scale``,
+                ``lora_dropout``; optional DoRA magnitude ``dora_m`` (out,).
     * LoHa:     ``hada_w1_a`` (in, r), ``hada_w1_b`` (r, out),
-                ``hada_w2_a``, ``hada_w2_b``, scalar ``scale``.
+                ``hada_w2_a``, ``hada_w2_b``; meta ``scale``.
     * LoKr:     ``lokr_w1`` (u1, v1), ``lokr_w2_a`` (u2, r), ``lokr_w2_b``
-                (r, v2) with u1*u2 = in, v1*v2 = out, scalar ``scale``.
-    * FourierFT: ``fft_spectrum`` (n_freq,), ``fft_indices`` (2, n_freq)
-                int32 (non-trainable), scalar ``fft_alpha``.
+                (r, v2) with u1*u2 = in, v1*v2 = out; meta ``scale``.
+    * FourierFT: ``fft_spectrum`` (n_freq,); meta ``fft_indices`` (2, n_freq)
+                int32 and ``fft_alpha``.
     """
 
     features: int
@@ -75,10 +79,12 @@ class AdapterDense(nn.Module):
 
         if lora_a is not None:
             lora_b = self.get_variable("adapters", "lora_b")
-            scale = self.get_variable("adapters", "lora_scale")
+            scale = self.get_variable("adapters_meta", "lora_scale")
             dora_m = _maybe(self, "adapters", "dora_m")
-            dropout_rate = float(self.get_variable("adapters", "lora_dropout")) \
-                if self.has_variable("adapters", "lora_dropout") else 0.0
+            # dropout rate may be a traced leaf of the state pytree — never
+            # concretize it; bernoulli accepts traced probabilities and a
+            # rate of 0.0 reduces to a no-op mask
+            dropout_rate = _maybe(self, "adapters_meta", "lora_dropout")
             if dora_m is not None:
                 # DoRA: W' = m * (W + s*BA) / ||W + s*BA||_col   (PEFT numerics)
                 merged = w + scale.astype(dtype) * (lora_a.astype(dtype) @ lora_b.astype(dtype))
@@ -90,30 +96,33 @@ class AdapterDense(nn.Module):
             else:
                 y = x @ w
                 xa = x
-                if dropout_rate > 0.0 and not deterministic:
+                if (dropout_rate is not None and not deterministic
+                        and self.has_rng("dropout")):
                     rng = self.make_rng("dropout")
-                    keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
-                    xa = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+                    keep_p = 1.0 - dropout_rate.astype(jnp.float32)
+                    keep = jax.random.bernoulli(rng, keep_p, x.shape)
+                    xa = jnp.where(keep, x / keep_p.astype(dtype),
+                                   jnp.zeros_like(x))
                 y = y + scale.astype(dtype) * ((xa @ lora_a.astype(dtype))
                                                @ lora_b.astype(dtype))
         elif hada_w1_a is not None:
             w1b = self.get_variable("adapters", "hada_w1_b")
             w2a = self.get_variable("adapters", "hada_w2_a")
             w2b = self.get_variable("adapters", "hada_w2_b")
-            scale = self.get_variable("adapters", "scale")
+            scale = self.get_variable("adapters_meta", "scale")
             delta = (hada_w1_a.astype(dtype) @ w1b.astype(dtype)) * \
                     (w2a.astype(dtype) @ w2b.astype(dtype))
             y = x @ (w + scale.astype(dtype) * delta)
         elif lokr_w1 is not None:
             w2a = self.get_variable("adapters", "lokr_w2_a")
             w2b = self.get_variable("adapters", "lokr_w2_b")
-            scale = self.get_variable("adapters", "scale")
+            scale = self.get_variable("adapters_meta", "scale")
             w2 = w2a.astype(dtype) @ w2b.astype(dtype)
             delta = jnp.kron(lokr_w1.astype(dtype), w2)
             y = x @ (w + scale.astype(dtype) * delta)
         elif fft_spectrum is not None:
-            indices = self.get_variable("adapters", "fft_indices")
-            alpha = self.get_variable("adapters", "fft_alpha")
+            indices = self.get_variable("adapters_meta", "fft_indices")
+            alpha = self.get_variable("adapters_meta", "fft_alpha")
             dense = jnp.zeros((in_features, self.features), jnp.float32)
             dense = dense.at[indices[0], indices[1]].set(
                 fft_spectrum.astype(jnp.float32))

@@ -1,0 +1,216 @@
+"""MMDiT: the SD3.5 flow-matching backbone (dual-stream joint attention).
+
+TPU-native rebuild of the architecture the reference trains in
+``train_sd35.py`` (diffusers ``SD3Transformer2DModel``): patch-2 embedding of
+16-channel VAE latents; text stream = T5 + CLIP joint embeddings projected to
+model width; conditioning vector = timestep embedding + pooled CLIP
+projection; N dual-stream blocks where image and text tokens carry separate
+QKV/MLP weights but attend jointly over the concatenated sequence; AdaLN-zero
+modulation per stream; text stream dropped after the last block.
+
+Training semantics matched: ``scheduler.scale_noise`` == flow-match
+add_noise, target ``eps - x`` (/root/reference/train_sd35.py:165-194).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import (
+    AdapterDense,
+    LayerNorm,
+    MLP,
+    PatchEmbed,
+    RMSNorm,
+    TimestepEmbedder,
+    unpatchify,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    """SD3.5-medium-like defaults (scale via presets)."""
+
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2
+    hidden_dim: int = 1536
+    num_layers: int = 24
+    num_heads: int = 24
+    caption_dim: int = 4096          # T5 + padded CLIP joint embedding
+    pooled_dim: int = 2048           # CLIP-L + CLIP-G pooled concat
+    mlp_ratio: float = 4.0
+    pos_embed_max_size: int = 192
+    qk_norm: Optional[str] = "rms"
+    max_caption_len: int = 333       # 256 T5 + 77 CLIP
+
+
+SD35_MEDIUM = MMDiTConfig()
+SD35_LARGE = MMDiTConfig(hidden_dim=2432, num_layers=38, num_heads=38)
+MMDIT_TINY_TEST = MMDiTConfig(hidden_dim=32, num_layers=2, num_heads=2,
+                              caption_dim=16, pooled_dim=16,
+                              max_caption_len=8, mlp_ratio=1.0)
+
+
+def pos_embed_2d(h: int, w: int, dim: int) -> jnp.ndarray:
+    """2D sinusoidal position embedding [h*w, dim] (fp32)."""
+    def one_dim(n, d):
+        pos = jnp.arange(n, dtype=jnp.float32)
+        omega = jnp.arange(d // 2, dtype=jnp.float32) / (d // 2)
+        omega = 1.0 / (10000.0 ** omega)
+        out = pos[:, None] * omega[None, :]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+    emb_h = one_dim(h, dim // 2)     # [h, dim/2]
+    emb_w = one_dim(w, dim // 2)     # [w, dim/2]
+    grid = jnp.concatenate([
+        jnp.repeat(emb_h[:, None, :], w, axis=1),
+        jnp.repeat(emb_w[None, :, :], h, axis=0),
+    ], axis=-1)
+    return grid.reshape(h * w, dim)
+
+
+class StreamModulation(nn.Module):
+    """AdaLN-zero: conditioning → (shift, scale, gate) x2 per stream."""
+
+    hidden_dim: int
+    n_mods: int = 6
+
+    @nn.compact
+    def __call__(self, cond):
+        m = AdapterDense(self.n_mods * self.hidden_dim, dtype=jnp.float32,
+                         kernel_init=nn.initializers.zeros_init(),
+                         name="mod")(nn.silu(cond))
+        return jnp.split(m[:, None, :], self.n_mods, axis=-1)
+
+
+class MMDiTBlock(nn.Module):
+    cfg: MMDiTConfig
+    last: bool = False               # last block: no text-stream output
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, ctx, cond):
+        c = self.cfg
+        hd = c.hidden_dim // c.num_heads
+        det = self.deterministic
+
+        sx_shift, sx_scale, sx_gate, mx_shift, mx_scale, mx_gate = \
+            StreamModulation(c.hidden_dim, name="x_mod")(cond)
+        sc_shift, sc_scale, sc_gate, mc_shift, mc_scale, mc_gate = \
+            StreamModulation(c.hidden_dim, name="c_mod")(cond)
+
+        def qkv(h, tag):
+            q = AdapterDense(c.hidden_dim, name=f"{tag}_to_q",
+                             dtype=self.dtype)(h, deterministic=det)
+            k = AdapterDense(c.hidden_dim, name=f"{tag}_to_k",
+                             dtype=self.dtype)(h, deterministic=det)
+            v = AdapterDense(c.hidden_dim, name=f"{tag}_to_v",
+                             dtype=self.dtype)(h, deterministic=det)
+            b, n, _ = h.shape
+            q = q.reshape(b, n, c.num_heads, hd)
+            k = k.reshape(b, n, c.num_heads, hd)
+            v = v.reshape(b, n, c.num_heads, hd)
+            if c.qk_norm == "rms":
+                q = RMSNorm(name=f"{tag}_norm_q")(q)
+                k = RMSNorm(name=f"{tag}_norm_k")(k)
+            return q, k, v
+
+        hx = LayerNorm(use_scale=False, use_bias=False, name="x_norm1")(x)
+        hx = hx * (1 + sx_scale.astype(x.dtype)) + sx_shift.astype(x.dtype)
+        hc = LayerNorm(use_scale=False, use_bias=False, name="c_norm1")(ctx)
+        hc = hc * (1 + sc_scale.astype(x.dtype)) + sc_shift.astype(x.dtype)
+
+        qx, kx, vx = qkv(hx, "x")
+        qc, kc, vc = qkv(hc, "c")
+        # joint attention over [text; image] concatenation
+        q = jnp.concatenate([qc, qx], axis=1)
+        k = jnp.concatenate([kc, kx], axis=1)
+        v = jnp.concatenate([vc, vx], axis=1)
+        attn = jax.nn.dot_product_attention(q, k, v)
+        b = x.shape[0]
+        n_c = ctx.shape[1]
+        attn = attn.reshape(b, attn.shape[1], c.hidden_dim)
+        attn_c, attn_x = attn[:, :n_c], attn[:, n_c:]
+
+        x = x + sx_gate.astype(x.dtype) * AdapterDense(
+            c.hidden_dim, name="x_to_out", dtype=self.dtype)(
+                attn_x, deterministic=det)
+        hx = LayerNorm(use_scale=False, use_bias=False, name="x_norm2")(x)
+        hx = hx * (1 + mx_scale.astype(x.dtype)) + mx_shift.astype(x.dtype)
+        x = x + mx_gate.astype(x.dtype) * MLP(
+            mlp_ratio=c.mlp_ratio, dtype=self.dtype, name="x_ff")(
+                hx, deterministic=det)
+
+        if self.last:
+            return x, None
+        ctx = ctx + sc_gate.astype(x.dtype) * AdapterDense(
+            c.hidden_dim, name="c_to_out", dtype=self.dtype)(
+                attn_c, deterministic=det)
+        hc = LayerNorm(use_scale=False, use_bias=False, name="c_norm2")(ctx)
+        hc = hc * (1 + mc_scale.astype(x.dtype)) + mc_shift.astype(x.dtype)
+        ctx = ctx + mc_gate.astype(x.dtype) * MLP(
+            mlp_ratio=c.mlp_ratio, dtype=self.dtype, name="c_ff")(
+                hc, deterministic=det)
+        return x, ctx
+
+
+class MMDiT(nn.Module):
+    cfg: MMDiTConfig = SD35_MEDIUM
+    dtype: jnp.dtype = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
+                 timesteps: jnp.ndarray,
+                 text_mask: Optional[jnp.ndarray] = None, *,
+                 pooled_text: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        b, h, w, _ = latents.shape
+        p = c.patch_size
+        gh, gw = h // p, w // p
+
+        x = PatchEmbed(c.hidden_dim, patch_size=p, dtype=self.dtype,
+                       name="patch_embed")(latents.astype(self.dtype))
+        x = x + pos_embed_2d(gh, gw, c.hidden_dim)[None].astype(x.dtype)
+
+        t_emb = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
+                                 name="time_embed")(timesteps)
+        if pooled_text is None:
+            pooled_text = jnp.zeros((b, c.pooled_dim), jnp.float32)
+        pool = AdapterDense(c.hidden_dim, dtype=jnp.float32,
+                            name="pool_linear_1")(
+            pooled_text.astype(jnp.float32))
+        pool = AdapterDense(c.hidden_dim, dtype=jnp.float32,
+                            name="pool_linear_2")(nn.silu(pool))
+        cond = t_emb + pool
+
+        ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
+                           name="context_embedder")(
+            text_emb.astype(self.dtype))
+
+        block_cls = MMDiTBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(MMDiTBlock, prevent_cse=False)
+        for i in range(c.num_layers):
+            x, ctx = block_cls(cfg=c, last=(i == c.num_layers - 1),
+                               deterministic=deterministic, dtype=self.dtype,
+                               name=f"blocks_{i}")(x, ctx if ctx is not None
+                                                   else x[:, :0], cond)
+
+        mod = AdapterDense(2 * c.hidden_dim, dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros_init(),
+                           name="final_mod")(nn.silu(cond))
+        shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
+        x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+        x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
+                         name="proj_out")(x, deterministic=deterministic)
+        return unpatchify(x, (h, w), p, c.out_channels)

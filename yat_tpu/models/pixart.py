@@ -1,0 +1,178 @@
+"""PixArt-Sigma: epsilon-prediction DiT (softmax attention, patch 2).
+
+TPU-native reimplementation of the architecture the reference trains in
+``train_pixart_sigma.py`` (diffusers ``PixArtTransformer2DModel``): patch-2
+embedding of 8x VAE latents, N blocks of [softmax self-attention → cross-
+attention over T5 embeddings → gelu MLP], AdaLN-single conditioning, and a
+learned-sigma output head whose channel split the training loss slices off
+(/root/reference/train_pixart_sigma.py:173-184).
+
+Also carries the optional REPA projection tap after block ``repa_depth``
+(utils/patch_pixart_sigma_transformer.py:10-22: 3-layer SiLU MLP
+hidden→2048→2048→768 returning per-token projections).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import (
+    AdapterDense,
+    Attention,
+    LayerNorm,
+    MLP,
+    PatchEmbed,
+    TimestepEmbedder,
+    unpatchify,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PixArtConfig:
+    """PixArt-Sigma-XL-2 defaults (~610M)."""
+
+    in_channels: int = 4
+    out_channels: int = 8            # 4 + 4 learned sigma
+    hidden_dim: int = 1152
+    num_layers: int = 28
+    num_attention_heads: int = 16
+    attention_head_dim: int = 72
+    caption_channels: int = 4096     # T5-XXL
+    mlp_ratio: float = 4.0
+    patch_size: int = 2
+    sample_size: int = 64            # 512px / 8x VAE
+    vae_compression: int = 8
+    max_caption_len: int = 300       # train_pixart_sigma.py:161
+    repa_depth: Optional[int] = None # tap index for REPA (default 4 upstream)
+    repa_target_dim: int = 768
+
+    @property
+    def resolution(self) -> int:
+        return self.sample_size * self.vae_compression
+
+
+class RepaProjector(nn.Module):
+    """3-layer SiLU MLP projection head
+    (utils/patch_pixart_sigma_transformer.py:10-22 behavior)."""
+
+    hidden: int = 2048
+    out_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = AdapterDense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.silu(x)
+        x = AdapterDense(self.hidden, dtype=self.dtype, name="fc2")(x)
+        x = nn.silu(x)
+        return AdapterDense(self.out_dim, dtype=self.dtype, name="fc3")(x)
+
+
+class PixArtBlock(nn.Module):
+    # deterministic is a module attribute so the remat-wrapped call sees
+    # only array args (jax.checkpoint tracing rule)
+    cfg: PixArtConfig
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask):
+        c = self.cfg
+        deterministic = self.deterministic
+        mod = scale_shift_table[None] + cond_emb
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
+
+        h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
+        h = h * (1 + scale_msa) + shift_msa
+        h = Attention(num_heads=c.num_attention_heads,
+                      head_dim=c.attention_head_dim, dtype=self.dtype,
+                      name="attn1")(h, deterministic=deterministic)
+        x = x + gate_msa * h
+
+        h = Attention(num_heads=c.num_attention_heads,
+                      head_dim=c.attention_head_dim, dtype=self.dtype,
+                      name="attn2")(x, context=text_emb, mask=text_mask,
+                                    deterministic=deterministic)
+        x = x + h
+
+        h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
+        h = h * (1 + scale_mlp) + shift_mlp
+        h = MLP(mlp_ratio=c.mlp_ratio, dtype=self.dtype,
+                name="ff")(h, deterministic=deterministic)
+        x = x + gate_mlp * h
+        return x
+
+
+class PixArtTransformer2D(nn.Module):
+    cfg: PixArtConfig = PixArtConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
+                 timesteps: jnp.ndarray,
+                 text_mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True,
+                 return_repa: bool = False):
+        c = self.cfg
+        b, h, w, _ = latents.shape
+        p = c.patch_size
+
+        x = PatchEmbed(c.hidden_dim, patch_size=p, dtype=self.dtype,
+                       name="pos_embed")(latents.astype(self.dtype))
+
+        t_emb = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
+                                 name="time_embed")(timesteps)
+        cond = AdapterDense(6 * c.hidden_dim, dtype=jnp.float32,
+                            name="time_proj")(nn.silu(t_emb))
+        cond = cond.reshape(b, 6, c.hidden_dim)
+        scale_shift_table = self.param(
+            "scale_shift_table",
+            lambda key, shape: jnp.zeros(shape, jnp.float32),
+            (6, c.hidden_dim))
+
+        ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
+                           name="caption_projection")(
+            text_emb.astype(self.dtype))
+
+        block_cls = PixArtBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(PixArtBlock, prevent_cse=False)
+
+        repa_proj = None
+        for i in range(c.num_layers):
+            x = block_cls(cfg=c, deterministic=deterministic,
+                          dtype=self.dtype, name=f"blocks_{i}")(
+                x, cond, scale_shift_table, ctx, text_mask)
+            if c.repa_depth is not None and i == c.repa_depth and return_repa:
+                repa_proj = RepaProjector(
+                    out_dim=c.repa_target_dim, dtype=jnp.float32,
+                    name="repa_projector")(x.astype(jnp.float32))
+
+        out_table = self.param(
+            "out_scale_shift_table",
+            lambda key, shape: jnp.zeros(shape, jnp.float32),
+            (2, c.hidden_dim))
+        out_mod = out_table[None] + t_emb[:, None, :]
+        shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
+                        out_mod[:, 1][:, None, :].astype(x.dtype))
+        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
+        x = x * (1 + scale) + shift
+        x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
+                         name="proj_out")(x, deterministic=deterministic)
+        out = unpatchify(x, (h, w), p, c.out_channels)
+        if return_repa:
+            return out, repa_proj
+        return out
+
+
+PIXART_SIGMA_XL2 = PixArtConfig()
+PIXART_TINY_TEST = PixArtConfig(hidden_dim=32, num_layers=2,
+                                num_attention_heads=2, attention_head_dim=16,
+                                caption_channels=16, max_caption_len=8,
+                                sample_size=8, mlp_ratio=1.0, repa_depth=0)

@@ -62,13 +62,18 @@ class SanaConfig:
 
 
 class SanaBlock(nn.Module):
+    # static per-trace values are module attributes, NOT call args, so the
+    # remat-wrapped call sees only arrays (jax.checkpoint tracing rule)
     cfg: SanaConfig
+    hw: Tuple[int, int] = (16, 16)
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask,
-                 hw: Tuple[int, int], *, deterministic: bool = True):
+    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask):
         c = self.cfg
+        hw = self.hw
+        deterministic = self.deterministic
         # AdaLN-single: 6 modulation vectors = shared table + per-step emb
         # scale_shift_table: [6, D] learned; cond_emb: [B, 6, D]
         mod = scale_shift_table[None] + cond_emb  # [B, 6, D]
@@ -141,12 +146,11 @@ class SanaTransformer2D(nn.Module):
 
         block_cls = SanaBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(SanaBlock, static_argnums=(6,),
-                                 prevent_cse=False)
+            block_cls = nn.remat(SanaBlock, prevent_cse=False)
         for i in range(c.num_layers):
-            x = block_cls(cfg=c, dtype=self.dtype, name=f"blocks_{i}")(
-                x, cond, scale_shift_table, ctx, text_mask, grid_hw,
-                deterministic=deterministic)
+            x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
+                          dtype=self.dtype, name=f"blocks_{i}")(
+                x, cond, scale_shift_table, ctx, text_mask)
 
         # output: AdaLN-modulated norm → projection to patch pixels
         out_table = self.param(

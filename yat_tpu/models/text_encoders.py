@@ -1,0 +1,330 @@
+"""Text encoders: CLIP (SD1.5/SDXL/SD3.5), T5 (PixArt/SD3.5), Gemma-2 (SANA).
+
+The reference runs HF transformers encoders on GPU inside
+``extract_embeddings`` (/root/reference/train_sana.py:84-94,
+train_sd15.py:66-78, train_sd35.py:79-92).  These are ground-up flax
+implementations with the same computational structure so torch checkpoints
+convert 1:1 (see models/convert.py); tokenization reuses the framework-
+independent ``transformers`` tokenizers from a local path.
+
+All encoders run in bf16 with fp32 norm islands and return
+[B, L, D] hidden states (+ pooled output for CLIP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import AdapterDense, LayerNorm, RMSNorm
+
+
+# ---------------------------------------------------------------------------
+# CLIP text model (SD1.5 TE, SDXL TE1/TE2, SD3.5 CLIP-L/G)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    max_length: int = 77
+    # 'quick_gelu' for OpenAI CLIP-L (SD15/SDXL TE1), 'gelu' for OpenCLIP-G
+    act: str = "quick_gelu"
+    # SDXL/SD3.5 take the penultimate layer's hidden states
+    penultimate: bool = False
+
+
+CLIP_L_14 = CLIPTextConfig()
+CLIP_G_14 = CLIPTextConfig(hidden_dim=1280, num_layers=32, num_heads=20,
+                           act="gelu", penultimate=True)
+CLIP_TINY_TEST = CLIPTextConfig(vocab_size=256, hidden_dim=32, num_layers=2,
+                                num_heads=2, max_length=16)
+
+
+class CLIPLayer(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        c = self.cfg
+        h = LayerNorm(name="layer_norm1")(x)
+        b, n, d = h.shape
+        hd = d // c.num_heads
+        q = AdapterDense(d, name="q_proj", dtype=self.dtype)(h)
+        k = AdapterDense(d, name="k_proj", dtype=self.dtype)(h)
+        v = AdapterDense(d, name="v_proj", dtype=self.dtype)(h)
+        q = q.reshape(b, n, c.num_heads, hd)
+        k = k.reshape(b, n, c.num_heads, hd)
+        v = v.reshape(b, n, c.num_heads, hd)
+        attn = jax.nn.dot_product_attention(q, k, v, mask=causal_mask)
+        h = AdapterDense(d, name="out_proj", dtype=self.dtype)(
+            attn.reshape(b, n, d))
+        x = x + h
+        h = LayerNorm(name="layer_norm2")(x)
+        h = AdapterDense(int(d * c.mlp_ratio), name="fc1", dtype=self.dtype)(h)
+        if c.act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
+        h = AdapterDense(d, name="fc2", dtype=self.dtype)(h)
+        return x + h
+
+
+class CLIPTextModel(nn.Module):
+    cfg: CLIPTextConfig = CLIP_L_14
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """input_ids [B, L] → (hidden [B, L, D], pooled [B, D]).
+
+        pooled = final-LN hidden at each sequence's argmax token id (the
+        EOT token has the highest id in CLIP vocab)."""
+        c = self.cfg
+        b, n = input_ids.shape
+        tok = nn.Embed(c.vocab_size, c.hidden_dim, name="token_embedding",
+                       dtype=self.dtype)(input_ids)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.01),
+                         (c.max_length, c.hidden_dim), jnp.float32)
+        x = tok + pos[None, :n].astype(self.dtype)
+
+        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        penult = None
+        for i in range(c.num_layers):
+            if i == c.num_layers - 1:
+                penult = x
+            x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
+
+        final = LayerNorm(name="final_layer_norm")(x)
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = final[jnp.arange(b), eot]
+        hidden = penult if c.penultimate else final
+        return hidden, pooled
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (PixArt-Sigma, SD3.5 third TE)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    hidden_dim: int = 4096          # T5-XXL
+    num_layers: int = 24
+    num_heads: int = 64
+    head_dim: int = 64
+    ffn_dim: int = 10240
+    relative_buckets: int = 32
+    relative_max_distance: int = 128
+
+
+T5_XXL = T5Config()
+T5_TINY_TEST = T5Config(vocab_size=256, hidden_dim=32, num_layers=2,
+                        num_heads=2, head_dim=16, ffn_dim=64)
+
+
+def t5_relative_position_bucket(rel_pos, num_buckets=32, max_distance=128):
+    """Bidirectional T5 bucket scheme (public T5 algorithm)."""
+    num_buckets //= 2
+    ret = (rel_pos > 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+class T5Layer(nn.Module):
+    cfg: T5Config
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, pos_bias, mask):
+        c = self.cfg
+        b, n, d = x.shape
+        inner = c.num_heads * c.head_dim
+        h = RMSNorm(name="norm1", use_scale=True)(x)
+        q = AdapterDense(inner, use_bias=False, name="q", dtype=self.dtype)(h)
+        k = AdapterDense(inner, use_bias=False, name="k", dtype=self.dtype)(h)
+        v = AdapterDense(inner, use_bias=False, name="v", dtype=self.dtype)(h)
+        q = q.reshape(b, n, c.num_heads, c.head_dim)
+        k = k.reshape(b, n, c.num_heads, c.head_dim)
+        v = v.reshape(b, n, c.num_heads, c.head_dim)
+        # T5 does NOT scale q by sqrt(d); bias carries positions
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits + pos_bias
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, inner)
+        x = x + AdapterDense(d, use_bias=False, name="o", dtype=self.dtype)(out)
+
+        h = RMSNorm(name="norm2", use_scale=True)(x)
+        wi0 = AdapterDense(c.ffn_dim, use_bias=False, name="wi_0",
+                           dtype=self.dtype)(h)
+        wi1 = AdapterDense(c.ffn_dim, use_bias=False, name="wi_1",
+                           dtype=self.dtype)(h)
+        h = nn.gelu(wi0, approximate=True) * wi1
+        x = x + AdapterDense(d, use_bias=False, name="wo", dtype=self.dtype)(h)
+        return x
+
+
+class T5Encoder(nn.Module):
+    cfg: T5Config = T5_XXL
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        c = self.cfg
+        b, n = input_ids.shape
+        x = nn.Embed(c.vocab_size, c.hidden_dim, name="token_embedding",
+                     dtype=self.dtype)(input_ids)
+
+        pos = jnp.arange(n)
+        rel = pos[None, :] - pos[:, None]
+        buckets = t5_relative_position_bucket(
+            rel, c.relative_buckets, c.relative_max_distance)
+        bias_table = self.param("relative_attention_bias",
+                                nn.initializers.normal(0.1),
+                                (c.relative_buckets, c.num_heads),
+                                jnp.float32)
+        pos_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1,H,N,N]
+
+        mask = attention_mask.astype(bool) if attention_mask is not None else None
+        for i in range(c.num_layers):
+            x = T5Layer(c, dtype=self.dtype, name=f"layers_{i}")(
+                x, pos_bias, mask)
+        return RMSNorm(name="final_norm", use_scale=True)(x)
+
+
+# ---------------------------------------------------------------------------
+# Gemma-2 encoder (SANA caption encoder)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GemmaConfig:
+    vocab_size: int = 256000
+    hidden_dim: int = 2304          # Gemma-2-2b
+    num_layers: int = 26
+    num_heads: int = 8
+    num_kv_heads: int = 4
+    head_dim: int = 256
+    ffn_dim: int = 9216
+    rope_theta: float = 10000.0
+    attn_logit_softcap: float = 50.0
+    final_logit_softcap: float = 30.0
+
+
+GEMMA2_2B = GemmaConfig()
+GEMMA_TINY_TEST = GemmaConfig(vocab_size=256, hidden_dim=32, num_layers=2,
+                              num_heads=2, num_kv_heads=1, head_dim=16,
+                              ffn_dim=64)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
+               theta: float) -> jnp.ndarray:
+    """x [B, N, H, D] with rotary embedding over D."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    angles = positions[:, :, None].astype(jnp.float32) * freqs[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class GemmaLayer(nn.Module):
+    cfg: GemmaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, mask):
+        c = self.cfg
+        b, n, d = x.shape
+        h = RMSNorm(name="input_norm")(x)
+        q = AdapterDense(c.num_heads * c.head_dim, use_bias=False,
+                         name="q_proj", dtype=self.dtype)(h)
+        k = AdapterDense(c.num_kv_heads * c.head_dim, use_bias=False,
+                         name="k_proj", dtype=self.dtype)(h)
+        v = AdapterDense(c.num_kv_heads * c.head_dim, use_bias=False,
+                         name="v_proj", dtype=self.dtype)(h)
+        q = apply_rope(q.reshape(b, n, c.num_heads, c.head_dim), positions,
+                       c.rope_theta)
+        k = apply_rope(k.reshape(b, n, c.num_kv_heads, c.head_dim), positions,
+                       c.rope_theta)
+        v = v.reshape(b, n, c.num_kv_heads, c.head_dim)
+        # GQA: repeat kv heads
+        rep = c.num_heads // c.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        scale = c.head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        if c.attn_logit_softcap:
+            logits = jnp.tanh(logits / c.attn_logit_softcap) * c.attn_logit_softcap
+        logits = jnp.where(mask, logits, -1e9)
+        attn = jax.nn.softmax(logits, -1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, -1)
+        out = AdapterDense(d, use_bias=False, name="o_proj",
+                           dtype=self.dtype)(out)
+        x = x + RMSNorm(name="post_attn_norm")(out)
+
+        h = RMSNorm(name="pre_ffn_norm")(x)
+        gate = AdapterDense(c.ffn_dim, use_bias=False, name="gate_proj",
+                            dtype=self.dtype)(h)
+        up = AdapterDense(c.ffn_dim, use_bias=False, name="up_proj",
+                          dtype=self.dtype)(h)
+        h = nn.gelu(gate, approximate=True) * up
+        h = AdapterDense(d, use_bias=False, name="down_proj",
+                         dtype=self.dtype)(h)
+        return x + RMSNorm(name="post_ffn_norm")(h)
+
+
+class Gemma2Encoder(nn.Module):
+    """Decoder-only Gemma-2 used as a caption encoder (last hidden state),
+    the way the SANA pipeline consumes it."""
+
+    cfg: GemmaConfig = GEMMA2_2B
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        c = self.cfg
+        b, n = input_ids.shape
+        x = nn.Embed(c.vocab_size, c.hidden_dim, name="token_embedding",
+                     dtype=self.dtype)(input_ids)
+        x = x * jnp.asarray(math.sqrt(c.hidden_dim), self.dtype)
+        positions = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        if attention_mask is not None:
+            causal = causal & attention_mask[:, None, None, :].astype(bool)
+        for i in range(c.num_layers):
+            x = GemmaLayer(c, dtype=self.dtype, name=f"layers_{i}")(
+                x, positions, causal)
+        return RMSNorm(name="final_norm")(x)
+
+
+def compress_embeddings(hidden: jnp.ndarray, mask: jnp.ndarray):
+    """Mask-compress per-sample embeddings to their real lengths
+    (train_sana.py:92-94): returns a list of [L_i, D] arrays."""
+    import numpy as np
+    hidden = np.asarray(hidden)
+    mask = np.asarray(mask).astype(bool)
+    return [hidden[i][mask[i]] for i in range(hidden.shape[0])]

@@ -1,0 +1,263 @@
+"""Conditional UNet for SD1.5 / SDXL epsilon-prediction training.
+
+Ground-up flax rebuild of the architecture the reference trains via
+``train_sd15.py`` / ``train_sdxl.py`` (diffusers ``UNet2DConditionModel``):
+conv stem, timestep MLP over a sinusoidal embedding, cross-attention
+transformer blocks interleaved with time-conditioned resnets across a
+down/mid/up topology with skip connections; SDXL adds micro-conditioning —
+pooled text + six ``time_ids`` embedded sinusoidally and fused into the time
+embedding (/root/reference/train_sdxl.py:148-161).
+
+NHWC layout, bf16 compute, fp32 GroupNorms.  Attention module names reuse
+to_q/to_k/to_v/to_out so ``lora_target_modules`` patterns from reference
+configs match unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import (
+    AdapterDense,
+    Attention,
+    LayerNorm,
+    sinusoidal_timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # per-level: number of transformer layers in each attn block (0 = plain)
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 64        # SD15 uses 8 heads of varying dim
+    num_heads: Optional[int] = None     # if set, head_dim = ch // num_heads
+    # SDXL micro-conditioning
+    addition_embed_dim: Optional[int] = None   # pooled-text dim (1280)
+    addition_time_embed_dim: int = 256
+    num_time_ids: int = 6
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+
+
+SD15_UNET = UNetConfig(num_heads=8)
+SDXL_UNET = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    transformer_layers=(0, 2, 10),
+    cross_attention_dim=2048,
+    attention_head_dim=64,
+    addition_embed_dim=1280,
+)
+UNET_TINY_TEST = UNetConfig(
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    transformer_layers=(1, 1),
+    cross_attention_dim=16,
+    attention_head_dim=16,
+    num_heads=2,
+)
+
+
+class TimeResnetBlock(nn.Module):
+    """GroupNorm-silu-conv ×2 with a time-embedding shift between them."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, t_emb):
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv1")(h)
+        t = AdapterDense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(t_emb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class GEGLUFeedForward(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        d = x.shape[-1]
+        h = AdapterDense(d * 8, dtype=self.dtype, name="proj")(
+            x, deterministic=deterministic)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g, approximate=False)
+        return AdapterDense(d, dtype=self.dtype, name="out")(
+            h, deterministic=deterministic)
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, mask, *, deterministic=True):
+        h = LayerNorm(name="norm1")(x)
+        x = x + Attention(num_heads=self.num_heads, head_dim=self.head_dim,
+                          use_bias=False, dtype=self.dtype, name="attn1")(
+            h, deterministic=deterministic)
+        h = LayerNorm(name="norm2")(x)
+        x = x + Attention(num_heads=self.num_heads, head_dim=self.head_dim,
+                          use_bias=False, dtype=self.dtype, name="attn2")(
+            h, context=context, mask=mask, deterministic=deterministic)
+        h = LayerNorm(name="norm3")(x)
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(
+            h, deterministic=deterministic)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """norm → 1x1 proj_in → N transformer blocks on HW tokens → proj_out."""
+
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, mask, *, deterministic=True):
+        b, h, w, c = x.shape
+        res = x
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        y = AdapterDense(c, dtype=self.dtype, name="proj_in")(
+            y.reshape(b, h * w, c))
+        for i in range(self.num_layers):
+            y = TransformerBlock(self.num_heads, self.head_dim,
+                                 dtype=self.dtype,
+                                 name=f"transformer_blocks_{i}")(
+                y, context, mask, deterministic=deterministic)
+        y = AdapterDense(c, dtype=self.dtype, name="proj_out")(y)
+        return res + y.reshape(b, h, w, c)
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig = SD15_UNET
+    dtype: jnp.dtype = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    def _heads(self, ch: int) -> Tuple[int, int]:
+        if self.cfg.num_heads is not None:
+            return self.cfg.num_heads, ch // self.cfg.num_heads
+        return ch // self.cfg.attention_head_dim, self.cfg.attention_head_dim
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
+                 timesteps: jnp.ndarray,
+                 text_mask: Optional[jnp.ndarray] = None, *,
+                 pooled_text: Optional[jnp.ndarray] = None,
+                 time_ids: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        ch0 = c.block_out_channels[0]
+        t_dim = ch0 * 4
+
+        # --- time embedding ---
+        t_freq = sinusoidal_timestep_embedding(
+            timesteps, ch0, flip_sin_to_cos=c.flip_sin_to_cos,
+            downscale_freq_shift=c.freq_shift)
+        t_emb = AdapterDense(t_dim, dtype=jnp.float32, name="time_linear_1")(t_freq)
+        t_emb = AdapterDense(t_dim, dtype=jnp.float32,
+                             name="time_linear_2")(nn.silu(t_emb))
+
+        # --- SDXL micro-conditioning (train_sdxl.py:148-161) ---
+        if c.addition_embed_dim is not None:
+            if pooled_text is None or time_ids is None:
+                raise ValueError("SDXL UNet needs pooled_text and time_ids")
+            b = time_ids.shape[0]
+            ids = time_ids.reshape(-1)
+            ids_emb = sinusoidal_timestep_embedding(
+                ids, c.addition_time_embed_dim,
+                flip_sin_to_cos=c.flip_sin_to_cos)
+            ids_emb = ids_emb.reshape(
+                b, c.num_time_ids * c.addition_time_embed_dim)
+            add = jnp.concatenate(
+                [pooled_text.astype(jnp.float32), ids_emb], axis=-1)
+            add = AdapterDense(t_dim, dtype=jnp.float32,
+                               name="add_linear_1")(add)
+            add = AdapterDense(t_dim, dtype=jnp.float32,
+                               name="add_linear_2")(nn.silu(add))
+            t_emb = t_emb + add
+
+        x = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(latents.astype(self.dtype))
+
+        st_cls = SpatialTransformer
+        rb_cls = TimeResnetBlock
+        if self.gradient_checkpointing:
+            st_cls = nn.remat(SpatialTransformer, prevent_cse=False,
+                              static_argnums=())
+            rb_cls = nn.remat(TimeResnetBlock, prevent_cse=False)
+
+        def attn_block(x, level, tag, idx):
+            n_t = c.transformer_layers[level]
+            if n_t == 0:
+                return x
+            heads, hd = self._heads(x.shape[-1])
+            return SpatialTransformer(
+                n_t, heads, hd, dtype=self.dtype,
+                name=f"{tag}_attn_{idx}")(x, text_emb.astype(self.dtype),
+                                          text_mask,
+                                          deterministic=deterministic)
+
+        # --- down ---
+        skips = [x]
+        for level, ch in enumerate(c.block_out_channels):
+            for j in range(c.layers_per_block):
+                x = rb_cls(ch, dtype=self.dtype,
+                           name=f"down_{level}_resnet_{j}")(x, t_emb)
+                x = attn_block(x, level, f"down_{level}", j)
+                skips.append(x)
+            if level < len(c.block_out_channels) - 1:
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"down_{level}_downsample")(x)
+                skips.append(x)
+
+        # --- mid ---
+        ch = c.block_out_channels[-1]
+        heads, hd = self._heads(ch)
+        x = rb_cls(ch, dtype=self.dtype, name="mid_resnet_0")(x, t_emb)
+        x = SpatialTransformer(
+            max(1, c.transformer_layers[-1]), heads, hd, dtype=self.dtype,
+            name="mid_attn")(x, text_emb.astype(self.dtype), text_mask,
+                             deterministic=deterministic)
+        x = rb_cls(ch, dtype=self.dtype, name="mid_resnet_1")(x, t_emb)
+
+        # --- up ---
+        for level, ch in reversed(list(enumerate(c.block_out_channels))):
+            for j in range(c.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = rb_cls(ch, dtype=self.dtype,
+                           name=f"up_{level}_resnet_{j}")(x, t_emb)
+                x = attn_block(x, level, f"up_{level}", j)
+            if level > 0:
+                b, hh, ww, cc = x.shape
+                x = jax.image.resize(x, (b, hh * 2, ww * 2, cc), "nearest")
+                x = nn.Conv(cc, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"up_{level}_upsample")(x)
+
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(c.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(x)

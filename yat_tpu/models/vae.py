@@ -1,0 +1,334 @@
+"""Variational autoencoders: SD AutoencoderKL (8x) and DC-AE (32x, SANA).
+
+The reference calls diffusers VAEs for latent extraction and decode
+(/root/reference/train_sana.py:78-82,152-156; features_extractor.py:76-80
+with the warning that autocast NaNs the VAE — here the VAE always runs in
+fp32 while the rest of the pipeline is bf16).
+
+AutoencoderKL mirrors the SD/SDXL structure one-to-one (same block/child
+names modulo framework) so torch checkpoints map onto the tree; layout is
+NHWC (TPU-native) with weights converted at load.
+
+DC-AE is SANA's 32x deep-compression autoencoder: conv stem, five 2x
+downsample stages with residual GLU conv blocks and linear-attention blocks
+in the low-res stages, 32-channel latent, mirrored decoder.  Structure
+follows the public DC-AE design (conv + EfficientViT blocks); checkpoint
+conversion arrives with the converter milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.models.layers import LiteLinearAttention
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full attention over the spatial grid (VAE mid block)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(c, name="to_q")(y)
+        k = nn.Dense(c, name="to_k")(y)
+        v = nn.Dense(c, name="to_v")(y)
+        attn = jax.nn.softmax(
+            (q @ k.transpose(0, 2, 1)).astype(jnp.float32) / jnp.sqrt(c), -1)
+        y = (attn.astype(v.dtype) @ v)
+        y = nn.Dense(c, name="to_out")(y)
+        return x + y.reshape(b, h, w, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class KLVAEConfig:
+    """SD1.5/SDXL defaults; scaling_factor 0.18215 (SD15) / 0.13025 (SDXL)."""
+
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    scaling_factor: float = 0.18215
+    shift_factor: Optional[float] = None    # SD3/Flux VAEs use a shift
+
+    @property
+    def compression(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+
+class KLEncoder(nn.Module):
+    cfg: KLVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(c.block_out_channels):
+            for j in range(c.layers_per_block):
+                h = ResnetBlock(ch, dtype=self.dtype,
+                                name=f"down_{i}_resnet_{j}")(h)
+            if i < len(c.block_out_channels) - 1:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        ch = c.block_out_channels[-1]
+        h = ResnetBlock(ch, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(ch, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(2 * c.latent_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv_out")(h)
+        return nn.Conv(2 * c.latent_channels, (1, 1), dtype=self.dtype,
+                       name="quant_conv")(h)
+
+
+class KLDecoder(nn.Module):
+    cfg: KLVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.cfg
+        z = nn.Conv(c.latent_channels, (1, 1), dtype=self.dtype,
+                    name="post_quant_conv")(z)
+        rev = tuple(reversed(c.block_out_channels))
+        h = nn.Conv(rev[0], (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(z)
+        h = ResnetBlock(rev[0], dtype=self.dtype, name="mid_resnet_0")(h)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(rev[0], dtype=self.dtype, name="mid_resnet_1")(h)
+        for i, ch in enumerate(rev):
+            for j in range(c.layers_per_block + 1):
+                h = ResnetBlock(ch, dtype=self.dtype,
+                                name=f"up_{i}_resnet_{j}")(h)
+            if i < len(rev) - 1:
+                b, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
+                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"up_{i}_upsample")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(c.in_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    """encode(x) → (mean, logvar); decode(z) → image.  fp32 always
+    (the reference's VAE-NaN lesson, features_extractor.py:76-80)."""
+
+    cfg: KLVAEConfig = KLVAEConfig()
+
+    def setup(self):
+        self.encoder = KLEncoder(self.cfg, name="encoder")
+        self.decoder = KLDecoder(self.cfg, name="decoder")
+
+    def encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        moments = self.encoder(x.astype(jnp.float32))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic latents ×scaling (train_sana.py:78-82 semantics)."""
+        mean, _ = self.encode(x)
+        z = mean
+        if self.cfg.shift_factor is not None:
+            z = z - self.cfg.shift_factor
+        return z * self.cfg.scaling_factor
+
+    def sample(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        mean, logvar = self.encode(x)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            rng, mean.shape, mean.dtype)
+        if self.cfg.shift_factor is not None:
+            z = z - self.cfg.shift_factor
+        return z * self.cfg.scaling_factor
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        z = z.astype(jnp.float32) / self.cfg.scaling_factor
+        if self.cfg.shift_factor is not None:
+            z = z + self.cfg.shift_factor
+        return self.decoder(z)
+
+    def __call__(self, x, rng=None):
+        z = self.encode_mode(x) if rng is None else self.sample(x, rng)
+        return self.decode(z)
+
+
+# ---------------------------------------------------------------------------
+# DC-AE (SANA): 32x deep-compression autoencoder
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DCAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 32
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512, 1024, 1024)
+    layers_per_block: Tuple[int, ...] = (2, 2, 2, 3, 3, 3)
+    attention_stages: Tuple[bool, ...] = (False, False, False, True, True, True)
+    scaling_factor: float = 0.41407
+
+    @property
+    def compression(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+
+class GLUConvBlock(nn.Module):
+    """Residual gated conv block (DC-AE's GLUMBConv residual unit)."""
+
+    channels: int
+    expand: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.channels * self.expand)
+        h = nn.Conv(hidden * 2, (1, 1), dtype=self.dtype, name="conv_in")(x)
+        h = nn.silu(h)
+        h = nn.Conv(hidden * 2, (3, 3), padding="SAME",
+                    feature_group_count=hidden * 2, dtype=self.dtype,
+                    name="conv_depth")(h)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.silu(g)
+        h = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_out")(h)
+        return x + h
+
+
+class LiteMLABlock(nn.Module):
+    """Residual linear-attention block for the low-res DC-AE stages."""
+
+    channels: int
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = nn.LayerNorm(name="norm")(x).reshape(b, h * w, c)
+        y = LiteLinearAttention(num_heads=self.heads, head_dim=c // self.heads,
+                                dtype=self.dtype, name="attn")(y)
+        x = x + y.reshape(b, h, w, c)
+        return GLUConvBlock(c, dtype=self.dtype, name="ff")(x)
+
+
+class DCAEEncoder(nn.Module):
+    cfg: DCAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(c.block_out_channels):
+            if i > 0:
+                # space-to-depth style downsample: strided conv
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                            dtype=self.dtype, name=f"down_{i}")(h)
+            for j in range(c.layers_per_block[i]):
+                if c.attention_stages[i]:
+                    h = LiteMLABlock(ch, dtype=self.dtype,
+                                     name=f"stage_{i}_block_{j}")(h)
+                else:
+                    h = GLUConvBlock(ch, dtype=self.dtype,
+                                     name=f"stage_{i}_block_{j}")(h)
+        return nn.Conv(c.latent_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class DCAEDecoder(nn.Module):
+    cfg: DCAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.cfg
+        rev_ch = tuple(reversed(c.block_out_channels))
+        rev_layers = tuple(reversed(c.layers_per_block))
+        rev_attn = tuple(reversed(c.attention_stages))
+        h = nn.Conv(rev_ch[0], (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(z)
+        for i, ch in enumerate(rev_ch):
+            for j in range(rev_layers[i]):
+                if rev_attn[i]:
+                    h = LiteMLABlock(ch, dtype=self.dtype,
+                                     name=f"stage_{i}_block_{j}")(h)
+                else:
+                    h = GLUConvBlock(ch, dtype=self.dtype,
+                                     name=f"stage_{i}_block_{j}")(h)
+            if i < len(rev_ch) - 1:
+                next_ch = rev_ch[i + 1]
+                # depth-to-space upsample
+                h = nn.Conv(next_ch * 4, (3, 3), padding="SAME",
+                            dtype=self.dtype, name=f"up_{i}")(h)
+                b, hh, ww, cc = h.shape
+                h = h.reshape(b, hh, ww, 2, 2, cc // 4)
+                h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hh * 2, ww * 2, cc // 4)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(c.in_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(h)
+
+
+class DCAE(nn.Module):
+    """Deterministic 32x autoencoder (no KL): encode ×scaling, decode."""
+
+    cfg: DCAEConfig = DCAEConfig()
+
+    def setup(self):
+        self.encoder = DCAEEncoder(self.cfg, name="encoder")
+        self.decoder = DCAEDecoder(self.cfg, name="decoder")
+
+    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(x.astype(jnp.float32)) * self.cfg.scaling_factor
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(z.astype(jnp.float32) / self.cfg.scaling_factor)
+
+    def __call__(self, x):
+        return self.decode(self.encode_mode(x))
+
+
+KLVAE_SD15 = KLVAEConfig(scaling_factor=0.18215)
+KLVAE_SDXL = KLVAEConfig(scaling_factor=0.13025)
+KLVAE_SD35 = KLVAEConfig(latent_channels=16, scaling_factor=1.5305,
+                         shift_factor=0.0609)
+KLVAE_FLUX = KLVAEConfig(latent_channels=16, scaling_factor=0.3611,
+                         shift_factor=0.1159)
+KLVAE_TINY_TEST = KLVAEConfig(block_out_channels=(32, 32),
+                              layers_per_block=1)
+DCAE_SANA = DCAEConfig()
+DCAE_TINY_TEST = DCAEConfig(block_out_channels=(32, 32, 64),
+                            layers_per_block=(1, 1, 1),
+                            attention_stages=(False, False, True))

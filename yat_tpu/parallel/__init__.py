@@ -1,0 +1,7 @@
+from yat_tpu.parallel.mesh import (
+    DATA_AXES,
+    batch_sharding,
+    create_mesh,
+    param_sharding_rules,
+    shard_pytree,
+)

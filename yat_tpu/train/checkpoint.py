@@ -1,0 +1,92 @@
+"""Full train-state checkpointing via Orbax.
+
+The reference saves weights-only and always restarts at global_step 0
+(/root/reference/common/trainer.py:86,239-240,295-296 — SURVEY §5 flags full
+resume as a required upgrade).  Here the entire TrainState — params,
+adapters, optimizer state, EMA, step — round-trips through Orbax, and
+weights-only export remains for interop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ckpt_manager(directory: str):
+    import orbax.checkpoint as ocp
+    options = ocp.CheckpointManagerOptions(max_to_keep=3, create=True)
+    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+
+def save_train_state(directory: str, state, step: int) -> None:
+    import orbax.checkpoint as ocp
+    mgr = _ckpt_manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+    mgr.wait_until_finished()
+
+
+def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]:
+    import orbax.checkpoint as ocp
+    if not os.path.isdir(directory):
+        return None, 0
+    mgr = _ckpt_manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return None, 0
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.asarray(x).shape,
+                                       np.asarray(x).dtype)
+        if not hasattr(x, "sharding")
+        else jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        like_state)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    return restored, int(step)
+
+
+def save_params_only(directory: str, params) -> None:
+    """Weights-only export (safetensors, flat dotted keys)."""
+    from safetensors.numpy import save_file
+
+    flat = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                flat[name] = np.ascontiguousarray(np.asarray(v))
+
+    walk(params)
+    os.makedirs(directory, exist_ok=True)
+    save_file(flat, os.path.join(directory, "model.safetensors"))
+
+
+def load_params_only(path: str, like) -> Any:
+    """Load a flat safetensors file back into a nested params tree."""
+    from safetensors.numpy import load_file
+    if os.path.isdir(path):
+        path = os.path.join(path, "model.safetensors")
+    flat = load_file(path)
+
+    def walk(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out[k] = walk(v, name)
+            else:
+                if name not in flat:
+                    raise KeyError(f"{path} missing parameter {name}")
+                arr = flat[name]
+                if tuple(arr.shape) != tuple(np.asarray(v).shape):
+                    raise ValueError(f"shape mismatch for {name}: "
+                                     f"{arr.shape} vs {np.asarray(v).shape}")
+                out[k] = arr
+        return out
+
+    return walk(like)

@@ -1,0 +1,146 @@
+"""Phase-1 feature precompute: images+captions → {ratio, latent, emb} shards.
+
+Rebuild of /root/reference/common/features_extractor.py:39-135 and
+common/dataset_fetcher.py: iterate bucketed image batches, run the VAE and
+text encoder on device (fp32 VAE island — the reference warns autocast NaNs,
+features_extractor.py:76-80), write WebDataset shards, upload asynchronously
+with bounded backpressure (2 workers, ≤4 pending, features_extractor.py:
+68-119 parity).
+
+The encoders are callables supplied by the frontend:
+    encode_images(np [B,H,W,3] in [-1,1]) -> np latents [B,h,w,c]
+    encode_captions(list[str]) -> list of np [L_i, D] (mask-compressed,
+    train_sana.py:92-94 parity)
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+from yat_tpu.data.sampler import Batch
+from yat_tpu.data.tar import ShardWriter
+
+
+class FeatureExtractor:
+    def __init__(
+        self,
+        sampler: Iterable[Batch],                     # ImageBucketSampler
+        encode_images: Callable[[np.ndarray], np.ndarray],
+        encode_captions: Callable[[List[str]], List[np.ndarray]],
+        output_dir: str = "features",
+        shard_size: int = 1000,
+        vae_max_batch_size: Optional[int] = None,
+        text_encoder_max_batch_size: Optional[int] = None,
+        upload_url_fn: Optional[Callable[[str, int], str]] = None,
+        max_pending_uploads: int = 4,
+        max_samples: Optional[int] = None,
+    ):
+        self.sampler = sampler
+        self.encode_images = encode_images
+        self.encode_captions = encode_captions
+        self.output_dir = output_dir
+        self.shard_size = shard_size
+        self.vae_bs = vae_max_batch_size
+        self.te_bs = text_encoder_max_batch_size
+        self.upload_url_fn = upload_url_fn
+        self.max_pending = max_pending_uploads
+        self.max_samples = max_samples
+        self._pending = 0
+        self._lock = threading.Condition()
+        self._pool = ThreadPoolExecutor(max_workers=2) if upload_url_fn else None
+
+    # -- async upload with ≤4-pending backpressure (:68-119) --------------
+    def _upload(self, path: str, index: int):
+        from yat_tpu.data.r2 import upload_file
+        try:
+            upload_file(self.upload_url_fn(path, index), path)
+            os.remove(path)
+        except Exception as e:  # noqa: BLE001
+            print(f"[extract] upload failed for {path}: {e}")
+        finally:
+            with self._lock:
+                self._pending -= 1
+                self._lock.notify_all()
+
+    def _on_shard_complete(self, path: str, index: int):
+        if self._pool is None:
+            return
+        with self._lock:
+            while self._pending >= self.max_pending:
+                self._lock.wait()
+            self._pending += 1
+        self._pool.submit(self._upload, path, index)
+
+    # -- chunked encoding (vae/text max batch sizes, bucket_sampler:338-361)
+    def _encode_chunked(self, images: np.ndarray, captions: List[str]):
+        vb = self.vae_bs or len(images)
+        latents = np.concatenate([
+            np.asarray(self.encode_images(images[i:i + vb]))
+            for i in range(0, len(images), vb)])
+        tb = self.te_bs or len(captions)
+        embs: List[np.ndarray] = []
+        for i in range(0, len(captions), tb):
+            embs.extend(self.encode_captions(captions[i:i + tb]))
+        return latents, embs
+
+    def run(self) -> int:
+        os.makedirs(self.output_dir, exist_ok=True)
+        written = 0
+        key = 0
+        with ShardWriter(os.path.join(self.output_dir, "shard-%06d.tar"),
+                         maxcount=self.shard_size,
+                         on_shard_complete=self._on_shard_complete) as w:
+            for batch in self.sampler:
+                latents, embs = self._encode_chunked(batch.images,
+                                                     batch.captions)
+                for i in range(len(latents)):
+                    w.write({
+                        "__key__": f"{key:08d}",
+                        "ratio": str(batch.ratio),
+                        "latent.npy": np.asarray(latents[i], np.float32),
+                        "emb.npy": np.asarray(embs[i], np.float32),
+                    })
+                    key += 1
+                    written += 1
+                if self.max_samples and written >= self.max_samples:
+                    break
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        return written
+
+
+def run_feature_extraction(trainer) -> int:
+    """CLI glue for 'extract_features' configs (train_sana.py:230-235)."""
+    params = trainer.params
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+
+    cfg = getattr(trainer, "sana_config", None)
+    resolution = cfg.resolution if cfg is not None else 512
+    bins = bin_for_resolution(params.aspect_ratios or resolution)
+    if params.local_shard_paths:
+        source = LocalShardSource(params.local_shard_paths,
+                                  seed=params.dataset_seed)
+    else:
+        raise NotImplementedError(
+            "R2-source extraction wiring lands with the encoder pipelines")
+    sampler = ImageBucketSampler(source, params.batch_size, bins,
+                                 seed=params.dataset_seed)
+    encode_images = getattr(trainer, "encode_images", None)
+    encode_captions = getattr(trainer, "encode_captions", None)
+    if encode_images is None or encode_captions is None:
+        raise NotImplementedError(
+            "this frontend has no encoder pipeline yet (VAE/TE land in the "
+            "encoders milestone)")
+    ex = FeatureExtractor(
+        sampler, encode_images, encode_captions,
+        output_dir=params.r2_dataset_folder or "features",
+        shard_size=params.r2_upload_shard_size or 1000,
+        vae_max_batch_size=params.vae_max_batch_size,
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+    return ex.run()

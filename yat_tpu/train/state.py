@@ -1,0 +1,108 @@
+"""Train state and optimizer construction.
+
+Functional replacement for the reference's stateful trainer init
+(/root/reference/common/trainer.py:243-268): optax chain of grad-clip 1.0 +
+AdamW (or Lion, the reference's 'use_adamw_8bit' actually instantiating
+Lion8bit — trainer.py:250), warmup LambdaLR as an optax schedule, EMA shadow
+params (decay 0.999), gradient accumulation via optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from yat_tpu.config import TrainingParameters
+
+
+class TrainState(struct.PyTreeNode):
+    """Everything that evolves during training, as one pytree."""
+
+    step: jnp.ndarray                       # scalar int32, optimizer syncs
+    params: Any                             # base model params
+    adapters: Optional[Any]                 # trainable adapter tree (or None)
+    adapters_meta: Any = struct.field(pytree_node=True, default=None)
+    opt_state: Any = None
+    ema: Optional[Any] = None               # shadow of the trainable tree
+
+    @property
+    def trainable(self):
+        return self.adapters if self.adapters is not None else self.params
+
+    def variables(self, trainable=None):
+        """Assemble flax variable dict for apply."""
+        t = trainable if trainable is not None else self.trainable
+        if self.adapters is not None:
+            return {"params": self.params, "adapters": t,
+                    "adapters_meta": self.adapters_meta}
+        return {"params": t}
+
+    def base_variables(self):
+        """Variables with adapters *disabled* (the frozen base model) —
+        the preservation-loss reference copy, free of charge."""
+        return {"params": self.params}
+
+
+def make_lr_schedule(params: TrainingParameters) -> optax.Schedule:
+    """Warmup ramp (trainer.py:255-262) with optional cyclic-triangular mode
+    (parsed-but-unused in the reference, reader :149-160; implemented here)."""
+    base = params.learning_rate
+    warmup = params.warmup_steps or 0
+
+    if params.cyclic_lr_max_lr is not None:
+        up, down = params.cyclic_lr_step_size_up, params.cyclic_lr_step_size_down
+        max_lr = params.cyclic_lr_max_lr
+
+        def cyclic(step):
+            pos = jnp.mod(step, up + down)
+            frac = jnp.where(pos < up, pos / up, 1.0 - (pos - up) / down)
+            return base + (max_lr - base) * frac
+
+        if warmup == 0:
+            return cyclic
+        return lambda step: jnp.where(
+            step < warmup, base * step / warmup, cyclic(step - warmup))
+
+    if warmup == 0:
+        return lambda step: jnp.asarray(base, jnp.float32)
+    return lambda step: jnp.asarray(base, jnp.float32) * jnp.minimum(
+        1.0, step / warmup)
+
+
+def make_optimizer(params: TrainingParameters) -> optax.GradientTransformation:
+    lr = make_lr_schedule(params)
+    if params.use_adamw_8bit:
+        # reference name notwithstanding, this is Lion (trainer.py:250);
+        # int8 state quantization arrives with the quant subsystem
+        inner = optax.lion(learning_rate=lr, weight_decay=params.weight_decay)
+    else:
+        inner = optax.adamw(learning_rate=lr, weight_decay=params.weight_decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(params.max_grad_norm),   # trainer.py:347
+        inner,
+    )
+    if params.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, params.gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(
+    base_params: Any,
+    tx: optax.GradientTransformation,
+    adapters: Optional[Any] = None,
+    adapters_meta: Optional[Any] = None,
+    use_ema: bool = False,
+) -> TrainState:
+    trainable = adapters if adapters is not None else base_params
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=base_params,
+        adapters=adapters,
+        adapters_meta=adapters_meta,
+        opt_state=tx.init(trainable),
+        ema=jax.tree.map(jnp.copy, trainable) if use_ema else None,
+    )

@@ -1,0 +1,141 @@
+"""The pure, jittable training step.
+
+One compiled program per (bucket shape, caption length): the step takes a
+batch dict of static-shaped arrays, draws timesteps/noise on device, runs the
+loss, takes grads w.r.t. the trainable tree only, applies optax updates, and
+advances EMA on gradient-sync steps.  Replaces the reference's hot loop body
+(/root/reference/common/trainer.py:310-356) with everything fused under one
+jit — no host round-trips per step.
+
+Reference-parity features implemented on-device:
+* unconditional-caption dropout (trainer.py:318-323): a traced bernoulli
+  swaps the caption batch for the precomputed empty embedding.
+* exploration steps (trainer.py:325-336): best-of-N noise search via
+  ``lax.map`` over candidate RNGs, grads taken at the argmin.
+* preservation loss (README.md:81-82, unimplemented upstream): with adapter
+  training the frozen reference model is the base-params apply — no weight
+  copy is ever materialized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yat_tpu.train.state import TrainState
+
+# A task loss: (variables, batch, rng, deterministic) -> scalar fp32 loss.
+TaskLoss = Callable[..., jnp.ndarray]
+
+
+def make_train_step(
+    *,
+    task_loss: TaskLoss,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    use_ema: bool = False,
+    uncond_prob: float = 0.0,
+    exploration_steps: Optional[int] = None,
+    preservation_ratio: float = 0.0,
+    preservation_loss: Optional[TaskLoss] = None,
+    accum_steps: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted step.  The returned callable:
+
+        new_state, metrics = step(state, batch, rng)
+
+    ``batch`` must contain ``embeddings`` and, when ``uncond_prob > 0``,
+    ``empty_embeddings`` broadcastable to it (the precomputed empty-caption
+    embedding, trainer.py:306-308).
+    """
+
+    def loss_for(trainable, state: TrainState, batch, rng):
+        variables = state.variables(trainable)
+        loss = task_loss(variables, batch, rng, deterministic=False)
+        if preservation_ratio > 0.0 and preservation_loss is not None:
+            base_vars = state.base_variables()
+            loss = loss + preservation_ratio * preservation_loss(
+                variables, base_vars, batch, rng)
+        return loss
+
+    def apply_uncond_dropout(batch: Dict[str, Any], rng):
+        if uncond_prob <= 0.0 or "empty_embeddings" not in batch:
+            return batch
+        # batch-level swap, matching the reference's whole-batch replacement
+        use_uncond = jax.random.bernoulli(rng, uncond_prob)
+        emb = batch["embeddings"]
+        empty = jnp.broadcast_to(batch["empty_embeddings"], emb.shape)
+        new = dict(batch)
+        new["embeddings"] = jnp.where(use_uncond, empty.astype(emb.dtype), emb)
+        if "text_mask" in batch and "empty_text_mask" in batch:
+            m = batch["text_mask"]
+            em = jnp.broadcast_to(batch["empty_text_mask"], m.shape)
+            new["text_mask"] = jnp.where(use_uncond, em.astype(m.dtype), m)
+        return new
+
+    def pick_noise_rng(state, batch, rng_pool):
+        """Best-of-N noise search without grads (exploration steps)."""
+        n = exploration_steps
+        keys = jax.random.split(rng_pool, n)
+
+        def eval_one(k):
+            return task_loss(state.variables(), batch, k, deterministic=True)
+
+        losses = jax.lax.map(eval_one, keys)
+        return keys[jnp.argmin(losses)]
+
+    def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng_drop, rng_noise = jax.random.split(rng)
+        batch = apply_uncond_dropout(batch, rng_drop)
+
+        if exploration_steps:
+            rng_noise = pick_noise_rng(state, batch, rng_noise)
+
+        loss, grads = jax.value_and_grad(loss_for)(
+            state.trainable, state, batch, rng_noise)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        new_ema = state.ema
+        if use_ema and state.ema is not None:
+            if accum_steps > 1:
+                # only advance EMA when the MultiSteps optimizer synced
+                synced = (new_opt_state.mini_step == 0)
+                decay_eff = jnp.where(synced, ema_decay, 1.0)
+            else:
+                decay_eff = ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * decay_eff + p * (1.0 - decay_eff),
+                state.ema, new_trainable)
+
+        if state.adapters is not None:
+            new_state = state.replace(step=state.step + 1,
+                                      adapters=new_trainable,
+                                      opt_state=new_opt_state, ema=new_ema)
+        else:
+            new_state = state.replace(step=state.step + 1,
+                                      params=new_trainable,
+                                      opt_state=new_opt_state, ema=new_ema)
+        metrics = {"loss": loss.astype(jnp.float32),
+                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_loss(task_loss: TaskLoss):
+    """Jitted no-grad loss evaluation (used by validation and tests)."""
+
+    @jax.jit
+    def eval_loss(state: TrainState, batch, rng):
+        return task_loss(state.variables(), batch, rng, deterministic=True)
+
+    return eval_loss

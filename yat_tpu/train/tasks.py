@@ -1,0 +1,129 @@
+"""Task losses: flow matching and epsilon prediction, model-agnostic.
+
+Each loss factory takes a flax module (the denoiser) plus a schedule and
+returns a ``TaskLoss`` for ``make_train_step``.  Batch dict keys:
+
+  latents      [B, H, W, C]   (bf16, already VAE-scaled)
+  embeddings   [B, L, D_txt]  (padded caption embeddings)
+  text_mask    [B, L]         (1 = real token)  — optional
+  extra model kwargs go through ``extra_keys`` (e.g. SDXL time_ids).
+
+Semantics match the reference exactly:
+* flow matching: x_t=(1-s)x+s*eps, target eps-x, MSE in fp32
+  (/root/reference/train_sana.py:183-219)
+* epsilon: DDPM add_noise, target eps, MSE in fp32
+  (/root/reference/train_sd15.py:140-165, train_pixart_sigma.py:173-184)
+* both draw timesteps from the logit-normal density, or uniformly from a
+  fixed refiner list (common/trainer.py:51-64,96-101)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
+
+
+def _model_kwargs(batch, extra_keys: Sequence[str]):
+    return {k: batch[k] for k in extra_keys if k in batch}
+
+
+def make_flow_matching_loss(
+    model,
+    schedule: FlowMatchSchedule,
+    timestep_list: Optional[Tuple[int, ...]] = None,
+    extra_keys: Sequence[str] = (),
+    snr_weighting: bool = False,
+):
+    timestep_list = tuple(timestep_list) if timestep_list else None
+
+    def task_loss(variables, batch, rng, deterministic: bool = True):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        k_t, k_n, k_d = jax.random.split(rng, 3)
+        timesteps, sigmas = schedule.training_draw(
+            k_t, b, timestep_list=timestep_list)
+        noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+        x_t = schedule.add_noise(latents, noise, sigmas)
+        rngs = None if deterministic else {"dropout": k_d}
+        pred = model.apply(
+            variables, x_t, batch["embeddings"], timesteps,
+            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
+            **_model_kwargs(batch, extra_keys))
+        target = schedule.velocity_target(latents, noise)
+        err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if snr_weighting:
+            w = (sigmas ** -2.0).reshape(b, *([1] * (latents.ndim - 1)))
+            err = err * w
+        return jnp.mean(err)
+
+    return task_loss
+
+
+def make_epsilon_loss(
+    model,
+    schedule: DDPMSchedule,
+    timestep_list: Optional[Tuple[int, ...]] = None,
+    extra_keys: Sequence[str] = (),
+):
+    timestep_list = tuple(timestep_list) if timestep_list else None
+
+    def task_loss(variables, batch, rng, deterministic: bool = True):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        k_t, k_n, k_d = jax.random.split(rng, 3)
+        timesteps = schedule.training_draw(k_t, b, timestep_list=timestep_list)
+        noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+        x_t = schedule.add_noise(latents, noise, timesteps)
+        rngs = None if deterministic else {"dropout": k_d}
+        pred = model.apply(
+            variables, x_t, batch["embeddings"], timesteps,
+            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
+            **_model_kwargs(batch, extra_keys))
+        target = schedule.target(latents, noise, timesteps)
+        return jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+    return task_loss
+
+
+def make_preservation_loss(
+    model,
+    schedule,
+    is_flow: bool = True,
+    extra_keys: Sequence[str] = (),
+):
+    """Frozen-copy reconstruction: MSE between the adapted model's prediction
+    and the base (adapter-free) model's prediction on identical noisy inputs.
+
+    Documented in the reference README (use_preservation/preservation_ratio,
+    README.md:81-82) but never wired into its loop; implemented here as
+    documented.  With adapter training the 'frozen copy' is the base-params
+    apply — no second weight tree exists.
+    """
+
+    def pres_loss(variables, base_variables, batch, rng):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        k_t, k_n = jax.random.split(rng)
+        if is_flow:
+            timesteps, sigmas = schedule.training_draw(k_t, b)
+            noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+            x_t = schedule.add_noise(latents, noise, sigmas)
+        else:
+            timesteps = schedule.training_draw(k_t, b)
+            noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+            x_t = schedule.add_noise(latents, noise, timesteps)
+        kwargs = _model_kwargs(batch, extra_keys)
+        pred = model.apply(variables, x_t, batch["embeddings"], timesteps,
+                           batch.get("text_mask"), deterministic=True, **kwargs)
+        ref = model.apply(base_variables, x_t, batch["embeddings"], timesteps,
+                          batch.get("text_mask"), deterministic=True, **kwargs)
+        ref = jax.lax.stop_gradient(ref)
+        return jnp.mean(
+            (pred.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2)
+
+    return pres_loss

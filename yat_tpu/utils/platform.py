@@ -1,0 +1,24 @@
+"""Platform selection honoring JAX_PLATFORMS despite eager jax pre-import.
+
+Some environments pre-import jax via sitecustomize (registering a remote TPU
+plugin) before user code runs, which freezes the platform choice made from
+the environment at interpreter start — silently ignoring a later
+``JAX_PLATFORMS=cpu python train_x.py``.  Calling this before any device use
+re-applies the env var through jax.config, which still works because
+backends initialize lazily.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env() -> None:
+    import jax
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        jax.config.update("jax_platforms", want)
+    except Exception as e:  # noqa: BLE001 — backend already initialized
+        print(f"[platform] could not apply JAX_PLATFORMS={want}: {e}")
