@@ -1,0 +1,121 @@
+"""Numerical parity: torch HF models → converters → our flax encoders.
+
+Tiny randomly-initialized torch models from the installed ``transformers``
+are converted and compared against our forwards — this locks down both the
+converter key maps and the architecture implementations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from yat_tpu.models.convert import (
+    convert_clip_text,
+    convert_gemma2,
+    convert_t5_encoder,
+    merge_into,
+)
+
+
+def torch_sd_to_numpy(model):
+    return {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+
+
+def test_clip_text_parity():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel as HFModel
+    from yat_tpu.models.text_encoders import CLIPTextConfig, CLIPTextModel
+
+    # eos_token_id must be findable in the tiny vocab: HF pools at the
+    # first eos position; ours pools at argmax(ids) — identical whenever
+    # the sequence contains the EOT token (always true in SD pipelines)
+    hf_cfg = HFCfg(vocab_size=99, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=2,
+                   max_position_embeddings=16, hidden_act="quick_gelu",
+                   eos_token_id=98, bos_token_id=97)
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+
+    ids = torch.tensor([[5, 9, 13, 98, 1, 1, 1, 1]])
+    with torch.no_grad():
+        hf_out = hf(ids)
+    hf_hidden = hf_out.last_hidden_state.numpy()
+    hf_pooled = hf_out.pooler_output.numpy()
+
+    cfg = CLIPTextConfig(vocab_size=99, hidden_dim=32, num_layers=2,
+                         num_heads=2, mlp_ratio=2.0, max_length=16)
+    m = CLIPTextModel(cfg=cfg, dtype=jnp.float32)
+    init = m.init(jax.random.PRNGKey(0), jnp.asarray(ids.numpy()))
+    converted = convert_clip_text(torch_sd_to_numpy(hf), num_layers=2)
+    params = merge_into(init["params"], converted)
+    hidden, pooled = m.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(hidden), hf_hidden,
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled), hf_pooled,
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_t5_encoder_parity():
+    from transformers import T5Config as HFCfg, T5EncoderModel as HFModel
+    from yat_tpu.models.text_encoders import T5Config, T5Encoder
+
+    hf_cfg = HFCfg(vocab_size=99, d_model=32, d_kv=16, d_ff=64,
+                   num_layers=2, num_heads=2, is_gated_act=True,
+                   dense_act_fn="gelu_new", feed_forward_proj="gated-gelu",
+                   relative_attention_num_buckets=8,
+                   relative_attention_max_distance=20)
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+
+    ids = torch.tensor([[5, 9, 13, 20, 0, 0]])
+    mask = torch.tensor([[1, 1, 1, 1, 0, 0]])
+    with torch.no_grad():
+        hf_hidden = hf(ids, attention_mask=mask).last_hidden_state.numpy()
+
+    cfg = T5Config(vocab_size=99, hidden_dim=32, num_layers=2, num_heads=2,
+                   head_dim=16, ffn_dim=64, relative_buckets=8,
+                   relative_max_distance=20)
+    m = T5Encoder(cfg=cfg, dtype=jnp.float32)
+    jids = jnp.asarray(ids.numpy())
+    jmask = jnp.asarray(mask.numpy())
+    init = m.init(jax.random.PRNGKey(0), jids, jmask)
+    converted = convert_t5_encoder(torch_sd_to_numpy(hf), num_layers=2)
+    params = merge_into(init["params"], converted)
+    hidden = m.apply({"params": params}, jids, jmask)
+    # compare only unmasked positions (HF computes garbage on masked ones too
+    # but identical math); all positions should actually match
+    np.testing.assert_allclose(np.asarray(hidden)[:, :4], hf_hidden[:, :4],
+                               atol=3e-4, rtol=3e-3)
+
+
+def test_gemma2_parity():
+    from transformers import Gemma2Config as HFCfg, Gemma2Model as HFModel
+    from yat_tpu.models.text_encoders import GemmaConfig, Gemma2Encoder
+
+    hf_cfg = HFCfg(vocab_size=99, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=2,
+                   num_key_value_heads=1, head_dim=16,
+                   query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+                   sliding_window=512, rope_theta=10000.0,
+                   hidden_activation="gelu_pytorch_tanh")
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+
+    ids = torch.tensor([[2, 10, 20, 30]])
+    mask = torch.ones((1, 4), dtype=torch.long)
+    with torch.no_grad():
+        hf_hidden = hf(ids, attention_mask=mask).last_hidden_state.numpy()
+
+    cfg = GemmaConfig(vocab_size=99, hidden_dim=32, num_layers=2,
+                      num_heads=2, num_kv_heads=1, head_dim=16, ffn_dim=64,
+                      rope_theta=10000.0, attn_logit_softcap=50.0)
+    m = Gemma2Encoder(cfg=cfg, dtype=jnp.float32)
+    jids = jnp.asarray(ids.numpy())
+    jmask = jnp.asarray(mask.numpy())
+    init = m.init(jax.random.PRNGKey(0), jids, jmask)
+    converted = convert_gemma2(torch_sd_to_numpy(hf), num_layers=2)
+    params = merge_into(init["params"], converted)
+    hidden = m.apply({"params": params}, jids, jmask)
+    np.testing.assert_allclose(np.asarray(hidden), hf_hidden,
+                               atol=3e-4, rtol=3e-3)

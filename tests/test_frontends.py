@@ -1,0 +1,138 @@
+"""Each model-family frontend trains 2 steps end-to-end on a tiny shard."""
+
+import numpy as np
+import pytest
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.tar import TarShardWriter
+
+
+def write_shard(path, lat_shape, emb_dim, pooled_dim=None, n=8):
+    rng = np.random.default_rng(0)
+    with TarShardWriter(str(path)) as w:
+        for i in range(n):
+            sample = {
+                "__key__": f"{i:06d}",
+                "ratio": "1.0",
+                "latent.npy": rng.standard_normal(lat_shape,
+                                                  dtype=np.float32),
+                "emb.npy": rng.standard_normal((5, emb_dim),
+                                               dtype=np.float32),
+            }
+            if pooled_dim:
+                sample["pooled.npy"] = rng.standard_normal(
+                    (pooled_dim,), dtype=np.float32)
+            w.write(sample)
+    return str(path)
+
+
+def base_params(tmp_path, shard, **over):
+    cfg = dict(
+        local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
+        steps="2", num_steps_per_validation="100", validation_prompts=[],
+        output_dir=str(tmp_path / "models"),
+        mesh_shape={"dp": "2"},   # batch 2 over a 2-device subset
+    )
+    cfg.update(over)
+    return TrainingParameters.from_dict(cfg)
+
+
+TINY_DIT = {  # shared tiny overrides for DiT-family configs
+    "hidden_dim": "32", "num_layers": "1", "num_attention_heads": "2",
+    "attention_head_dim": "16", "caption_channels": "16",
+    "max_caption_len": "8", "mlp_ratio": "1.0",
+}
+
+
+def run_two_steps(trainer):
+    trainer.run()
+    assert trainer.global_step == 2
+
+
+def test_sana_frontend(tmp_path):
+    from yat_tpu.frontends.sana import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        **TINY_DIT, "num_cross_attention_heads": "2",
+        "cross_attention_head_dim": "16", "in_channels": "4",
+        "out_channels": "4", "sample_size": "8"})
+    run_two_steps(make_trainer(p))
+
+
+def test_pixart_frontend_with_repa(tmp_path):
+    from yat_tpu.frontends.pixart import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 16)
+    p = base_params(tmp_path, shard, use_repa="1", model_config_overrides={
+        **TINY_DIT, "in_channels": "4", "out_channels": "8",
+        "sample_size": "8", "repa_depth": "0"})
+    t = make_trainer(p)
+    # REPA features ride the batch; inject via batch_transform
+    rng = np.random.default_rng(1)
+
+    def add_repa(batch, out):
+        out["repa_features"] = rng.standard_normal(
+            (out["latents"].shape[0], 256, 768)).astype(np.float32)
+        return out
+
+    t.batch_transform = add_repa
+    run_two_steps(t)
+
+
+def test_sd15_frontend(tmp_path):
+    from yat_tpu.frontends.sd15 import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (16, 16, 4), 16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        "block_out_channels": ["32", "64"], "layers_per_block": "1",
+        "transformer_layers": ["1", "1"], "cross_attention_dim": "16",
+        "num_heads": "2"})
+    run_two_steps(make_trainer(p))
+
+
+def test_sdxl_frontend(tmp_path):
+    from yat_tpu.frontends.sdxl import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (16, 16, 4), 16, pooled_dim=16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        "block_out_channels": ["32", "64"], "layers_per_block": "1",
+        "transformer_layers": ["0", "1"], "cross_attention_dim": "16",
+        "num_heads": "2", "addition_embed_dim": "16", "pooled_dim": "16"})
+    run_two_steps(make_trainer(p))
+
+
+def test_sd35_frontend(tmp_path):
+    from yat_tpu.frontends.sd35 import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 16), 16, pooled_dim=16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        "hidden_dim": "32", "num_layers": "2", "num_heads": "2",
+        "caption_dim": "16", "pooled_dim": "16", "max_caption_len": "8",
+        "mlp_ratio": "1.0"})
+    run_two_steps(make_trainer(p))
+
+
+def test_flux_frontend(tmp_path):
+    from yat_tpu.frontends.flux import make_trainer
+    # 16ch VAE latents at 8x8 → patchified to 4x4x64... tiny: use in_ch 16
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        "in_channels": "16", "hidden_dim": "32", "num_double_blocks": "1",
+        "num_single_blocks": "1", "num_heads": "2", "text_dim": "16",
+        "axes_dims": ["4", "6", "6"]})
+    # loss patchifies 4ch 8x8 → 16ch 4x4 tokens matching in_channels=16
+    import yat_tpu.frontends.flux as ff
+    orig = ff.FLUX_CAPTION_LEN
+    ff.FLUX_CAPTION_LEN = 8
+    try:
+        run_two_steps(make_trainer(p))
+    finally:
+        ff.FLUX_CAPTION_LEN = orig
+
+
+def test_pixeldit_frontend(tmp_path):
+    from yat_tpu.frontends.pixeldit import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (16, 16, 3), 16)
+    p = base_params(tmp_path, shard, model_config_overrides={
+        "patch_size": "8", "pixel_patch": "2", "hidden_dim": "32",
+        "pixel_hidden_dim": "16", "num_layers": "1",
+        "num_pixel_layers": "1", "num_heads": "2",
+        "caption_channels": "16", "max_caption_len": "8",
+        "mlp_ratio": "1.0", "repa_depth": "0"})
+    run_two_steps(make_trainer(p))

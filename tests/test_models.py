@@ -1,0 +1,183 @@
+"""Forward-pass smoke tests for every model family (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+B = 2
+
+
+def test_pixart_forward_and_repa():
+    from yat_tpu.models.pixart import PIXART_TINY_TEST, PixArtTransformer2D
+    m = PixArtTransformer2D(cfg=PIXART_TINY_TEST, dtype=jnp.float32)
+    lat = jnp.zeros((B, 8, 8, 4))
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.zeros((B,))
+    mask = jnp.ones((B, 8), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), lat, txt, ts, mask)
+    out = m.apply(vs, lat, txt, ts, mask)
+    # learned sigma: out_channels = 2 * in_channels; loss slices first half
+    assert out.shape == (B, 8, 8, 8)
+    vs2 = m.init(jax.random.PRNGKey(0), lat, txt, ts, mask, return_repa=True)
+    out2, repa = m.apply(vs2, lat, txt, ts, mask, return_repa=True)
+    assert repa.shape == (B, 16, 768)  # 4x4 grid of patch-2 tokens
+
+
+def test_unet_sd15_shape():
+    from yat_tpu.models.unet import UNET_TINY_TEST, UNet2DCondition
+    m = UNet2DCondition(cfg=UNET_TINY_TEST, dtype=jnp.float32)
+    lat = jnp.zeros((B, 16, 16, 4))
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.zeros((B,))
+    vs = m.init(jax.random.PRNGKey(0), lat, txt, ts, None)
+    out = m.apply(vs, lat, txt, ts, None)
+    assert out.shape == (B, 16, 16, 4)
+
+
+def test_unet_sdxl_micro_conditioning():
+    import dataclasses
+    from yat_tpu.models.unet import UNET_TINY_TEST, UNet2DCondition
+    cfg = dataclasses.replace(UNET_TINY_TEST, addition_embed_dim=16)
+    m = UNet2DCondition(cfg=cfg, dtype=jnp.float32)
+    lat = jnp.zeros((B, 16, 16, 4))
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.zeros((B,))
+    pooled = jnp.zeros((B, 16))
+    time_ids = jnp.asarray([[512, 512, 0, 0, 512, 512]] * B, jnp.float32)
+    vs = m.init(jax.random.PRNGKey(0), lat, txt, ts, None,
+                pooled_text=pooled, time_ids=time_ids)
+    out = m.apply(vs, lat, txt, ts, None, pooled_text=pooled,
+                  time_ids=time_ids)
+    assert out.shape == (B, 16, 16, 4)
+    # missing micro-conditioning must raise
+    with pytest.raises(ValueError, match="time_ids"):
+        m.init(jax.random.PRNGKey(0), lat, txt, ts, None)
+
+
+def test_mmdit_forward():
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiT
+    m = MMDiT(cfg=MMDIT_TINY_TEST, dtype=jnp.float32)
+    lat = jnp.zeros((B, 8, 8, 16))
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.zeros((B,))
+    pooled = jnp.zeros((B, 16))
+    vs = m.init(jax.random.PRNGKey(0), lat, txt, ts, None,
+                pooled_text=pooled)
+    out = m.apply(vs, lat, txt, ts, None, pooled_text=pooled)
+    assert out.shape == (B, 8, 8, 16)
+
+
+def test_flux_forward_and_packing():
+    from yat_tpu.models.flux import (
+        FLUX_TINY_TEST, FluxTransformer, latent_ids, pack_latents,
+        patchify_latents, unpack_latents, unpatchify_latents)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, 4))
+    patched = patchify_latents(lat)
+    assert patched.shape == (B, 4, 4, 16)
+    np.testing.assert_allclose(np.asarray(unpatchify_latents(patched)),
+                               np.asarray(lat), atol=1e-6)
+    tokens = pack_latents(patched)
+    assert tokens.shape == (B, 16, 16)
+    np.testing.assert_allclose(
+        np.asarray(unpack_latents(tokens, (4, 4))),
+        np.asarray(patched), atol=1e-6)
+
+    m = FluxTransformer(cfg=FLUX_TINY_TEST, dtype=jnp.float32)
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.full((B,), 0.5)
+    ids = latent_ids(4, 4)
+    vs = m.init(jax.random.PRNGKey(0), tokens, txt, ts, ids)
+    out = m.apply(vs, tokens, txt, ts, ids)
+    assert out.shape == (B, 16, 16)
+
+
+def test_pixeldit_forward_and_repa():
+    from yat_tpu.models.pixeldit import PIXELDIT_TINY_TEST, PixelDiT
+    m = PixelDiT(cfg=PIXELDIT_TINY_TEST, dtype=jnp.float32)
+    px = jnp.zeros((B, 16, 16, 3))
+    txt = jnp.zeros((B, 8, 16))
+    ts = jnp.zeros((B,))
+    vs = m.init(jax.random.PRNGKey(0), px, txt, ts, None, return_repa=True)
+    out, repa = m.apply(vs, px, txt, ts, None, return_repa=True)
+    assert out.shape == (B, 16, 16, 3)
+    assert repa.shape == (B, 4, 768)   # 2x2 grid of 8px patches
+
+
+def test_kl_vae_roundtrip_shapes():
+    from yat_tpu.models.vae import KLVAE_TINY_TEST, AutoencoderKL
+    m = AutoencoderKL(cfg=KLVAE_TINY_TEST)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    vs = m.init(jax.random.PRNGKey(1), x)
+    z = m.apply(vs, x, method=m.encode_mode)
+    assert z.shape == (1, 8, 8, 4)     # 2x compression (2 blocks)
+    img = m.apply(vs, z, method=m.decode)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dcae_roundtrip_shapes():
+    from yat_tpu.models.vae import DCAE_TINY_TEST, DCAE
+    m = DCAE(cfg=DCAE_TINY_TEST)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    vs = m.init(jax.random.PRNGKey(1), x)
+    z = m.apply(vs, x, method=m.encode_mode)
+    assert z.shape == (1, 4, 4, 32)    # 4x compression (3 stages)
+    img = m.apply(vs, z, method=m.decode)
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_clip_text_encoder():
+    from yat_tpu.models.text_encoders import CLIP_TINY_TEST, CLIPTextModel
+    m = CLIPTextModel(cfg=CLIP_TINY_TEST, dtype=jnp.float32)
+    ids = jnp.asarray([[3, 5, 7, 255, 0, 0, 0, 0]], jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), ids)
+    hidden, pooled = m.apply(vs, ids)
+    assert hidden.shape == (1, 8, 32)
+    assert pooled.shape == (1, 32)
+    # pooled is taken at the argmax token id (255 at position 3)
+    final = m.apply(vs, ids)[0]
+
+
+def test_t5_encoder_mask_changes_output():
+    from yat_tpu.models.text_encoders import T5_TINY_TEST, T5Encoder
+    m = T5Encoder(cfg=T5_TINY_TEST, dtype=jnp.float32)
+    ids = jnp.asarray([[3, 5, 7, 9, 0, 0]], jnp.int32)
+    mask1 = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    mask2 = jnp.asarray([[1, 1, 1, 1, 1, 1]], jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), ids, mask1)
+    h1 = m.apply(vs, ids, mask1)
+    h2 = m.apply(vs, ids, mask2)
+    assert h1.shape == (1, 6, 32)
+    assert not np.allclose(np.asarray(h1[:, :4]), np.asarray(h2[:, :4]))
+
+
+def test_gemma_encoder():
+    from yat_tpu.models.text_encoders import GEMMA_TINY_TEST, Gemma2Encoder
+    m = Gemma2Encoder(cfg=GEMMA_TINY_TEST, dtype=jnp.float32)
+    ids = jnp.asarray([[2, 10, 20, 30]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+    vs = m.init(jax.random.PRNGKey(0), ids, mask)
+    h = m.apply(vs, ids, mask)
+    assert h.shape == (1, 4, 32)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_dinov2_patch_tokens():
+    from yat_tpu.models.dinov2 import DINOV2_TINY_TEST, DinoV2, preprocess_for_dino
+    m = DinoV2(cfg=DINOV2_TINY_TEST)
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 28, 28, 3),
+                              minval=-1, maxval=1)
+    vs = m.init(jax.random.PRNGKey(1), imgs)
+    toks = m.apply(vs, imgs)
+    assert toks.shape == (1, 4, 32)    # 2x2 grid of patch-14
+    pre = preprocess_for_dino(imgs, size=28)
+    assert pre.shape == (1, 28, 28, 3)
+
+
+def test_compress_embeddings():
+    from yat_tpu.models.text_encoders import compress_embeddings
+    hidden = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0]])
+    out = compress_embeddings(hidden, mask)
+    assert out[0].shape == (2, 4) and out[1].shape == (1, 4)

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""flux_klein trainer CLI (reference parity: /root/reference/train_flux_klein.py)."""
+
+from yat_tpu.frontends.flux import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""pixart_sigma trainer CLI (reference parity: /root/reference/train_pixart_sigma.py)."""
+
+from yat_tpu.frontends.pixart import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""pixeldit trainer CLI (reference parity: /root/reference/train_pixeldit.py)."""
+
+from yat_tpu.frontends.pixeldit import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""sd15 trainer CLI (reference parity: /root/reference/train_sd15.py)."""
+
+from yat_tpu.frontends.sd15 import main
+
+if __name__ == "__main__":
+    main()

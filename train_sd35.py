@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""sd35 trainer CLI (reference parity: /root/reference/train_sd35.py)."""
+
+from yat_tpu.frontends.sd35 import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""sdxl trainer CLI (reference parity: /root/reference/train_sdxl.py)."""
+
+from yat_tpu.frontends.sdxl import main
+
+if __name__ == "__main__":
+    main()

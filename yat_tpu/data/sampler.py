@@ -52,6 +52,7 @@ class Batch:
     captions: Optional[List[str]] = None
     embeddings: Optional[np.ndarray] = None       # [B, L, D]
     text_mask: Optional[np.ndarray] = None        # [B, L]
+    pooled_text: Optional[np.ndarray] = None      # [B, D_pool] (SDXL/SD3.5)
     repa_features: Optional[np.ndarray] = None    # [B, 256, 768]
     repa_spatial_dims: Optional[Tuple[int, int]] = None
     proj_spatial_dims: Optional[Tuple[int, int]] = None
@@ -159,9 +160,11 @@ def pad_embeddings(embs: Sequence[np.ndarray], max_len: int,
     return out, mask
 
 
-def _chw_to_hwc(x: np.ndarray) -> np.ndarray:
-    """Accept reference-produced [C,H,W] latents; ours are already [H,W,C]."""
-    if x.ndim == 3 and x.shape[0] <= 64 and x.shape[0] < x.shape[-1]:
+def _chw_to_hwc(x: np.ndarray, from_torch: bool) -> np.ndarray:
+    """Reference-produced .pt latents are [C,H,W]; our .npy shards are
+    already [H,W,C].  The field extension tells us which — no shape
+    heuristics (they misfire when C > H on small latents)."""
+    if from_torch and x.ndim == 3:
         return np.transpose(x, (1, 2, 0))
     return x
 
@@ -195,12 +198,17 @@ class FeatureBucketSampler:
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
-        latents = np.stack([_chw_to_hwc(np.asarray(l, self.latent_dtype))
-                            for l, _ in items])
-        embs, mask = pad_embeddings([e for _, e in items],
+        latents = np.stack([
+            _chw_to_hwc(np.asarray(l, self.latent_dtype), from_torch=pt)
+            for l, _, _, pt in items])
+        embs, mask = pad_embeddings([e for _, e, _, _ in items],
                                     self.max_caption_len)
+        pooled = None
+        if items[0][2] is not None:
+            pooled = np.stack([np.asarray(p, np.float32).reshape(-1)
+                               for _, _, p, _ in items])
         return Batch(ratio=key, latents=latents, embeddings=embs,
-                     text_mask=mask)
+                     text_mask=mask, pooled_text=pooled)
 
     def __iter__(self) -> Iterator[Batch]:
         buf: List[Tuple[str, Any, Any]] = []
@@ -208,12 +216,14 @@ class FeatureBucketSampler:
             for elem in iter_tar_samples(shard_path):
                 if "ratio" not in elem:
                     continue
+                from_pt = "latent.pt" in elem
                 latent = elem.get("latent.npy", elem.get("latent.pt"))
                 emb = elem.get("emb.npy", elem.get("emb.pt"))
+                pooled = elem.get("pooled.npy", elem.get("pooled.pt"))
                 if latent is None or emb is None:
                     continue
                 # bounded shuffle (reference .shuffle(1000), :218)
-                buf.append((str(elem["ratio"]), latent, emb))
+                buf.append((str(elem["ratio"]), latent, emb, pooled, from_pt))
                 if len(buf) < self.shuffle_buffer:
                     continue
                 idx = self.rng.randrange(len(buf))
@@ -222,8 +232,10 @@ class FeatureBucketSampler:
         while buf:
             yield from self._ingest(*buf.pop())
 
-    def _ingest(self, key: str, latent, emb) -> Iterator[Batch]:
-        self.buckets.setdefault(key, deque()).append((latent, emb))
+    def _ingest(self, key: str, latent, emb, pooled=None,
+                from_pt: bool = False) -> Iterator[Batch]:
+        self.buckets.setdefault(key, deque()).append(
+            (latent, emb, pooled, from_pt))
         ready = sorted(k for k, v in self.buckets.items()
                        if len(v) >= self.batch_size)
         if self.sync_hook is not None and ready:

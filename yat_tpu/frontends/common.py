@@ -1,0 +1,100 @@
+"""Shared frontend plumbing: sampler construction, CLI main, config helpers.
+
+Every model family CLI follows /root/reference/train_*.py's shape: a single
+``--config config.yaml`` flag, with 'extract_features' in the YAML switching
+to the precompute phase.  Frontends here are thin: build (model, schedule,
+loss, sampler), hand to the Trainer — the single 5-arg contract the
+reference drifted from (SURVEY §2d) is structural.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.sampler import FeatureBucketSampler, LocalShardSource, RemoteShardSource
+
+
+def shard_range_for_host(num_shards: int) -> range:
+    """Per-host shard assignment (/root/reference/common/trainer.py:66-84)."""
+    pi, nproc = jax.process_index(), jax.process_count()
+    if num_shards < nproc:
+        return range(0, num_shards)
+    per = num_shards // nproc
+    begin = pi * per
+    end = num_shards if pi == nproc - 1 else begin + per
+    return range(begin, end)
+
+
+def build_feature_sampler(params: TrainingParameters, max_caption_len: int):
+    if params.local_shard_paths:
+        source = LocalShardSource(params.local_shard_paths,
+                                  seed=params.dataset_seed)
+    elif params.r2_endpoint:
+        rng = shard_range_for_host(params.num_shards or 1)
+        shards = [f"shard-{i:06d}.tar" for i in rng]
+        source = RemoteShardSource(
+            shards, params.r2_dataset_folder or "",
+            params.r2_access_key, params.r2_secret_key,
+            params.r2_endpoint, params.r2_bucket_name,
+            seed=params.dataset_seed, process_index=jax.process_index())
+    else:
+        return None
+    return FeatureBucketSampler(source, params.batch_size, max_caption_len,
+                                seed=params.dataset_seed)
+
+
+def _coerce_like(cur, v):
+    if cur is None:
+        # Optional fields: infer numeric types from the value itself
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+        return v
+    if isinstance(cur, bool):
+        return str(v).lower() in ("1", "true", "yes")
+    if isinstance(cur, (tuple, list)):
+        elem_t = type(cur[0]) if len(cur) else int
+        return type(cur)(elem_t(x) for x in v)
+    return type(cur)(v)
+
+
+def override_config(cfg, overrides: dict):
+    """Apply YAML model_config_overrides, coercing string values to the
+    field's type (incl. tuple fields element-wise).  Keys unknown to this
+    config (frontend-level knobs like pooled_dim) are skipped."""
+    if not overrides:
+        return cfg
+    typed = {}
+    for k, v in overrides.items():
+        if k == "preset" or not hasattr(cfg, k):
+            continue
+        typed[k] = _coerce_like(getattr(cfg, k), v)
+    return dataclasses.replace(cfg, **typed)
+
+
+def cli_main(make_trainer: Callable[[TrainingParameters], object],
+             argv: Optional[list] = None) -> None:
+    import argparse
+
+    from yat_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, type=str)
+    args = p.parse_args(argv)
+    params = TrainingParameters.read_yaml(args.config)
+    trainer = make_trainer(params)
+    if params.extract_features:
+        from yat_tpu.train.extract import run_feature_extraction
+        run_feature_extraction(trainer)
+    else:
+        trainer.run()

@@ -1,0 +1,54 @@
+"""Flux-2 Klein frontend: flow matching on packed, BN-standardized latents
+(/root/reference/train_flux_klein.py: patchify + running-stat
+standardization :42-54, packed tokens + rotary ids, t/1000, unpack before
+MSE :105-162)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.flux import FLUX2_KLEIN, FluxTransformer
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_flux_loss
+
+FLUX_CAPTION_LEN = 512
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(FLUX2_KLEIN, params.model_config_overrides)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = FluxTransformer(cfg=cfg, dtype=dtype,
+                            gradient_checkpointing=params.low_vram)
+    schedule = FlowMatchSchedule(use_dynamic_shifting=True, shift=3.0)
+    loss = make_flux_loss(model, schedule,
+                          timestep_list=params.timesteps or None)
+    if sampler is None:
+        sampler = build_feature_sampler(params, FLUX_CAPTION_LEN)
+
+    if init_variables is None:
+        import jax
+
+        from yat_tpu.models.flux import latent_ids
+        n_tok = 16
+        tokens = jnp.zeros((1, n_tok, cfg.in_channels), dtype)
+        txt = jnp.zeros((1, FLUX_CAPTION_LEN, cfg.text_dim), dtype)
+        ids = latent_ids(4, 4)
+        init_variables = model.init(
+            jax.random.PRNGKey(params.dataset_seed), tokens, txt,
+            jnp.full((1,), 0.5), ids)
+
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      init_variables=init_variables)
+    trainer.flux_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

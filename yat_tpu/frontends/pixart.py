@@ -1,0 +1,60 @@
+"""PixArt-Sigma frontend: epsilon-prediction DDPM training with optional
+REPA (/root/reference/train_pixart_sigma.py semantics: DDPM scheduler :37,
+T5 embeddings compressed then padded to 300 :158-165, learned-sigma output
+slice :173-184, REPA-patched transformer via utils/patch_pixart_sigma_
+transformer.py)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.pixart import PIXART_SIGMA_XL2, PixArtTransformer2D
+from yat_tpu.ops.schedulers import DDPMSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_epsilon_loss, make_preservation_loss
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(PIXART_SIGMA_XL2, params.model_config_overrides)
+    if params.use_repa and cfg.repa_depth is None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, repa_depth=4)  # patch default, :24
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = PixArtTransformer2D(cfg=cfg, dtype=dtype,
+                                gradient_checkpointing=params.low_vram)
+    schedule = DDPMSchedule()
+    loss = make_epsilon_loss(
+        model, schedule, timestep_list=params.timesteps or None,
+        learned_sigma=cfg.out_channels == 2 * cfg.in_channels,
+        repa_lambda=params.repa_lambda if params.use_repa else 0.0)
+    pres = make_preservation_loss(model, schedule, is_flow=False) \
+        if params.use_preservation else None
+    if sampler is None:
+        sampler = build_feature_sampler(params, cfg.max_caption_len)
+
+    if init_variables is None:
+        import jax
+        s = cfg.sample_size
+        # init with return_repa so the projector params exist when the
+        # REPA loss taps them
+        init_variables = model.init(
+            jax.random.PRNGKey(params.dataset_seed),
+            jnp.zeros((1, s, s, cfg.in_channels), dtype),
+            jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels), dtype),
+            jnp.zeros((1,)),
+            jnp.ones((1, cfg.max_caption_len), jnp.int32),
+            return_repa=params.use_repa)
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      preservation_loss=pres, init_variables=init_variables)
+    trainer.pixart_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

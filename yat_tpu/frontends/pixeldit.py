@@ -1,0 +1,53 @@
+"""PixelDiT frontend: pixel-space flow matching with in-model REPA
+(/root/reference/train_pixeldit.py: extract_latents = identity :172-173,
+flow loss + model repa_loss weighted 0.1 :246-296, Gemma captions at 300
+tokens :175-182)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.pixeldit import PIXELDIT_BASE, PixelDiT
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_flow_matching_loss
+
+REPA_LOSS_WEIGHT = 0.1            # train_pixeldit.py:289
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(PIXELDIT_BASE, params.model_config_overrides)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = PixelDiT(cfg=cfg, dtype=dtype,
+                     gradient_checkpointing=params.low_vram)
+    schedule = FlowMatchSchedule(shift=1.0)
+    loss = make_flow_matching_loss(
+        model, schedule, timestep_list=params.timesteps or None,
+        repa_lambda=REPA_LOSS_WEIGHT if params.use_repa else 0.0)
+    if sampler is None:
+        # pixel-space: 'latents' in feature shards are pixels
+        sampler = build_feature_sampler(params, cfg.max_caption_len)
+
+    example = None
+    if init_variables is None:
+        s = cfg.patch_size * 2
+        example = {
+            "latents": jnp.zeros((1, s, s, cfg.in_channels), dtype),
+            "embeddings": jnp.zeros((1, cfg.max_caption_len,
+                                     cfg.caption_channels), dtype),
+            "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
+        }
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      init_variables=init_variables, example_batch=example)
+    trainer.pixeldit_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

@@ -61,8 +61,8 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
                 sample_size=dj.get("sample_size", cfg.sample_size),
             )
     if over:
-        cfg = dataclasses.replace(
-            cfg, **{k: type(getattr(cfg, k))(v) for k, v in over.items()})
+        from yat_tpu.frontends.common import override_config
+        cfg = override_config(cfg, over)
     return cfg
 
 

@@ -1,0 +1,53 @@
+"""SD1.5 frontend: UNet epsilon-prediction training
+(/root/reference/train_sd15.py: DDPM from pipe config :30-31, 512 bins :36,
+caption compression to CLIP-77 in the embedding pipeline :66-78,
+logit-normal timesteps :148-165)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.unet import SD15_UNET, UNet2DCondition
+from yat_tpu.ops.schedulers import DDPMSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_epsilon_loss, make_preservation_loss
+
+CLIP_MAX_LEN = 77
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(SD15_UNET, params.model_config_overrides)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = UNet2DCondition(cfg=cfg, dtype=dtype,
+                            gradient_checkpointing=params.low_vram)
+    schedule = DDPMSchedule()
+    loss = make_epsilon_loss(model, schedule,
+                             timestep_list=params.timesteps or None)
+    pres = make_preservation_loss(model, schedule, is_flow=False) \
+        if params.use_preservation else None
+    if sampler is None:
+        sampler = build_feature_sampler(params, CLIP_MAX_LEN)
+
+    example = None
+    if init_variables is None:
+        example = {
+            "latents": jnp.zeros((1, 64, 64, cfg.in_channels), dtype),
+            "embeddings": jnp.zeros((1, CLIP_MAX_LEN,
+                                     cfg.cross_attention_dim), dtype),
+            "text_mask": jnp.ones((1, CLIP_MAX_LEN), jnp.int32),
+        }
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      preservation_loss=pres, init_variables=init_variables,
+                      example_batch=example)
+    trainer.unet_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

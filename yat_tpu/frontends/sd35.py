@@ -1,0 +1,69 @@
+"""SD3.5 frontend: MMDiT flow matching with triple text encoders
+(/root/reference/train_sd35.py: CLIP-L/G pooled + compressed prompts, T5
+full caption :79-92, scale_noise == flow add_noise, target eps - x
+:165-194)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.mmdit import SD35_MEDIUM, MMDiT
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_flow_matching_loss, make_preservation_loss
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(SD35_MEDIUM, params.model_config_overrides)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = MMDiT(cfg=cfg, dtype=dtype,
+                  gradient_checkpointing=params.low_vram)
+    schedule = FlowMatchSchedule(shift=3.0)
+    loss = make_flow_matching_loss(
+        model, schedule, timestep_list=params.timesteps or None,
+        extra_keys=("pooled_text",))
+    pres = make_preservation_loss(model, schedule, is_flow=True,
+                                  extra_keys=("pooled_text",)) \
+        if params.use_preservation else None
+    if sampler is None:
+        sampler = build_feature_sampler(params, cfg.max_caption_len)
+
+    def batch_transform(batch, out):
+        b = out["latents"].shape[0]
+        if batch.pooled_text is not None:
+            out["pooled_text"] = batch.pooled_text
+        else:
+            out["pooled_text"] = np.zeros((b, cfg.pooled_dim), np.float32)
+        return out
+
+    example = None
+    if init_variables is None:
+        s = 64
+        example = {
+            "latents": jnp.zeros((1, s, s, cfg.in_channels), dtype),
+            "embeddings": jnp.zeros((1, cfg.max_caption_len,
+                                     cfg.caption_dim), dtype),
+            "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
+        }
+        import jax
+        init_variables = model.init(
+            jax.random.PRNGKey(params.dataset_seed), example["latents"],
+            example["embeddings"], jnp.zeros((1,)), example["text_mask"],
+            pooled_text=jnp.zeros((1, cfg.pooled_dim), dtype))
+
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      preservation_loss=pres, init_variables=init_variables,
+                      batch_transform=batch_transform)
+    trainer.mmdit_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

@@ -1,0 +1,92 @@
+"""SDXL frontend: dual-text-encoder UNet with micro-conditioning
+(/root/reference/train_sdxl.py: time_ids from the aspect bucket's original
+size + crop (0,0) + latent target size :148-161, pooled embeds :60-73,
+epsilon prediction :144-172)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.bins import ASPECT_RATIO_1024_BIN, bin_for_resolution
+from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.models.unet import SDXL_UNET, UNet2DCondition
+from yat_tpu.ops.schedulers import DDPMSchedule
+from yat_tpu.train.engine import Trainer
+from yat_tpu.train.tasks import make_epsilon_loss, make_preservation_loss
+
+CLIP_MAX_LEN = 77
+POOLED_DIM = 1280
+
+
+def make_time_ids(bucket_hw, batch_size: int) -> np.ndarray:
+    """[orig_h, orig_w, crop_top, crop_left, target_h, target_w]
+    (train_sdxl.py:148-161: original = bucket size, crop (0,0),
+    target = bucket size)."""
+    h, w = bucket_hw
+    row = np.asarray([h, w, 0, 0, h, w], np.float32)
+    return np.tile(row[None], (batch_size, 1))
+
+
+def make_trainer(params: TrainingParameters, sampler=None,
+                 init_variables=None) -> Trainer:
+    cfg = override_config(SDXL_UNET, params.model_config_overrides)
+    dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
+    model = UNet2DCondition(cfg=cfg, dtype=dtype,
+                            gradient_checkpointing=params.low_vram)
+    schedule = DDPMSchedule()
+    loss = make_epsilon_loss(
+        model, schedule, timestep_list=params.timesteps or None,
+        extra_keys=("pooled_text", "time_ids"))
+    pres = make_preservation_loss(model, schedule, is_flow=False,
+                                  extra_keys=("pooled_text", "time_ids")) \
+        if params.use_preservation else None
+    if sampler is None:
+        sampler = build_feature_sampler(params, CLIP_MAX_LEN)
+
+    bins = bin_for_resolution(params.aspect_ratios or 1024)
+    pooled_dim = int(params.model_config_overrides.get("pooled_dim",
+                                                       POOLED_DIM))
+
+    def batch_transform(batch, out):
+        b = out["latents"].shape[0]
+        hw = bins.get(str(batch.ratio), (1024, 1024))
+        out["time_ids"] = make_time_ids(hw, b)
+        if batch.pooled_text is not None:
+            out["pooled_text"] = batch.pooled_text
+        else:
+            out["pooled_text"] = np.zeros((b, pooled_dim), np.float32)
+        return out
+
+    example = None
+    if init_variables is None:
+        example = {
+            "latents": jnp.zeros((1, 128, 128, cfg.in_channels), dtype),
+            "embeddings": jnp.zeros((1, CLIP_MAX_LEN,
+                                     cfg.cross_attention_dim), dtype),
+            "text_mask": jnp.ones((1, CLIP_MAX_LEN), jnp.int32),
+            "pooled_text": jnp.zeros((1, pooled_dim), dtype),
+            "time_ids": jnp.zeros((1, 6), jnp.float32),
+        }
+
+    # UNet init signature includes the micro-conditioning kwargs
+    if init_variables is None:
+        import jax
+        init_variables = model.init(
+            jax.random.PRNGKey(params.dataset_seed), example["latents"],
+            example["embeddings"], jnp.zeros((1,)), example["text_mask"],
+            pooled_text=example["pooled_text"], time_ids=example["time_ids"])
+
+    trainer = Trainer(params, model, loss, sampler=sampler,
+                      preservation_loss=pres, init_variables=init_variables,
+                      batch_transform=batch_transform)
+    trainer.unet_config = cfg
+    trainer.schedule = schedule
+    return trainer
+
+
+def main(argv: Optional[list] = None) -> None:
+    cli_main(make_trainer, argv)

@@ -56,7 +56,7 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x, causal_mask):
         c = self.cfg
-        h = LayerNorm(name="layer_norm1")(x)
+        h = LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
         b, n, d = h.shape
         hd = d // c.num_heads
         q = AdapterDense(d, name="q_proj", dtype=self.dtype)(h)
@@ -69,7 +69,7 @@ class CLIPLayer(nn.Module):
         h = AdapterDense(d, name="out_proj", dtype=self.dtype)(
             attn.reshape(b, n, d))
         x = x + h
-        h = LayerNorm(name="layer_norm2")(x)
+        h = LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         h = AdapterDense(int(d * c.mlp_ratio), name="fc1", dtype=self.dtype)(h)
         if c.act == "quick_gelu":
             h = h * jax.nn.sigmoid(1.702 * h)
@@ -106,7 +106,7 @@ class CLIPTextModel(nn.Module):
                 penult = x
             x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
 
-        final = LayerNorm(name="final_layer_norm")(x)
+        final = LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         eot = jnp.argmax(input_ids, axis=-1)
         pooled = final[jnp.arange(b), eot]
         hidden = penult if c.penultimate else final

@@ -37,10 +37,12 @@ def create_mesh(mesh_shape: Optional[Dict[str, int]] = None,
         mesh_shape = {"dp": n}
     shape = {ax: int(mesh_shape.get(ax, 1)) for ax in MESH_AXES}
     total = shape["dp"] * shape["fsdp"] * shape["tp"]
-    if total != n:
+    if total > n:
         raise ValueError(
             f"mesh shape {mesh_shape} needs {total} devices, have {n}")
-    arr = np.asarray(devices).reshape(shape["dp"], shape["fsdp"], shape["tp"])
+    # an explicit smaller mesh uses a device subset (debug / tests)
+    arr = np.asarray(devices[:total]).reshape(
+        shape["dp"], shape["fsdp"], shape["tp"])
     return Mesh(arr, MESH_AXES)
 
 

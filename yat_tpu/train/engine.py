@@ -85,6 +85,7 @@ class Trainer:
         validate_fn: Optional[Callable[["Trainer"], Dict[str, np.ndarray]]] = None,
         init_variables: Optional[Dict[str, Any]] = None,
         example_batch: Optional[Dict[str, jnp.ndarray]] = None,
+        batch_transform: Optional[Callable] = None,
         mesh=None,
     ):
         self.params = params
@@ -103,6 +104,7 @@ class Trainer:
         self.tx = None
         self._step_fn = None
         self._lr_schedule = make_lr_schedule(params)
+        self.batch_transform = batch_transform
 
     # ------------------------------------------------------------------
     def initialize(self, rng: Optional[jax.Array] = None) -> None:
@@ -172,6 +174,8 @@ class Trainer:
             out["empty_embeddings"] = self.empty_embedding
         if batch.repa_features is not None:
             out["repa_features"] = batch.repa_features
+        if self.batch_transform is not None:
+            out = self.batch_transform(batch, out)
         bs = batch_sharding(self.mesh)
         return {k: jax.device_put(np.asarray(v), bs) if k != "empty_embeddings"
                 else jax.device_put(np.asarray(v))
@@ -221,6 +225,11 @@ class Trainer:
 
         if pending_metrics is not None:
             self._log_metrics(pending_metrics)
+        # final save: the reference only saves on the validation cadence
+        # (trainer.py:371,398), silently losing runs shorter than it
+        if jax.process_index() == 0 and \
+                self.global_step % params.num_steps_per_validation != 0:
+            self.save_model()
         dt = time.monotonic() - t_start
         n_images = self.global_step * params.batch_size * accum
         if dt > 0:

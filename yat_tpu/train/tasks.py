@@ -31,12 +31,26 @@ def _model_kwargs(batch, extra_keys: Sequence[str]):
     return {k: batch[k] for k in extra_keys if k in batch}
 
 
+def repa_alignment_loss(proj: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean-token MSE between projected model features and DINO tokens
+    (/root/reference/common/repa.py:137-154 semantics).  Token counts are
+    reconciled by mean-pooling over the token axis when they differ (the
+    DINO grid is fixed 16x16 while the model grid tracks the bucket)."""
+    p = proj.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    if p.shape[1] != t.shape[1]:
+        p = jnp.mean(p, axis=1)
+        t = jnp.mean(t, axis=1)
+    return jnp.mean((p - t) ** 2)
+
+
 def make_flow_matching_loss(
     model,
     schedule: FlowMatchSchedule,
     timestep_list: Optional[Tuple[int, ...]] = None,
     extra_keys: Sequence[str] = (),
     snr_weighting: bool = False,
+    repa_lambda: float = 0.0,
 ):
     timestep_list = tuple(timestep_list) if timestep_list else None
 
@@ -49,16 +63,26 @@ def make_flow_matching_loss(
         noise = jax.random.normal(k_n, latents.shape, latents.dtype)
         x_t = schedule.add_noise(latents, noise, sigmas)
         rngs = None if deterministic else {"dropout": k_d}
-        pred = model.apply(
+        use_repa = repa_lambda > 0.0 and "repa_features" in batch
+        out = model.apply(
+            variables, x_t, batch["embeddings"], timesteps,
+            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
+            return_repa=True if use_repa else False,
+            **_model_kwargs(batch, extra_keys)) if use_repa else model.apply(
             variables, x_t, batch["embeddings"], timesteps,
             batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
             **_model_kwargs(batch, extra_keys))
+        pred, repa_proj = out if use_repa else (out, None)
         target = schedule.velocity_target(latents, noise)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
         if snr_weighting:
             w = (sigmas ** -2.0).reshape(b, *([1] * (latents.ndim - 1)))
             err = err * w
-        return jnp.mean(err)
+        loss = jnp.mean(err)
+        if use_repa and repa_proj is not None:
+            loss = loss + repa_lambda * repa_alignment_loss(
+                repa_proj, batch["repa_features"])
+        return loss
 
     return task_loss
 
@@ -68,7 +92,12 @@ def make_epsilon_loss(
     schedule: DDPMSchedule,
     timestep_list: Optional[Tuple[int, ...]] = None,
     extra_keys: Sequence[str] = (),
+    learned_sigma: bool = False,
+    repa_lambda: float = 0.0,
 ):
+    """``learned_sigma`` slices the first half of the channel dim off the
+    prediction before the MSE — the PixArt learned-variance head
+    (/root/reference/train_pixart_sigma.py:173-184 ``chunk(2, 1)[0]``)."""
     timestep_list = tuple(timestep_list) if timestep_list else None
 
     def task_loss(variables, batch, rng, deterministic: bool = True):
@@ -79,13 +108,74 @@ def make_epsilon_loss(
         noise = jax.random.normal(k_n, latents.shape, latents.dtype)
         x_t = schedule.add_noise(latents, noise, timesteps)
         rngs = None if deterministic else {"dropout": k_d}
-        pred = model.apply(
+        use_repa = repa_lambda > 0.0 and "repa_features" in batch
+        kwargs = _model_kwargs(batch, extra_keys)
+        if use_repa:
+            kwargs["return_repa"] = True
+        out = model.apply(
             variables, x_t, batch["embeddings"], timesteps,
             batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
-            **_model_kwargs(batch, extra_keys))
+            **kwargs)
+        pred, repa_proj = out if use_repa else (out, None)
+        if learned_sigma:
+            pred = pred[..., :latents.shape[-1]]
         target = schedule.target(latents, noise, timesteps)
-        return jnp.mean(
+        loss = jnp.mean(
             (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+        if use_repa and repa_proj is not None:
+            loss = loss + repa_lambda * repa_alignment_loss(
+                repa_proj, batch["repa_features"])
+        return loss
+
+    return task_loss
+
+
+def make_flux_loss(
+    model,
+    schedule: FlowMatchSchedule,
+    timestep_list: Optional[Tuple[int, ...]] = None,
+    bn_mean: Optional[jnp.ndarray] = None,
+    bn_var: Optional[jnp.ndarray] = None,
+):
+    """Flux-2 Klein training loss (/root/reference/train_flux_klein.py:
+    105-162): latents arrive as VAE output [B, H, W, 16], are 2x2-patchified
+    and BN-standardized with the VAE's running stats (:42-54), packed into
+    tokens with rotary ids, noised in packed space, denoised with t/1000,
+    unpacked, and MSE'd against eps - x in unpacked space."""
+    from yat_tpu.models.flux import (
+        latent_ids, pack_latents, patchify_latents, standardize_latents,
+        unpack_latents)
+    timestep_list = tuple(timestep_list) if timestep_list else None
+
+    def task_loss(variables, batch, rng, deterministic: bool = True):
+        latents = batch["latents"]
+        if latents.shape[-1] != model.cfg.in_channels:
+            x = patchify_latents(latents)
+            if bn_mean is not None:
+                x = standardize_latents(x, bn_mean, bn_var)
+        else:
+            x = latents
+        b, gh, gw, _ = x.shape
+        tokens = pack_latents(x)
+
+        k_t, k_n, k_d = jax.random.split(rng, 3)
+        timesteps, sigmas = schedule.training_draw(
+            k_t, b, timestep_list=timestep_list,
+            mu=schedule.mu_for_seq_len(gh * gw)
+            if schedule.use_dynamic_shifting else None)
+        noise = jax.random.normal(k_n, tokens.shape, tokens.dtype)
+        x_t = schedule.add_noise(tokens, noise, sigmas)
+        rngs = None if deterministic else {"dropout": k_d}
+        ids = latent_ids(gh, gw)
+        pred = model.apply(
+            variables, x_t, batch["embeddings"],
+            timesteps / schedule.num_train_timesteps, ids,
+            deterministic=deterministic, rngs=rngs)
+        target = schedule.velocity_target(tokens, noise)
+        pred_up = unpack_latents(pred, (gh, gw))
+        tgt_up = unpack_latents(target, (gh, gw))
+        return jnp.mean(
+            (pred_up.astype(jnp.float32) - tgt_up.astype(jnp.float32)) ** 2)
 
     return task_loss
 
