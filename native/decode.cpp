@@ -1,0 +1,206 @@
+// Native image decode + resize + normalize for the host data plane.
+//
+// The reference decodes with PIL and resizes with torchvision inside the
+// Python loop (/root/reference/common/bucket_sampler.py:138-146,390-398) —
+// far too slow to feed a TPU pod (SURVEY §7 hard part 6).  This is the C++
+// replacement: libjpeg-turbo decode, box-filtered downscale + bilinear
+// final resize, and [-1, 1] float32 normalization, all in one pass per
+// image, with a pthread worker pool for batch throughput.
+//
+// Exposed as a plain C ABI consumed via ctypes (yat_tpu/data/native.py).
+
+#include <cstddef>
+#include <cstdio>
+#include <jpeglib.h>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG into an RGB8 buffer. Returns false on corrupt input.
+bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                 int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // libjpeg can fractionally downscale during decode (1/2, 1/4, 1/8) —
+  // huge win when the target is much smaller than the source.
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  const int stride = cinfo.output_width * 3;
+  out->resize(static_cast<size_t>(stride) * cinfo.output_height);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() +
+                   static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// Bilinear sample of an RGB8 image at fractional coordinates.
+inline void bilinear_px(const uint8_t* img, int w, int h, float x, float y,
+                        float* rgb) {
+  int x0 = static_cast<int>(x);
+  int y0 = static_cast<int>(y);
+  int x1 = x0 + 1 < w ? x0 + 1 : x0;
+  int y1 = y0 + 1 < h ? y0 + 1 : y0;
+  float fx = x - x0, fy = y - y0;
+  const uint8_t* p00 = img + (static_cast<size_t>(y0) * w + x0) * 3;
+  const uint8_t* p01 = img + (static_cast<size_t>(y0) * w + x1) * 3;
+  const uint8_t* p10 = img + (static_cast<size_t>(y1) * w + x0) * 3;
+  const uint8_t* p11 = img + (static_cast<size_t>(y1) * w + x1) * 3;
+  for (int c = 0; c < 3; ++c) {
+    float top = p00[c] + fx * (p01[c] - p00[c]);
+    float bot = p10[c] + fx * (p11[c] - p10[c]);
+    rgb[c] = top + fy * (bot - top);
+  }
+}
+
+// Area-average (box) downscale for quality when shrinking a lot, then
+// bilinear for the final fractional step.  Writes normalized [-1, 1]
+// float32 HWC.
+void resize_normalize(const uint8_t* img, int w, int h, int tw, int th,
+                      float* out) {
+  std::vector<uint8_t> boxed;
+  // integer box shrink while the image is at least 2x the target
+  while (w >= tw * 2 && h >= th * 2) {
+    int nw = w / 2, nh = h / 2;
+    boxed.resize(static_cast<size_t>(nw) * nh * 3);
+    for (int y = 0; y < nh; ++y) {
+      for (int x = 0; x < nw; ++x) {
+        for (int c = 0; c < 3; ++c) {
+          int a = img[((2 * y) * w + 2 * x) * 3 + c];
+          int b = img[((2 * y) * w + 2 * x + 1) * 3 + c];
+          int d = img[((2 * y + 1) * w + 2 * x) * 3 + c];
+          int e = img[((2 * y + 1) * w + 2 * x + 1) * 3 + c];
+          boxed[(static_cast<size_t>(y) * nw + x) * 3 + c] =
+              static_cast<uint8_t>((a + b + d + e + 2) / 4);
+        }
+      }
+    }
+    img = boxed.data();
+    w = nw;
+    h = nh;
+    // keep boxed alive across iterations: copy into a stable buffer
+    static thread_local std::vector<uint8_t> stable;
+    stable = boxed;
+    img = stable.data();
+  }
+  const float sx = static_cast<float>(w) / tw;
+  const float sy = static_cast<float>(h) / th;
+  for (int y = 0; y < th; ++y) {
+    float srcy = (y + 0.5f) * sy - 0.5f;
+    if (srcy < 0) srcy = 0;
+    if (srcy > h - 1) srcy = static_cast<float>(h - 1);
+    for (int x = 0; x < tw; ++x) {
+      float srcx = (x + 0.5f) * sx - 0.5f;
+      if (srcx < 0) srcx = 0;
+      if (srcx > w - 1) srcx = static_cast<float>(w - 1);
+      float rgb[3];
+      bilinear_px(img, w, h, srcx, srcy, rgb);
+      float* dst = out + (static_cast<size_t>(y) * tw + x) * 3;
+      for (int c = 0; c < 3; ++c) dst[c] = rgb[c] / 127.5f - 1.0f;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one JPEG and write normalized float32 HWC [th, tw, 3].
+// Returns 0 on success, -1 on decode failure.
+int yat_decode_resize(const uint8_t* data, size_t len, int th, int tw,
+                      float* out, int* src_h, int* src_w) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(data, len, &rgb, &w, &h)) return -1;
+  if (src_h) *src_h = h;
+  if (src_w) *src_w = w;
+  resize_normalize(rgb.data(), w, h, tw, th, out);
+  return 0;
+}
+
+// Probe a JPEG header for (height, width) without full decode.
+int yat_jpeg_dims(const uint8_t* data, size_t len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Batch decode with a worker pool.  datas/lens: arrays of n pointers/sizes;
+// out: n contiguous [th, tw, 3] float32 planes.  status[i] = 0 ok / -1 bad.
+void yat_decode_batch(const uint8_t** datas, const size_t* lens, int n,
+                      int th, int tw, float* out, int* status,
+                      int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = yat_decode_resize(
+          datas[i], lens[i], th, tw,
+          out + static_cast<size_t>(i) * th * tw * 3, nullptr, nullptr);
+    }
+  };
+  if (num_threads == 1 || n == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  int spawn = num_threads < n ? num_threads : n;
+  threads.reserve(spawn);
+  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

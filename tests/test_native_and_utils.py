@@ -1,0 +1,210 @@
+"""Native decode extension, shard generation, caption compression, REPA,
+ComfyUI export."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_jpeg(h, w, seed=0):
+    img = np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    assert ok
+    return enc.tobytes()
+
+
+class TestNativeDecode:
+    def test_available_and_dims(self):
+        from yat_tpu.data.native import available, jpeg_dims
+        assert available()
+        assert jpeg_dims(make_jpeg(300, 400)) == (300, 400)
+
+    def test_decode_matches_cv2_reference(self):
+        from yat_tpu.data.native import decode_resize
+        data = make_jpeg(300, 400)
+        out = decode_resize(data, 150, 200)
+        ref = cv2.resize(
+            cv2.cvtColor(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                      cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB),
+            (200, 150), interpolation=cv2.INTER_AREA
+        ).astype(np.float32) / 127.5 - 1
+        assert float(np.abs(out - ref).mean()) < 0.02
+
+    def test_batch_and_corrupt_input(self):
+        from yat_tpu.data.native import decode_batch
+        good = make_jpeg(100, 100)
+        out, status = decode_batch([good, b"notajpeg", good], 64, 64)
+        assert out.shape == (3, 64, 64, 3)
+        assert status.tolist() == [0, -1, 0]
+
+    def test_sampler_native_path(self, tmp_path):
+        from yat_tpu.data.bins import ASPECT_RATIO_256_BIN
+        from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+        from yat_tpu.data.tar import TarShardWriter
+        with TarShardWriter(str(tmp_path / "img.tar")) as w:
+            for i in range(4):
+                w.write({"__key__": str(i), "jpg": make_jpeg(256, 256, i),
+                         "txt": f"c{i}"})
+        s = ImageBucketSampler(LocalShardSource([str(tmp_path / "img.tar")]),
+                               batch_size=2,
+                               aspect_ratios=ASPECT_RATIO_256_BIN)
+        assert s.native is not None
+        b = next(iter(s))
+        assert b.images.shape == (2, 256, 256, 3)
+        assert -1.01 <= b.images.min() and b.images.max() <= 1.01
+
+
+class TestGenerateShards:
+    def test_reshard_local(self, tmp_path):
+        from yat_tpu.data.generate_shards import generate_shards
+        from yat_tpu.data.tar import TarShardWriter, iter_tar_samples
+        src = tmp_path / "src.tar"
+        with TarShardWriter(str(src)) as w:
+            for i in range(7):
+                w.write({"__key__": f"x{i}", "jpg": make_jpeg(64, 64, i),
+                         "txt": f"caption {i}"})
+        out = tmp_path / "out"
+        n = generate_shards([str(src)], str(out), shard_size=3)
+        assert n == 7
+        shards = sorted(os.listdir(out))
+        assert shards == ["shard-000000.tar", "shard-000001.tar",
+                          "shard-000002.tar"]
+        total = sum(1 for s in shards
+                    for _ in iter_tar_samples(str(out / s)))
+        assert total == 7
+
+    def test_caption_join(self, tmp_path):
+        from yat_tpu.data.generate_shards import generate_shards
+        from yat_tpu.data.tar import TarShardWriter, iter_tar_samples
+        imgs = tmp_path / "imgs.tar"
+        caps = tmp_path / "caps.tar"
+        with TarShardWriter(str(imgs)) as w:
+            for i in range(3):
+                w.write({"__key__": f"k{i}", "jpg": make_jpeg(64, 64, i)})
+        with TarShardWriter(str(caps)) as w:
+            for i in range(2):   # one image has no caption → dropped
+                w.write({"__key__": f"k{i}",
+                         "json": {"caption": f"joined {i}"}})
+        out = tmp_path / "out"
+        n = generate_shards([str(imgs)], str(out), shard_size=10,
+                            caption_sources=[str(caps)])
+        assert n == 2
+        s = list(iter_tar_samples(str(out / "shard-000000.tar")))
+        assert s[0]["txt"] == "joined 0"
+
+
+class TestCompressCaption:
+    def test_extracts_content_phrases(self):
+        from yat_tpu.utils.compress_caption import compress_caption
+        long_cap = ("This is an image of a fluffy white cat sleeping "
+                    "peacefully on a warm sunny windowsill, and there are "
+                    "pots of blooming red flowers in the background of the "
+                    "picture.")
+        out = compress_caption(long_cap)
+        assert "fluffy white cat" in out
+        assert "image" not in out.split(", ")
+        assert len(out) < len(long_cap)
+
+    def test_word_budget(self):
+        from yat_tpu.utils.compress_caption import compress_caption
+        cap = ", ".join(f"unique phrase number{i}" for i in range(100))
+        out = compress_caption(cap, max_words=20)
+        assert len(out.split()) <= 25
+
+    def test_remove_word(self):
+        from yat_tpu.utils.compress_caption import remove_word
+        assert remove_word("a cat and a catalog", "cat") == "a  and a catalog"
+
+
+class TestGenericRepa:
+    def test_capture_and_align(self):
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+        from yat_tpu.models.layers import AdapterDense
+        from yat_tpu.ops.repa import (
+            RepaConfig, generic_repa_loss, init_repa_head)
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = AdapterDense(16, name="block_a")(x)
+                x = AdapterDense(16, name="block_b")(x)
+                return x
+
+        m = Net()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8))
+        variables = m.init(jax.random.PRNGKey(1), x)
+        cfg = RepaConfig(target_modules=("block_a",), target_shape=12,
+                         hidden_shape=8)
+        head = init_repa_head(cfg, 16, jax.random.PRNGKey(2))
+        dino = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 12))
+        loss = generic_repa_loss(m, variables, cfg, head, dino, x)
+        assert float(loss) > 0
+        g = jax.grad(lambda h: generic_repa_loss(
+            m, variables, cfg, h, dino, x))(head)
+        assert float(jnp.abs(g["fc1"]["kernel"]).sum()) > 0
+
+    def test_save_load_bundle(self, tmp_path):
+        import jax
+        from yat_tpu.ops.repa import (
+            RepaConfig, init_repa_head, load_repa_bundle, save_repa_bundle)
+        cfg = RepaConfig(target_modules=("attn1",), target_shape=12,
+                         hidden_shape=8)
+        head = init_repa_head(cfg, 16, jax.random.PRNGKey(0))
+        save_repa_bundle(str(tmp_path), cfg, head)
+        cfg2, head2 = load_repa_bundle(str(tmp_path), 16)
+        assert cfg2 == cfg
+        np.testing.assert_array_equal(np.asarray(head["fc1"]["kernel"]),
+                                      np.asarray(head2["fc1"]["kernel"]))
+
+
+class TestComfyUIExport:
+    def test_key_mapping(self):
+        import jax.numpy as jnp
+        from yat_tpu.adapters.comfyui import convert_sdxl_adapters_to_comfyui
+        adapters = {
+            "down_1_attn_0": {"transformer_blocks_0": {"attn1": {
+                "to_q": {"lora_a": jnp.zeros((8, 4)),
+                         "lora_b": jnp.zeros((4, 8))}}}},
+            "mid_attn": {"transformer_blocks_2": {"attn2": {
+                "to_out": {"lora_a": jnp.zeros((8, 4)),
+                           "lora_b": jnp.zeros((4, 8))}}}},
+            "up_0_attn_1": {"transformer_blocks_0": {"ff": {
+                "proj": {"lora_a": jnp.zeros((8, 4)),
+                         "lora_b": jnp.zeros((4, 8))}}}},
+        }
+        out = convert_sdxl_adapters_to_comfyui(adapters, {}, lora_alpha=8.0)
+        keys = set(out)
+        assert ("lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_q"
+                ".lora_down.weight") in keys
+        assert ("lora_unet_middle_block_1_transformer_blocks_2_attn2_to_out_0"
+                ".lora_up.weight") in keys
+        assert ("lora_unet_output_blocks_7_1_transformer_blocks_0_ff_proj"
+                ".alpha") in keys
+        # kohya layout: lora_down [r, in]
+        assert out["lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_"
+                   "to_q.lora_down.weight"].shape == (4, 8)
+
+
+def test_sana_softmax_block_patch():
+    import jax
+    import jax.numpy as jnp
+    from yat_tpu.models.sana import SANA_TINY_TEST, SanaTransformer2D
+    import dataclasses
+    cfg = dataclasses.replace(SANA_TINY_TEST,
+                              softmax_self_attn_blocks=(1,))
+    m = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jnp.zeros((1, 8, 8, 4))
+    txt = jnp.zeros((1, 16, 32))
+    vs = m.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)),
+                jnp.ones((1, 16), jnp.int32))
+    # block 1 got softmax attention → per-head qk params differ in shape
+    p0 = vs["params"]["blocks_0"]["attn1"]
+    p1 = vs["params"]["blocks_1"]["attn1"]
+    assert "to_out" in p0 and "to_out" in p1
+    out = m.apply(vs, lat, txt, jnp.zeros((1,)), jnp.ones((1, 16), jnp.int32))
+    assert out.shape == (1, 8, 8, 4)

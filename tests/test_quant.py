@@ -1,0 +1,91 @@
+"""int8/int4 base-model quantization for adapter training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from yat_tpu.models.layers import AdapterDense
+from yat_tpu.ops.quant import (
+    dequantize_params,
+    quantize_kernel,
+    quantize_params,
+)
+
+
+def test_quantize_kernel_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 64)) * 0.1
+    q, s = quantize_kernel(w, bits=8)
+    assert q.dtype == jnp.int8 and s.shape == (64,)
+    w2 = q.astype(jnp.float32) * s[None, :]
+    # int8 per-channel: relative error well under 1%
+    err = float(jnp.abs(w2 - w).max() / jnp.abs(w).max())
+    assert err < 0.01
+
+
+def test_int4_coarser_but_bounded():
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 64)) * 0.1
+    q, s = quantize_kernel(w, bits=4)
+    assert q.dtype == jnp.int4
+    w2 = q.astype(jnp.float32) * s[None, :]
+    err = float(jnp.abs(w2 - w).max() / jnp.abs(w).max())
+    assert err < 0.15
+
+
+class Net(nn.Module):
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = AdapterDense(128, name="to_q")(x, deterministic=deterministic)
+        return AdapterDense(8, name="head")(x, deterministic=deterministic)
+
+
+def test_quantized_apply_close_to_fp():
+    m = Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    y_fp = m.apply(variables, x)
+
+    qparams, scales = quantize_params(variables["params"], bits=8,
+                                      min_size=2048)
+    # only the large kernel quantizes; the smaller head stays fp
+    assert qparams["to_q"]["kernel"].dtype == jnp.int8
+    assert qparams["head"]["kernel"].dtype == jnp.float32
+    y_q = m.apply({"params": qparams, "quant_scales": scales}, x)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_fp),
+                               atol=0.05, rtol=0.05)
+
+
+def test_quantized_base_with_lora_trains():
+    from yat_tpu.adapters.builder import AdapterSpec, build_adapter_params
+    m = Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    qparams, scales = quantize_params(variables["params"], bits=8,
+                                      min_size=1024)
+    ad, meta = build_adapter_params(
+        variables, AdapterSpec("lora", rank=4, alpha=4,
+                               target_modules=["to_q"]),
+        jax.random.PRNGKey(2))
+
+    def loss(ad_):
+        y = m.apply({"params": qparams, "adapters": ad_,
+                     "adapters_meta": meta, "quant_scales": scales}, x)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(ad)
+    # with B = 0 at init, dL/dA is identically 0 (standard LoRA property);
+    # dL/dB carries the signal
+    assert float(jnp.abs(g["to_q"]["lora_b"]).sum()) > 0
+
+
+def test_dequantize_params_export():
+    m = Net()
+    variables = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 64)))
+    qparams, scales = quantize_params(variables["params"], bits=8,
+                                      min_size=1024)
+    deq = dequantize_params(qparams, scales, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(deq["to_q"]["kernel"]),
+        np.asarray(variables["params"]["to_q"]["kernel"]),
+        atol=0.01)

@@ -1,0 +1,158 @@
+"""Dataset shard generation: repackage source WebDatasets into uniform
+``shard-%06d.tar`` of {jpg, txt} with async upload.
+
+Parity with /root/reference/utils/generate_shards.py:13-102 (uniform
+re-sharding, threaded upload-and-cleanup with ≤4 pending) and the Megalith
+variant's caption-join (utils/generate_shards_megalith.py:19-34,57-87 —
+caption records joined to image records by __key__).
+
+Sources: local TARs, presigned/public URLs (streamed), or a directory of
+{image, txt} files.  No webdataset/huggingface_hub dependency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, Iterator, Optional
+
+from yat_tpu.data.tar import IMAGE_EXTS, ShardWriter, iter_tar_samples
+
+
+def iter_source_samples(sources: Iterable[str]) -> Iterator[dict]:
+    """Stream {__key__, jpg, txt} records from each source TAR (local path
+    or URL), tolerating bad elements like the reference's skip handlers."""
+    for src in sources:
+        try:
+            if src.startswith(("http://", "https://")):
+                resp = urllib.request.urlopen(src, timeout=60)
+                stream = io.BufferedReader(resp, buffer_size=1 << 20)
+                samples = iter_tar_samples(stream, decode=False)
+            else:
+                samples = iter_tar_samples(src, decode=False)
+            for elem in samples:
+                img = next((elem[e] for e in IMAGE_EXTS if e in elem), None)
+                txt = elem.get("txt")
+                if img is None or txt is None:
+                    continue
+                yield {"__key__": elem["__key__"], "jpg": img,
+                       "txt": txt if isinstance(txt, bytes) else
+                       str(txt).encode()}
+        except Exception as e:  # noqa: BLE001 — skip bad shards (:73-79)
+            print(f"[generate_shards] skipping source {src}: {e}")
+
+
+def join_captions(image_sources: Iterable[str],
+                  caption_sources: Iterable[str]) -> Iterator[dict]:
+    """Megalith-style join: caption JSON records matched to images by key
+    (generate_shards_megalith.py:19-34)."""
+    captions: Dict[str, str] = {}
+    for src in caption_sources:
+        for elem in iter_tar_samples(src, decode=True):
+            cap = elem.get("json")
+            if isinstance(cap, dict):
+                cap = cap.get("caption") or cap.get("sharecap") or ""
+            cap = cap or elem.get("txt")
+            if cap:
+                captions[elem["__key__"]] = str(cap)
+    for src in image_sources:
+        for elem in iter_tar_samples(src, decode=False):
+            img = next((elem[e] for e in IMAGE_EXTS if e in elem), None)
+            cap = captions.get(elem["__key__"])
+            if img is None or cap is None:
+                continue
+            yield {"__key__": elem["__key__"], "jpg": img,
+                   "txt": cap.encode()}
+
+
+class ShardUploader:
+    """Threaded upload-and-cleanup, ≤4 pending (generate_shards.py:29,67-102)."""
+
+    def __init__(self, client, bucket: str, remote_folder: str,
+                 max_pending: int = 4):
+        self.client = client
+        self.bucket = bucket
+        self.remote_folder = remote_folder
+        self._pending = 0
+        self._cv = threading.Condition()
+        self._pool = ThreadPoolExecutor(max_workers=2)
+
+    def __call__(self, path: str, index: int):
+        with self._cv:
+            while self._pending >= 4:
+                self._cv.wait()
+            self._pending += 1
+        self._pool.submit(self._upload, path, index)
+
+    def _upload(self, path: str, index: int):
+        from yat_tpu.data.r2 import upload_file
+        key = f"{self.remote_folder}/{os.path.basename(path)}" \
+            if self.remote_folder else os.path.basename(path)
+        try:
+            upload_file(self.client.presign_put(self.bucket, key), path)
+            os.remove(path)
+        except Exception as e:  # noqa: BLE001
+            print(f"[generate_shards] upload failed for {path}: {e}")
+        finally:
+            with self._cv:
+                self._pending -= 1
+                self._cv.notify_all()
+
+    def close(self):
+        self._pool.shutdown(wait=True)
+
+
+def generate_shards(sources: Iterable[str], output_dir: str,
+                    shard_size: int = 1000,
+                    caption_sources: Optional[Iterable[str]] = None,
+                    uploader=None, max_samples: Optional[int] = None) -> int:
+    os.makedirs(output_dir, exist_ok=True)
+    stream = (join_captions(sources, caption_sources) if caption_sources
+              else iter_source_samples(sources))
+    written = 0
+    with ShardWriter(os.path.join(output_dir, "shard-%06d.tar"),
+                     maxcount=shard_size,
+                     on_shard_complete=uploader) as w:
+        for i, sample in enumerate(stream):
+            sample["__key__"] = f"{written:08d}"
+            w.write(sample)
+            written += 1
+            if max_samples and written >= max_samples:
+                break
+    if uploader is not None:
+        uploader.close()
+    return written
+
+
+def main(argv=None):
+    from yat_tpu.config import TrainingParameters
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--sources", nargs="*", default=None,
+                   help="override source TAR paths/URLs")
+    p.add_argument("--caption-sources", nargs="*", default=None)
+    p.add_argument("--output-dir", default="shards")
+    args = p.parse_args(argv)
+    params = TrainingParameters.read_yaml(args.config)
+    sources = args.sources or params.urls or params.local_shard_paths or []
+    uploader = None
+    if params.r2_endpoint and params.r2_upload_key:
+        from yat_tpu.data.r2 import R2Client
+        uploader = ShardUploader(
+            R2Client(params.r2_access_key, params.r2_secret_key,
+                     params.r2_endpoint),
+            params.r2_bucket_name, params.r2_upload_key)
+    n = generate_shards(sources, args.output_dir,
+                        shard_size=params.r2_upload_shard_size or 1000,
+                        caption_sources=args.caption_sources,
+                        uploader=uploader)
+    print(f"wrote {n} samples")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""ctypes bindings for the C++ decode/resize extension (native/decode.cpp).
+
+Builds the shared library on first use (g++ -O3 against libjpeg) and caches
+it next to the source.  Falls back cleanly when the toolchain or libjpeg is
+unavailable — callers check ``available()`` and use the cv2 path otherwise
+(yat_tpu/data/sampler.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "decode.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libyatdecode.so")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception as e:  # noqa: BLE001
+        print(f"[native] decode extension build failed: {e}")
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.yat_decode_resize.restype = ctypes.c_int
+        lib.yat_decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.yat_jpeg_dims.restype = ctypes.c_int
+        lib.yat_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.yat_decode_batch.restype = None
+        lib.yat_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def jpeg_dims(data: bytes) -> Optional[Tuple[int, int]]:
+    """(height, width) from the header, no full decode."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.yat_jpeg_dims(data, len(data), ctypes.byref(h),
+                         ctypes.byref(w)) != 0:
+        return None
+    return h.value, w.value
+
+
+def decode_resize(data: bytes, target_h: int, target_w: int
+                  ) -> Optional[np.ndarray]:
+    """JPEG bytes → float32 [-1,1] HWC [target_h, target_w, 3]."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((target_h, target_w, 3), np.float32)
+    rc = lib.yat_decode_resize(
+        data, len(data), target_h, target_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), None, None)
+    return out if rc == 0 else None
+
+
+def decode_batch(datas: List[bytes], target_h: int, target_w: int,
+                 num_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch decode → (float32 [N, th, tw, 3], status int32 [N])."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode unavailable")
+    n = len(datas)
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    out = np.empty((n, target_h, target_w, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    arr_ptr = (ctypes.c_char_p * n)(*datas)
+    arr_len = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    lib.yat_decode_batch(
+        arr_ptr, arr_len, n, target_h, target_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+    return out, status

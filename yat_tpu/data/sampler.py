@@ -249,12 +249,18 @@ class ImageBucketSampler:
     batches + captions per bucket (BucketSamplerExtractFeatures parity,
     bucket_sampler.py:324-398).  Feature extraction (VAE/TE/DINO) is the
     encoder pipeline's job; this yields pixels in [-1, 1] NHWC.
+
+    Fast path: JPEGs are bucketed from header dimensions alone (no decode)
+    and decoded + resized in one pass by the C++ extension at batch-emit
+    time, across a thread pool (native/decode.cpp).  Non-JPEG or when the
+    extension is unavailable: cv2 per-image.
     """
 
     def __init__(self, shard_source, batch_size: int,
                  aspect_ratios: Dict[str, Tuple[int, int]],
                  seed: int = 0, shuffle_buffer: int = 256,
-                 caption_fn: Optional[Callable[[dict], str]] = None):
+                 caption_fn: Optional[Callable[[dict], str]] = None,
+                 use_native: bool = True):
         self.source = shard_source
         self.batch_size = batch_size
         self.aspect_ratios = aspect_ratios
@@ -262,6 +268,11 @@ class ImageBucketSampler:
         self.rng = random.Random(seed)
         self.shuffle_buffer = shuffle_buffer
         self.caption_fn = caption_fn
+        if use_native:
+            from yat_tpu.data import native as _native
+            self.native = _native if _native.available() else None
+        else:
+            self.native = None
 
     @staticmethod
     def decode_image(data: bytes) -> Optional[np.ndarray]:
@@ -291,8 +302,19 @@ class ImageBucketSampler:
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
-        images = np.stack([self.resize_normalize(im, key)
-                           for im, _ in items])
+        th, tw = (int(d) for d in self.aspect_ratios[key])
+        raw = [im for im, _ in items]
+        if self.native is not None and all(isinstance(r, bytes) for r in raw):
+            images, status = self.native.decode_batch(raw, th, tw)
+            for i in np.nonzero(status != 0)[0]:
+                img = self.decode_image(raw[int(i)])
+                images[int(i)] = (self.resize_normalize(img, key)
+                                  if img is not None else 0.0)
+        else:
+            decoded = [r if not isinstance(r, bytes)
+                       else self.decode_image(r) for r in raw]
+            images = np.stack([self.resize_normalize(im, key)
+                               for im in decoded])
         captions = [c for _, c in items]
         return Batch(ratio=key, images=images, captions=captions)
 
@@ -304,12 +326,22 @@ class ImageBucketSampler:
                 caption = self._caption_of(elem)
                 if img_bytes is None or caption is None:
                     continue
-                img = self.decode_image(img_bytes)
-                if img is None:
-                    continue
-                ratio = img.shape[0] / img.shape[1]       # h/w (:333-335)
+                item = None
+                if self.native is not None and ("jpg" in elem
+                                                or "jpeg" in elem):
+                    dims = self.native.jpeg_dims(img_bytes)
+                    if dims is not None:
+                        h, w = dims
+                        item = (img_bytes, h / w)   # defer decode to emit
+                if item is None:
+                    img = self.decode_image(img_bytes)
+                    if img is None:
+                        continue
+                    item = (img, img.shape[0] / img.shape[1])
+                payload, ratio = item                    # h/w (:333-335)
                 key = find_closest_ratio(ratio, self.aspect_ratios)
-                self.buckets.setdefault(key, deque()).append((img, caption))
+                self.buckets.setdefault(key, deque()).append(
+                    (payload, caption))
                 for k in sorted(k for k, v in self.buckets.items()
                                 if len(v) >= self.batch_size):
                     yield self._emit(k)

@@ -75,7 +75,13 @@ class AdapterDense(nn.Module):
         lokr_w1 = _maybe(self, "adapters", "lokr_w1")
         fft_spectrum = _maybe(self, "adapters", "fft_spectrum")
 
-        w = kernel.astype(dtype)
+        if kernel.dtype in (jnp.int8, jnp.int4):
+            # quantized base (ops/quant.py): dequant fused into the matmul
+            scale = self.get_variable("quant_scales", "kernel_scale")
+            w = (kernel.astype(jnp.float32) *
+                 scale[None, :].astype(jnp.float32)).astype(dtype)
+        else:
+            w = kernel.astype(dtype)
 
         if lora_a is not None:
             lora_b = self.get_variable("adapters", "lora_b")
@@ -258,12 +264,8 @@ class Attention(nn.Module):
             q = RMSNorm(name="norm_q")(q)
             k = RMSNorm(name="norm_k")(k)
 
-        attn_mask = None
-        if mask is not None:
-            # mask: [B, Nk] keep-mask → [B, 1, 1, Nk] bool
-            attn_mask = mask[:, None, None, :].astype(bool)
-
-        y = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        from yat_tpu.ops.attention import dot_product_attention
+        y = dot_product_attention(q, k, v, mask=mask)
         y = y.reshape(b, nq, inner)
         return AdapterDense(out_features, use_bias=self.out_bias, dtype=self.dtype,
                             name="to_out")(y, deterministic=deterministic)
@@ -295,22 +297,14 @@ class LiteLinearAttention(nn.Module):
         v = AdapterDense(inner, use_bias=False, dtype=self.dtype,
                          name="to_v")(x, deterministic=deterministic)
 
-        q = nn.relu(q).reshape(b, n, self.num_heads, self.head_dim)
-        k = nn.relu(k).reshape(b, n, self.num_heads, self.head_dim)
+        q = q.reshape(b, n, self.num_heads, self.head_dim)
+        k = k.reshape(b, n, self.num_heads, self.head_dim)
         v = v.reshape(b, n, self.num_heads, self.head_dim)
 
-        # fp32 island: linear attention normalizer is unstable in bf16
-        q32 = q.astype(jnp.float32)
-        k32 = k.astype(jnp.float32)
-        v32 = v.astype(jnp.float32)
-        # pad v with ones so one contraction yields both numerator and norm
-        v_pad = jnp.concatenate([v32, jnp.ones((b, n, self.num_heads, 1),
-                                               jnp.float32)], axis=-1)
-        # kv: [B, H, d, d+1]
-        kv = jnp.einsum("bnhd,bnhe->bhde", k32, v_pad)
-        out = jnp.einsum("bnhd,bhde->bnhe", q32, kv)
-        num, den = out[..., :-1], out[..., -1:]
-        y = (num / (den + self.eps)).astype(x.dtype)
+        # fused Pallas kernel on TPU; fp32-island einsum elsewhere
+        # (relu is inside the kernel)
+        from yat_tpu.ops.attention import linear_attention
+        y = linear_attention(q, k, v, eps=self.eps).astype(x.dtype)
         y = y.reshape(b, n, inner)
         return AdapterDense(x.shape[-1], use_bias=True, dtype=self.dtype,
                             name="to_out")(y, deterministic=deterministic)

@@ -55,6 +55,10 @@ class SanaConfig:
     vae_compression: int = 32
     max_caption_len: int = 512        # train_sana.py:171 pads embeds to 512
     qk_norm: str = "rms"
+    # selected blocks swapped from linear to full softmax self-attention —
+    # the capability of utils/patch_sana_attention_layers.py:117-137 (the
+    # patched set persists in the model config as 'modified_blocks')
+    softmax_self_attn_blocks: Tuple[int, ...] = ()
 
     @property
     def resolution(self) -> int:
@@ -67,6 +71,7 @@ class SanaBlock(nn.Module):
     cfg: SanaConfig
     hw: Tuple[int, int] = (16, 16)
     deterministic: bool = True
+    use_softmax_self_attn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -80,12 +85,21 @@ class SanaBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
 
-        # 1) linear self-attention
+        # 1) self-attention: linear by default; full softmax for patched
+        #    blocks (patch_sana_attention_layers.py:125-137 capability)
         h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
         h = h * (1 + scale_msa) + shift_msa
-        h = LiteLinearAttention(
-            num_heads=c.num_attention_heads, head_dim=c.attention_head_dim,
-            dtype=self.dtype, name="attn1")(h, deterministic=deterministic)
+        if self.use_softmax_self_attn:
+            h = Attention(
+                num_heads=c.num_attention_heads,
+                head_dim=c.attention_head_dim, out_features=c.hidden_dim,
+                dtype=self.dtype, name="attn1")(
+                    h, deterministic=deterministic)
+        else:
+            h = LiteLinearAttention(
+                num_heads=c.num_attention_heads,
+                head_dim=c.attention_head_dim,
+                dtype=self.dtype, name="attn1")(h, deterministic=deterministic)
         x = x + gate_msa * h
 
         # 2) softmax cross-attention on the caption tokens
@@ -149,6 +163,8 @@ class SanaTransformer2D(nn.Module):
             block_cls = nn.remat(SanaBlock, prevent_cse=False)
         for i in range(c.num_layers):
             x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
+                          use_softmax_self_attn=(
+                              i in c.softmax_self_attn_blocks),
                           dtype=self.dtype, name=f"blocks_{i}")(
                 x, cond, scale_shift_table, ctx, text_mask)
 

@@ -1,0 +1,171 @@
+"""Attention kernels: Pallas flash attention dispatch + fused linear attention.
+
+Replaces the reference's xformers / torch-SDPA layer
+(/root/reference/common/trainer.py:122-135, utils/patch_sana_attention_layers
+.py:128-129) with TPU-native paths:
+
+* ``dot_product_attention`` — dispatches to the Pallas TPU flash-attention
+  kernel (jax.experimental.pallas.ops.tpu.flash_attention) when shapes
+  qualify; key-padding masks ride the kernel's segment-id mechanism.  Falls
+  back to XLA's fused attention otherwise (CPU tests, odd shapes).
+* ``linear_attention`` — a custom Pallas kernel for SANA's ReLU linear
+  attention (LiteMLA): relu(Q) (relu(K)^T [V;1]) with an fp32 normalizer,
+  fused so Q/K/V are read from HBM exactly once and no [N, N] or
+  intermediate [N, D] tensors round-trip.  Custom VJP recomputes the tiny
+  [D, D+1] KV reduction in the backward instead of saving activations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_pallas_flash(q, k, v) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    b, n_q, h, d = q.shape
+    n_k = k.shape[1]
+    # Measured on v5e (SANA-0.6B 512px): at short sequences (<=512 tokens)
+    # XLA's fused attention beats the Pallas kernel, whose 128-lane padding
+    # of head_dim 32-72 wastes MXU; flash wins once the [N, N] scores
+    # no longer fit nicely (1024px+: 1024-4096 image tokens).
+    return (n_q >= 1024 and n_k >= 128 and n_q % 128 == 0 and n_k % 128 == 0
+            and d <= 256)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          mask: Optional[jnp.ndarray] = None,
+                          implementation: str = "auto") -> jnp.ndarray:
+    """q,k,v: [B, N, H, D]; mask: [B, N_k] keep-mask or [B,1,1,N_k] bool."""
+    if implementation == "xla" or (
+            implementation == "auto" and not _use_pallas_flash(q, k, v)):
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask if mask.ndim == 4 else \
+                mask[:, None, None, :].astype(bool)
+        return jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention, SegmentIds)
+    # kernel layout is [B, H, N, D]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    seg = None
+    if mask is not None:
+        key_mask = mask if mask.ndim == 2 else mask.reshape(mask.shape[0], -1)
+        q_seg = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
+        kv_seg = key_mask.astype(jnp.int32)
+        seg = SegmentIds(q=q_seg, kv=kv_seg)
+    sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
+                          sm_scale=sm_scale)
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fused ReLU linear attention (SANA LiteMLA)
+# ---------------------------------------------------------------------------
+
+def _linatt_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, *, eps: float):
+    """One grid cell = one (batch*head); blocks squeezed to 2D VMEM.
+
+    K arrives pre-transposed ([D, N]) so every matmul is the standard
+    (non-transposed) form — Mosaic's AOT compiler rejects TRANS_A
+    contractions.  All math fp32."""
+    q = jnp.maximum(q_ref[...].astype(jnp.float32), 0.0)        # [N, D]
+    kt = jnp.maximum(kt_ref[...].astype(jnp.float32), 0.0)      # [D, N]
+    v = v_ref[...].astype(jnp.float32)                           # [N, D]
+    kv = jnp.dot(kt, v, preferred_element_type=jnp.float32)      # [D, D]
+    ksum = jnp.sum(kt, axis=1, keepdims=True)                    # [D, 1]
+    num = jnp.dot(q, kv, preferred_element_type=jnp.float32)     # [N, D]
+    den = jnp.dot(q, ksum, preferred_element_type=jnp.float32)   # [N, 1]
+    o_ref[...] = (num / (den + eps)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _linear_attention_p(q, k, v, eps):
+    """q,k,v: [BH, N, D] → out [BH, N, D]."""
+    bh, n, d = q.shape
+    kt = k.transpose(0, 2, 1)   # XLA transpose outside the kernel
+    kernel = functools.partial(_linatt_fwd_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, d, n), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, n, d), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(q, kt, v)
+
+
+def _reference_linatt(q, k, v, eps):
+    """Pure-jnp math used for the backward (recompute, fp32)."""
+    qf = jnp.maximum(q.astype(jnp.float32), 0.0)
+    kf = jnp.maximum(k.astype(jnp.float32), 0.0)
+    vf = v.astype(jnp.float32)
+    kv = jnp.einsum("bnd,bne->bde", kf, vf)
+    ksum = jnp.sum(kf, axis=1)                          # [BH, D]
+    num = jnp.einsum("bnd,bde->bne", qf, kv)
+    den = jnp.einsum("bnd,bd->bn", qf, ksum)[..., None]
+    return num / (den + eps)
+
+
+def _linatt_fwd(q, k, v, eps):
+    return _linear_attention_p(q, k, v, eps), (q, k, v)
+
+
+def _linatt_bwd(eps, res, g):
+    q, k, v = res
+    # recompute-based VJP of the reference math (cheap: KV is [D, D])
+    def f(q_, k_, v_):
+        return _reference_linatt(q_, k_, v_, eps).astype(g.dtype)
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+_linear_attention_p.defvjp(_linatt_fwd, _linatt_bwd)
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     eps: float = 1e-15,
+                     implementation: str = "auto") -> jnp.ndarray:
+    """ReLU linear attention.  q,k,v: [B, N, H, D] → [B, N, H, D].
+
+    'pallas' fuses relu + reductions into one VMEM-resident kernel per
+    (batch, head); 'xla' is the jnp einsum path; 'auto' picks pallas on TPU
+    when the whole per-head sequence fits VMEM.
+    """
+    b, n, h, d = q.shape
+    # Measured on v5e: at D=32 the kernel's MXU padding loses to XLA's
+    # einsum fusion for short sequences; it pays off when the per-head
+    # sequence is long (4096 tokens at 2048px) and HBM traffic dominates.
+    use_pallas = (implementation == "pallas" or
+                  (implementation == "auto" and
+                   jax.default_backend() == "tpu" and n >= 4096 and
+                   n * d * 12 < 8 * 1024 * 1024 and n % 8 == 0))
+    if not use_pallas:
+        # fp32-island einsum path (identical math, XLA-fused)
+        qf = jnp.maximum(q.astype(jnp.float32), 0.0)
+        kf = jnp.maximum(k.astype(jnp.float32), 0.0)
+        vf = v.astype(jnp.float32)
+        kv = jnp.einsum("bnhd,bnhe->bhde", kf, vf)
+        ksum = jnp.sum(kf, axis=1)                       # [B, H, D]
+        num = jnp.einsum("bnhd,bhde->bnhe", qf, kv)
+        den = jnp.einsum("bnhd,bhd->bnh", qf, ksum)[..., None]
+        return (num / (den + eps)).astype(q.dtype)
+
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    out = _linear_attention_p(qr, kr, vr, eps)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,91 @@
+"""Base-model weight quantization for adapter training.
+
+Replaces the reference's bitsandbytes usage — 8-bit base load
+(/root/reference/common/trainer.py:90-91), nf4 4-bit pipeline quantization
+(train_sana.py:26-30), QLoRA-style Linear4bit swap (train_pixeldit.py:43-66)
+— with TPU-native symmetric per-output-channel quantization:
+
+* kernels become int8 (or int4) arrays in the ordinary ``params`` tree,
+* per-channel scales live in a mirrored ``quant_scales`` collection,
+* ``AdapterDense`` dequantizes on the fly; XLA fuses the rescale into the
+  consuming matmul, so HBM traffic halves (int8) or quarters (int4) while
+  the MXU still sees bf16 operands.
+
+The LoRA path trains only the adapter trees, so quantization error is frozen
+into the base exactly like QLoRA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(w: jnp.ndarray, bits: int = 8
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel quantization of an [in, out] kernel.
+
+    Returns (q, scale) with q int8/int4 [in, out] and scale fp32 [out]."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)          # per output channel
+    qmax = float(2 ** (bits - 1) - 1)
+    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
+    q = jnp.clip(jnp.round(w32 / scale[None, :]), -qmax, qmax)
+    dtype = jnp.int8 if bits == 8 else jnp.int4
+    return q.astype(dtype), scale
+
+
+def dequantize_kernel(q: jnp.ndarray, scale: jnp.ndarray,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)
+            ).astype(dtype)
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 8,
+                    min_size: int = 4096) -> Tuple[Dict[str, Any],
+                                                   Dict[str, Any]]:
+    """Quantize every 2D 'kernel' leaf above ``min_size`` elements.
+
+    Returns (params with int kernels, quant_scales collection tree).
+    Norm scales, biases, embeddings and small kernels stay in fp."""
+    scales: dict = {}
+
+    def walk(node, spath):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                sub_scales: dict = {}
+                out[k] = walk(v, sub_scales)
+                if sub_scales:
+                    spath[k] = sub_scales
+            elif (k == "kernel" and getattr(v, "ndim", 0) == 2
+                  and v.size >= min_size):
+                q, s = quantize_kernel(v, bits)
+                out[k] = q
+                spath["kernel_scale"] = s
+            else:
+                out[k] = v
+        return out
+
+    qparams = walk(params, scales)
+    return qparams, scales
+
+
+def dequantize_params(qparams: Dict[str, Any], scales: Dict[str, Any],
+                      dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Full dequantization (for export)."""
+
+    def walk(node, sc):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, sc.get(k, {}) if isinstance(sc, dict) else {})
+            elif k == "kernel" and v.dtype in (jnp.int8, jnp.int4):
+                out[k] = dequantize_kernel(v, sc["kernel_scale"], dtype)
+            else:
+                out[k] = v
+        return out
+
+    return walk(qparams, scales)

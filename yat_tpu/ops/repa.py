@@ -1,0 +1,123 @@
+"""Generic REPA: representation alignment against DINOv2 tokens for ANY
+module of ANY model.
+
+Parity with /root/reference/common/repa.py — there, REPA wraps target
+submodules with forward hooks that capture activations, projects them with a
+2-layer MLP, and aligns to DINO patch tokens with a mean-token MSE
+(:59-80,137-154); save/load bundles base + repa_config.json + MLP weights
+(:156-212).  Here no wrapping exists: flax ``capture_intermediates`` records
+the target modules' outputs during the normal forward, and the projection
+head lives in its own ``repa`` parameter tree (trainable alongside adapters).
+
+Model-specific REPA taps (PixArt repa_depth, PixelDiT in-model projector)
+remain in their models; this module is the generic ``target_modules`` path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yat_tpu.train.tasks import repa_alignment_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class RepaConfig:
+    """Mirror of common/repa.py:11-41."""
+
+    target_modules: Tuple[str, ...]
+    target_shape: int = 768          # DINO ViT-B token width
+    hidden_shape: int = 1024         # projection MLP hidden width
+
+
+class RepaMLP(nn.Module):
+    """2-layer projection head (common/repa.py:43-57)."""
+
+    cfg: RepaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.cfg.hidden_shape, name="fc1")(
+            x.astype(jnp.float32))
+        x = nn.silu(x)
+        return nn.Dense(self.cfg.target_shape, name="fc2")(x)
+
+
+def _module_filter(target_modules: Sequence[str]) -> Callable:
+    def fltr(mdl, method_name):
+        name = getattr(mdl, "name", None) or ""
+        path = "/".join(str(p) for p in mdl.path) if hasattr(mdl, "path") else name
+        return method_name == "__call__" and any(
+            name == t or path.endswith(t) for t in target_modules)
+    return fltr
+
+
+def init_repa_head(cfg: RepaConfig, feature_dim: int,
+                   rng: jax.Array) -> Dict[str, Any]:
+    head = RepaMLP(cfg)
+    return head.init(rng, jnp.zeros((1, 4, feature_dim)))["params"]
+
+
+def capture_and_project(model, variables, cfg: RepaConfig,
+                        repa_params: Dict[str, Any], *args,
+                        **kwargs) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Run the model capturing target-module outputs; project each.
+
+    Returns (model_output, [projected tokens per captured module]).
+    """
+    out, state = model.apply(
+        variables, *args,
+        capture_intermediates=_module_filter(cfg.target_modules),
+        mutable=["intermediates"], **kwargs)
+    head = RepaMLP(cfg)
+    projections = []
+    for leaf in jax.tree.leaves(state.get("intermediates", {})):
+        feat = leaf
+        if feat.ndim == 2:
+            feat = feat[None]
+        if feat.ndim == 3:
+            projections.append(head.apply({"params": repa_params}, feat))
+    return out, projections
+
+
+def generic_repa_loss(model, variables, cfg: RepaConfig,
+                      repa_params: Dict[str, Any],
+                      dino_tokens: jnp.ndarray, *args, **kwargs
+                      ) -> jnp.ndarray:
+    """Mean over target modules of the mean-token MSE alignment loss."""
+    _, projections = capture_and_project(model, variables, cfg, repa_params,
+                                         *args, **kwargs)
+    if not projections:
+        return jnp.zeros((), jnp.float32)
+    losses = [repa_alignment_loss(p, dino_tokens) for p in projections]
+    return jnp.mean(jnp.stack(losses))
+
+
+def save_repa_bundle(directory: str, cfg: RepaConfig,
+                     repa_params: Dict[str, Any]) -> None:
+    """repa_config.json + repa_model_weights.safetensors
+    (common/repa.py:156-186 bundle layout, safetensors instead of .bin)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "repa_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    from yat_tpu.train.checkpoint import save_params_only
+    save_params_only(directory, {"repa": repa_params})
+
+
+def load_repa_bundle(directory: str, feature_dim: int
+                     ) -> Tuple[RepaConfig, Dict[str, Any]]:
+    with open(os.path.join(directory, "repa_config.json")) as f:
+        raw = json.load(f)
+    cfg = RepaConfig(target_modules=tuple(raw["target_modules"]),
+                     target_shape=int(raw["target_shape"]),
+                     hidden_shape=int(raw["hidden_shape"]))
+    like = init_repa_head(cfg, feature_dim, jax.random.PRNGKey(0))
+    from yat_tpu.train.checkpoint import load_params_only
+    loaded = load_params_only(directory, {"repa": like})
+    return cfg, loaded["repa"]

@@ -139,10 +139,21 @@ class Trainer:
             print(f"trainable params: {n_train:,} || all params: "
                   f"{n_total:,} || trainable%: {100 * n_train / n_total:.4f}")
 
+        base_params = variables["params"]
+        quant_scales = None
+        if spec is not None and (params.lora_base_model_8bit or
+                                 params.lora_base_model_4bit):
+            from yat_tpu.ops.quant import quantize_params
+            bits = 4 if params.lora_base_model_4bit else 8
+            base_params, quant_scales = quantize_params(base_params,
+                                                        bits=bits)
+            print(f"base model quantized to int{bits}")
+
         self.tx = make_optimizer(params)
         state = create_train_state(
-            variables["params"], self.tx, adapters=adapters,
-            adapters_meta=meta, use_ema=params.use_ema)
+            base_params, self.tx, adapters=adapters,
+            adapters_meta=meta, use_ema=params.use_ema,
+            quant_scales=quant_scales)
         self.state = shard_pytree(state, self.mesh)
 
         self._step_fn = make_train_step(

@@ -28,6 +28,7 @@ class TrainState(struct.PyTreeNode):
     adapters_meta: Any = struct.field(pytree_node=True, default=None)
     opt_state: Any = None
     ema: Optional[Any] = None               # shadow of the trainable tree
+    quant_scales: Optional[Any] = None      # int8/int4 base (ops/quant.py)
 
     @property
     def trainable(self):
@@ -37,14 +38,21 @@ class TrainState(struct.PyTreeNode):
         """Assemble flax variable dict for apply."""
         t = trainable if trainable is not None else self.trainable
         if self.adapters is not None:
-            return {"params": self.params, "adapters": t,
-                    "adapters_meta": self.adapters_meta}
-        return {"params": t}
+            out = {"params": self.params, "adapters": t,
+                   "adapters_meta": self.adapters_meta}
+        else:
+            out = {"params": t}
+        if self.quant_scales is not None:
+            out["quant_scales"] = self.quant_scales
+        return out
 
     def base_variables(self):
         """Variables with adapters *disabled* (the frozen base model) —
         the preservation-loss reference copy, free of charge."""
-        return {"params": self.params}
+        out = {"params": self.params}
+        if self.quant_scales is not None:
+            out["quant_scales"] = self.quant_scales
+        return out
 
 
 def make_lr_schedule(params: TrainingParameters) -> optax.Schedule:
@@ -96,6 +104,7 @@ def create_train_state(
     adapters: Optional[Any] = None,
     adapters_meta: Optional[Any] = None,
     use_ema: bool = False,
+    quant_scales: Optional[Any] = None,
 ) -> TrainState:
     trainable = adapters if adapters is not None else base_params
     return TrainState(
@@ -105,4 +114,5 @@ def create_train_state(
         adapters_meta=adapters_meta,
         opt_state=tx.init(trainable),
         ema=jax.tree.map(jnp.copy, trainable) if use_ema else None,
+        quant_scales=quant_scales,
     )
