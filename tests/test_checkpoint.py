@@ -1,0 +1,68 @@
+"""Full train-state checkpoint/resume roundtrip (Orbax) + weights-only IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.train.checkpoint import (
+    load_params_only,
+    restore_train_state,
+    save_params_only,
+    save_train_state,
+)
+from yat_tpu.train.state import create_train_state, make_optimizer
+
+
+def make_state(use_ema=True):
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "10", "num_steps_per_validation": "5",
+        "validation_prompts": [], "warmup_steps": "2",
+    })
+    tx = make_optimizer(params)
+    base = {"layer": {"kernel": jnp.arange(12.0).reshape(3, 4),
+                      "bias": jnp.ones((4,))}}
+    return create_train_state(base, tx, use_ema=use_ema), tx
+
+
+def test_orbax_roundtrip(tmp_path):
+    state, tx = make_state()
+    # mutate so the restored state is distinguishable from a fresh one
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          params=jax.tree.map(lambda x: x * 2.0,
+                                              state.params))
+    save_train_state(str(tmp_path / "ckpt"), state, 7)
+
+    fresh, _ = make_state()
+    restored, step = restore_train_state(str(tmp_path / "ckpt"), fresh)
+    assert step == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params["layer"]["kernel"]),
+        np.arange(12.0).reshape(3, 4) * 2.0)
+    # ema restored too
+    assert restored.ema is not None
+
+
+def test_restore_missing_dir_is_none(tmp_path):
+    fresh, _ = make_state()
+    restored, step = restore_train_state(str(tmp_path / "nope"), fresh)
+    assert restored is None and step == 0
+
+
+def test_params_only_roundtrip(tmp_path):
+    params = {"a": {"kernel": jnp.ones((2, 3)), "bias": jnp.zeros((3,))},
+              "scale_shift_table": jnp.full((6, 4), 0.5)}
+    save_params_only(str(tmp_path), params)
+    loaded = load_params_only(str(tmp_path), params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_only_shape_mismatch_raises(tmp_path):
+    params = {"a": {"kernel": jnp.ones((2, 3))}}
+    save_params_only(str(tmp_path), params)
+    bad = {"a": {"kernel": jnp.ones((4, 3))}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params_only(str(tmp_path), bad)

@@ -1,0 +1,77 @@
+"""Lion with 8-bit momentum state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from yat_tpu.ops.opt8bit import _dequantize, _quantize, lion_8bit, lion_8bit_with_schedule
+
+
+def test_blockwise_quant_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (100, 37)) * 3.0
+    q = _quantize(x, 64)
+    assert q.q.dtype == jnp.int8
+    x2 = _dequantize(q, x.shape, 64)
+    rel = float(jnp.abs(x2 - x).max() / jnp.abs(x).max())
+    assert rel < 0.02
+
+
+def test_momentum_state_is_int8():
+    params = {"w": jnp.zeros((64, 64)), "b": jnp.zeros((64,))}
+    tx = lion_8bit(1e-3)
+    state = tx.init(params)
+    assert state.momentum["w"].q.dtype == jnp.int8
+
+
+def test_descends_like_fp_lion():
+    """On a convex quadratic, int8-lion tracks fp32-lion closely."""
+    w0 = jnp.asarray([2.0] * 256).reshape(1, 256)
+
+    def loss(w):
+        return jnp.sum((w - 1.0) ** 2)
+
+    def run(tx):
+        w = w0
+        state = tx.init(w)
+        for _ in range(50):
+            g = jax.grad(loss)(w)
+            u, state = tx.update(g, state, w)
+            w = optax.apply_updates(w, u)
+        return w
+
+    w_q8 = run(lion_8bit(5e-2))
+    w_fp = run(optax.lion(5e-2))
+    np.testing.assert_allclose(np.asarray(w_q8), np.asarray(w_fp), atol=0.1)
+    assert float(loss(w_q8)) < float(loss(w0)) * 0.05
+
+
+def test_schedule_composition():
+    sched = lambda step: 1e-2 * jnp.minimum(1.0, step / 5.0)  # noqa: E731
+    tx = lion_8bit_with_schedule(sched)
+    w = jnp.ones((8, 8))
+    state = tx.init(w)
+    g = jnp.ones((8, 8))
+    u0, state = tx.update(g, state, w)
+    assert float(jnp.abs(u0).max()) == pytest.approx(0.0)  # warmup step 0
+    for _ in range(6):
+        u, state = tx.update(g, state, w)
+    assert float(jnp.abs(u).max()) == pytest.approx(1e-2, rel=1e-3)
+
+
+def test_works_under_jit_and_multisteps():
+    tx = optax.MultiSteps(lion_8bit(1e-2), 2)
+    w = {"k": jnp.ones((32, 32))}
+    state = tx.init(w)
+
+    @jax.jit
+    def step(w, state, g):
+        u, state = tx.update(g, state, w)
+        return optax.apply_updates(w, u), state
+
+    g = {"k": jnp.full((32, 32), 0.5)}
+    w1, state = step(w, state, g)
+    np.testing.assert_array_equal(np.asarray(w1["k"]), np.asarray(w["k"]))
+    w2, state = step(w1, state, g)
+    assert not np.allclose(np.asarray(w2["k"]), np.asarray(w["k"]))

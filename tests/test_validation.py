@@ -1,0 +1,95 @@
+"""Validation pipeline: sampling + EMA swap + image logging (tiny models)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.models.sana import SANA_TINY_TEST, SanaTransformer2D
+from yat_tpu.ops.sampling import gate_adapter_meta, timestep_gate
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.train.validation import ValidationPipeline
+
+
+def test_timestep_gate():
+    assert float(timestep_gate(jnp.asarray(500.0), [500, 250])) == 1.0
+    assert float(timestep_gate(jnp.asarray(499.6), [500])) == 1.0  # rounds
+    assert float(timestep_gate(jnp.asarray(100.0), [500])) == 0.0
+
+
+def test_gate_adapter_meta_scales_only_scale_leaves():
+    meta = {"to_q": {"lora_scale": jnp.asarray(2.0),
+                     "lora_dropout": jnp.asarray(0.1)}}
+    gated = gate_adapter_meta(meta, jnp.asarray(0.0))
+    assert float(gated["to_q"]["lora_scale"]) == 0.0
+    assert float(gated["to_q"]["lora_dropout"]) == pytest.approx(0.1)
+
+
+class DummyTrainer:
+    def __init__(self, state, prompts):
+        self.state = state
+        self.params = TrainingParameters.from_dict({
+            "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "1",
+            "validation_prompts": prompts})
+
+
+def test_validation_generates_images():
+    from yat_tpu.train.state import TrainState
+    cfg = SANA_TINY_TEST
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jnp.zeros((1, 8, 8, 4))
+    txt = jnp.zeros((1, 16, 32))
+    variables = model.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)),
+                           jnp.ones((1, 16), jnp.int32))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], adapters=None,
+                       adapters_meta=None, opt_state=None, ema=None)
+
+    def encode_prompts(prompts):
+        # deterministic fake text encoder
+        seed = sum(len(p) for p in prompts)
+        emb = jax.random.normal(jax.random.PRNGKey(seed), (1, 16, 32)) * 0.1
+        return {"embeddings": emb,
+                "text_mask": jnp.ones((1, 16), jnp.int32)}
+
+    pipe = ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
+                              latent_shape=(8, 8, 4),
+                              encode_prompts=encode_prompts,
+                              guidance_scale=5.0, num_steps=4)
+    trainer = DummyTrainer(state, ["a cat", "a dog"])
+    images = pipe(trainer)
+    assert set(images) == {"validation/0/a cat", "validation/1/a dog"}
+    for img in images.values():
+        assert img.shape == (8, 8, 3)
+        assert np.isfinite(img).all()
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_validation_uses_ema_weights():
+    from yat_tpu.train.state import TrainState
+    cfg = SANA_TINY_TEST
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jnp.zeros((1, 8, 8, 4))
+    txt = jnp.zeros((1, 16, 32))
+    variables = model.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)),
+                           jnp.ones((1, 16), jnp.int32))
+    zeroed = jax.tree.map(jnp.zeros_like, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=zeroed, adapters=None, adapters_meta=None,
+                       opt_state=None, ema=variables["params"])
+
+    def encode_prompts(prompts):
+        return {"embeddings": jnp.ones((1, 16, 32)) * 0.1,
+                "text_mask": jnp.ones((1, 16), jnp.int32)}
+
+    pipe = ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
+                              latent_shape=(8, 8, 4),
+                              encode_prompts=encode_prompts, num_steps=2)
+    t_ema = DummyTrainer(state, ["x"])
+    img_ema = pipe(t_ema)["validation/0/x"]
+    # same but EMA=None → uses the zeroed params → different output
+    state2 = state.replace(ema=None)
+    img_zero = pipe(DummyTrainer(state2, ["x"]))["validation/0/x"]
+    assert not np.allclose(img_ema, img_zero)

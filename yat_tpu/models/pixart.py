@@ -49,6 +49,11 @@ class PixArtConfig:
     max_caption_len: int = 300       # train_pixart_sigma.py:161
     repa_depth: Optional[int] = None # tap index for REPA (default 4 upstream)
     repa_target_dim: int = 768
+    # experimental conv-residual expansion around self-attention
+    # (utils/expand_pixart_sigma_transformer.py capability: 3x conv branch
+    # scaled by a learnable alpha initialized at 0.1)
+    resnet_expansion: bool = False
+    resnet_alpha_init: float = 0.1
 
     @property
     def resolution(self) -> int:
@@ -72,10 +77,36 @@ class RepaProjector(nn.Module):
         return AdapterDense(self.out_dim, dtype=self.dtype, name="fc3")(x)
 
 
+class ResidualConvBranch(nn.Module):
+    """3-conv residual branch over the token grid, gated by a learnable
+    alpha (expand_pixart_sigma_transformer.py:7-35 behavior)."""
+
+    channels: int
+    hw: Tuple[int, int]
+    alpha_init: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens):
+        b, n, d = tokens.shape
+        h, w = self.hw
+        y = tokens.reshape(b, h, w, d)
+        for i in range(3):
+            y = nn.Conv(self.channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, name=f"conv_{i}")(y)
+            if i < 2:
+                y = nn.silu(y)
+        alpha = self.param("out_alpha",
+                           nn.initializers.constant(self.alpha_init),
+                           (), jnp.float32)
+        return tokens + alpha.astype(tokens.dtype) * y.reshape(b, n, d)
+
+
 class PixArtBlock(nn.Module):
     # deterministic is a module attribute so the remat-wrapped call sees
     # only array args (jax.checkpoint tracing rule)
     cfg: PixArtConfig
+    hw: Tuple[int, int] = (32, 32)   # token grid for the conv expansion
     deterministic: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -92,6 +123,10 @@ class PixArtBlock(nn.Module):
         h = Attention(num_heads=c.num_attention_heads,
                       head_dim=c.attention_head_dim, dtype=self.dtype,
                       name="attn1")(h, deterministic=deterministic)
+        if c.resnet_expansion:
+            h = ResidualConvBranch(c.hidden_dim, self.hw,
+                                   alpha_init=c.resnet_alpha_init,
+                                   dtype=self.dtype, name="resnet_branch")(h)
         x = x + gate_msa * h
 
         h = Attention(num_heads=c.num_attention_heads,
@@ -145,8 +180,9 @@ class PixArtTransformer2D(nn.Module):
             block_cls = nn.remat(PixArtBlock, prevent_cse=False)
 
         repa_proj = None
+        grid_hw = (h // p, w // p)
         for i in range(c.num_layers):
-            x = block_cls(cfg=c, deterministic=deterministic,
+            x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
                           dtype=self.dtype, name=f"blocks_{i}")(
                 x, cond, scale_shift_table, ctx, text_mask)
             if c.repa_depth is not None and i == c.repa_depth and return_repa:

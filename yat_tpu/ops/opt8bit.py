@@ -1,0 +1,102 @@
+"""Lion with 8-bit momentum state (bitsandbytes Lion8bit replacement).
+
+The reference's 'use_adamw_8bit' flag actually instantiates
+``bitsandbytes.optim.Lion8bit`` (/root/reference/common/trainer.py:245-250).
+This is the TPU-native equivalent: Lion (sign-momentum) whose single moment
+is stored as int8 with per-block fp32 absmax scales — an 8x state-memory
+reduction vs fp32 AdamW's two moments (and 4x vs fp32 Lion) — implemented
+as a pure optax transformation so it composes with clipping/MultiSteps.
+
+Quantization: each flattened leaf splits into ``block_size`` blocks; scale =
+absmax/127 per block (the bitsandbytes blockwise scheme).  De/requantization
+happens inside the jitted update, fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class _Quantized(NamedTuple):
+    q: jnp.ndarray        # int8 payload, flat padded [n_blocks * block]
+    scale: jnp.ndarray    # fp32 per-block scales [n_blocks]
+
+
+def _quantize(x: jnp.ndarray, block: int) -> _Quantized:
+    flat = x.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    pad = (-n) % block
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(blocks / scale[:, None]), -127, 127)
+    return _Quantized(q.astype(jnp.int8).reshape(-1), scale)
+
+
+def _dequantize(qt: _Quantized, shape, block: int) -> jnp.ndarray:
+    blocks = qt.q.reshape(-1, block).astype(jnp.float32) * qt.scale[:, None]
+    n = 1
+    for s in shape:
+        n *= s
+    return blocks.reshape(-1)[:n].reshape(shape)
+
+
+class Lion8bitState(NamedTuple):
+    momentum: Any          # pytree of _Quantized
+
+
+def lion_8bit(learning_rate, b1: float = 0.9, b2: float = 0.99,
+              weight_decay: float = 0.0,
+              block_size: int = 2048) -> optax.GradientTransformation:
+    """Lion: u = sign(b1 m + (1-b1) g); m' = b2 m + (1-b2) g; int8 m."""
+
+    def init(params):
+        mom = jax.tree.map(
+            lambda p: _quantize(jnp.zeros_like(p, jnp.float32), block_size),
+            params)
+        return Lion8bitState(momentum=mom)
+
+    def update(grads, state, params=None):
+        if callable(learning_rate):
+            raise ValueError(
+                "use lion_8bit_with_schedule for learning-rate schedules")
+        lr = learning_rate
+
+        def upd_leaf(g, qm, p):
+            m = _dequantize(qm, g.shape, block_size)
+            u = jnp.sign(b1 * m + (1.0 - b1) * g.astype(jnp.float32))
+            if weight_decay and p is not None:
+                u = u + weight_decay * p.astype(jnp.float32)
+            return (-lr * u).astype(g.dtype)
+
+        def mom_leaf(g, qm):
+            m = _dequantize(qm, g.shape, block_size)
+            m_new = b2 * m + (1.0 - b2) * g.astype(jnp.float32)
+            return _quantize(m_new, block_size)
+
+        # grads is tree 1, so its array leaves decide structure; the
+        # _Quantized subtrees of momentum are passed whole to the leaf fns
+        if params is not None:
+            updates = jax.tree.map(upd_leaf, grads, state.momentum, params)
+        else:
+            updates = jax.tree.map(lambda g, qm: upd_leaf(g, qm, None),
+                                   grads, state.momentum)
+        new_mom = jax.tree.map(mom_leaf, grads, state.momentum)
+        return updates, Lion8bitState(momentum=new_mom)
+
+    return optax.GradientTransformation(init, update)
+
+
+def lion_8bit_with_schedule(schedule, b1=0.9, b2=0.99, weight_decay=0.0,
+                            block_size=2048) -> optax.GradientTransformation:
+    """lion_8bit composed with a learning-rate schedule."""
+    return optax.chain(
+        lion_8bit(1.0, b1=b1, b2=b2, weight_decay=weight_decay,
+                  block_size=block_size),
+        optax.scale_by_schedule(lambda step: schedule(step)),
+    )

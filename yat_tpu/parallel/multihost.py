@@ -1,0 +1,83 @@
+"""Multi-host coordination: distributed init, windowed bucket sync, seeding.
+
+The reference coordinates hosts through NCCL via Accelerate — including a
+per-sample gather of bucket counts (/root/reference/common/bucket_sampler.py
+:225-237), flagged in SURVEY §5 as the scalability bug to design out.  Here:
+
+* ``initialize_distributed`` — one ``jax.distributed.initialize`` call
+  (trainer.py:31-37's process-group init, minus the env juggling of
+  utils/set_nccl_vars.py, which has no TPU equivalent: ICI needs no tuning).
+* deterministic shard order + canonical bucket drain (data/sampler.py) makes
+  per-sample collectives unnecessary; for heterogeneous streams,
+  ``WindowedBucketSync`` reconciles bucket states every N batches with ONE
+  small host allgather instead of one per sample — O(window) fewer
+  collectives.
+* ``host_seed`` — per-host dataset seeds derived from the global seed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Idempotent jax.distributed bring-up (no-op single-process)."""
+    if jax.process_count() > 1:
+        return
+    if coordinator_address is None:
+        return  # single-process run
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_seed(global_seed: int, process_index: Optional[int] = None) -> int:
+    """Decorrelated per-host seed (replaces random.seed(rank + seed),
+    bucket_sampler.py:97)."""
+    pi = process_index if process_index is not None else jax.process_index()
+    return int(np.random.SeedSequence([global_seed, pi]).generate_state(1)[0])
+
+
+def broadcast_from_main(value: np.ndarray) -> np.ndarray:
+    """Broadcast a small host value from process 0 to all hosts."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.broadcast_one_to_all(value))
+
+
+class WindowedBucketSync:
+    """Amortized cross-host bucket reconciliation (sync_hook protocol of
+    FeatureBucketSampler).
+
+    Every ``window`` ready-bucket events, allgather per-bucket counts once
+    and record the minimum across hosts; callers may use ``min_counts`` to
+    hold back draining a bucket until all hosts can fill it.  Single-process
+    runs never communicate.
+    """
+
+    def __init__(self, window: int = 64):
+        self.window = window
+        self._events = 0
+        self.min_counts: Dict[str, int] = {}
+
+    def __call__(self, ready_counts: Dict[str, int]) -> None:
+        self._events += 1
+        if jax.process_count() == 1:
+            self.min_counts = dict(ready_counts)
+            return
+        if self._events % self.window != 0:
+            return
+        from jax.experimental import multihost_utils
+        keys = sorted(ready_counts)
+        local = np.asarray([ready_counts.get(k, 0) for k in keys],
+                           np.int32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(local))
+        mins = gathered.min(axis=0)
+        self.min_counts = {k: int(m) for k, m in zip(keys, mins)}

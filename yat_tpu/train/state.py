@@ -84,9 +84,11 @@ def make_lr_schedule(params: TrainingParameters) -> optax.Schedule:
 def make_optimizer(params: TrainingParameters) -> optax.GradientTransformation:
     lr = make_lr_schedule(params)
     if params.use_adamw_8bit:
-        # reference name notwithstanding, this is Lion (trainer.py:250);
-        # int8 state quantization arrives with the quant subsystem
-        inner = optax.lion(learning_rate=lr, weight_decay=params.weight_decay)
+        # reference name notwithstanding, this is Lion with 8-bit momentum
+        # (trainer.py:250 instantiates bitsandbytes Lion8bit)
+        from yat_tpu.ops.opt8bit import lion_8bit_with_schedule
+        inner = lion_8bit_with_schedule(lr,
+                                        weight_decay=params.weight_decay)
     else:
         inner = optax.adamw(learning_rate=lr, weight_decay=params.weight_decay)
     tx = optax.chain(

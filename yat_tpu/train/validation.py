@@ -1,0 +1,114 @@
+"""In-training validation: generate images every N steps and log them.
+
+Reference behavior (/root/reference/train_sana.py:99-161, trainer.py:371-401):
+on the validation cadence, the main rank encodes the validation prompts,
+runs the full sampling pipeline (20 steps, CFG 5.0, seed 42), decodes
+latents with the VAE, and logs images keyed ``validation/{idx}/{prompt}``;
+with EMA the shadow weights are swapped in first; with a refiner timestep
+list the adapter is gated per step.
+
+TPU shape: everything after prompt encoding is ONE jitted program — the
+CFG-batched denoiser runs under ``lax.scan`` (ops/sampling.py) and the VAE
+decode is fused behind it.  EMA swap is a pytree substitution, not a weight
+copy dance.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yat_tpu.ops.sampling import make_cfg_denoiser, sample_ddim, sample_flow_match
+from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
+
+
+class ValidationPipeline:
+    """Bundles denoiser + schedule + encoders/decoder into validate_fn."""
+
+    def __init__(
+        self,
+        model,                                # flax denoiser module
+        schedule,                             # FlowMatchSchedule | DDPMSchedule
+        latent_shape,                         # (H, W, C) for one image
+        encode_prompts: Callable[[List[str]], Dict[str, jnp.ndarray]],
+        decode_latents: Optional[Callable[[jnp.ndarray], np.ndarray]] = None,
+        guidance_scale: float = 5.0,          # train_sana.py:142
+        num_steps: int = 20,                  # train_sana.py:143
+        seed: int = 42,                       # train_sana.py:109
+        active_timesteps: Optional[Sequence[int]] = None,
+        extra_cond: Optional[Dict[str, jnp.ndarray]] = None,
+    ):
+        self.model = model
+        self.schedule = schedule
+        self.latent_shape = tuple(latent_shape)
+        self.encode_prompts = encode_prompts
+        self.decode_latents = decode_latents
+        self.guidance_scale = guidance_scale
+        self.num_steps = num_steps
+        self.seed = seed
+        self.active_timesteps = tuple(active_timesteps) \
+            if active_timesteps else None
+        self.extra_cond = extra_cond or {}
+
+    # ------------------------------------------------------------------
+    def _variables_for(self, trainer) -> Dict[str, Any]:
+        state = trainer.state
+        if state.ema is not None:
+            # EMA swap = substitute the shadow trainable tree
+            # (trainer.py:380-383 semantics without the copy dance)
+            return state.variables(trainable=state.ema)
+        return state.variables()
+
+    def _sample_latents(self, variables, cond, uncond) -> jnp.ndarray:
+        shape = (1, *self.latent_shape)
+
+        def apply_fn(vs, x, timesteps, **kw):
+            return self.model.apply(vs, x, kw.pop("embeddings"), timesteps,
+                                    kw.pop("text_mask", None),
+                                    deterministic=True, **kw)
+
+        denoise = make_cfg_denoiser(apply_fn, variables, cond, uncond,
+                                    self.guidance_scale)
+        if isinstance(self.schedule, FlowMatchSchedule):
+            return sample_flow_match(
+                denoise, shape, self.schedule, self.num_steps, self.seed,
+                active_timesteps=self.active_timesteps)
+        return sample_ddim(denoise, shape, self.schedule, self.num_steps,
+                           self.seed, active_timesteps=self.active_timesteps)
+
+    # ------------------------------------------------------------------
+    def __call__(self, trainer) -> Dict[str, np.ndarray]:
+        prompts = trainer.params.validation_prompts or []
+        if not prompts:
+            return {}
+        variables = self._variables_for(trainer)
+        images: Dict[str, np.ndarray] = {}
+        uncond_all = self.encode_prompts([""] * 1)
+        for idx, prompt in enumerate(prompts):
+            cond = self.encode_prompts([prompt])
+            cond = {**cond, **self.extra_cond}
+            uncond = {**uncond_all, **self.extra_cond}
+            latents = self._sample_latents(variables, cond, uncond)
+            if self.decode_latents is not None:
+                img = np.asarray(self.decode_latents(latents))[0]
+            else:
+                # no decoder: visualize first three latent channels
+                lat = np.asarray(latents)[0]
+                img = lat[..., :3]
+                img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+            img = np.clip((img + 1) / 2 if img.min() < -0.01 else img, 0, 1)
+            images[f"validation/{idx}/{prompt}"] = img
+        return images
+
+
+def make_latent_decoder(vae, vae_variables) -> Callable:
+    """VAE decode → [-1,1] images (train_sana.py:152-156)."""
+
+    @jax.jit
+    def decode(latents):
+        return vae.apply(vae_variables, latents, method=vae.decode)
+
+    return decode
