@@ -1,0 +1,74 @@
+"""Dreambooth end-to-end: instance folder + regularization folder → train."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from yat_tpu.config import TrainingParameters
+
+
+def make_folder(path, n, seed=0):
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img = rng.integers(0, 255, (256, 256, 3), np.uint8)
+        cv2.imwrite(os.path.join(path, f"img_{i}.jpg"), img)
+    return str(path)
+
+
+TINY = {
+    "hidden_dim": "32", "num_layers": "1", "num_attention_heads": "2",
+    "attention_head_dim": "16", "num_cross_attention_heads": "2",
+    "cross_attention_head_dim": "16", "caption_channels": "32",
+    "max_caption_len": "8", "mlp_ratio": "1.0", "in_channels": "32",
+    "out_channels": "32", "sample_size": "4", "vae_compression": "4",
+    "tiny_encoders": "1",
+}
+
+
+def test_dreambooth_sampler_alternates(tmp_path):
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import DreamboothSampler
+    inst = make_folder(tmp_path / "instance", 4, seed=0)
+    reg = make_folder(tmp_path / "reg", 4, seed=1)
+    s = DreamboothSampler(inst, reg, "sks", "dog", num_repeats=1,
+                          batch_size=2,
+                          aspect_ratios=bin_for_resolution(256))
+    batches = []
+    for b in s:
+        batches.append(b)
+        if len(batches) == 4:
+            break
+    kinds = [b.is_regularization for b in batches]
+    assert kinds == [False, False, True, True]
+    assert batches[0].captions == ["sks dog", "sks dog"]
+    assert batches[2].captions == ["dog", "dog"]
+
+
+def test_dreambooth_trains_with_lambda(tmp_path):
+    from yat_tpu.frontends.sana import make_trainer
+    inst = make_folder(tmp_path / "instance", 4, seed=0)
+    reg = make_folder(tmp_path / "reg", 4, seed=1)
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "4", "num_steps_per_validation": "100",
+        "validation_prompts": [], "output_dir": str(tmp_path / "models"),
+        "mesh_shape": {"dp": "1"},
+        "compute_features": "1", "vae_max_batch_size": "2",
+        "text_encoder_max_batch_size": "2",
+        "aspect_ratio": "256",
+        "dreambooth_dataset_folder": inst,
+        "dreambooth_regularization_folder": reg,
+        "dreambooth_instance": "sks", "dreambooth_class": "dog",
+        "dreambooth_num_repeats": "1",
+        "lora_rank": "2", "lora_alpha": "4", "lora_algo": "lora",
+        "lora_target_modules": ["to_q"],
+        "dreambooth_lambda": "0.5",
+        "model_config_overrides": TINY,
+    })
+    t = make_trainer(p)
+    t.run()
+    assert t.global_step == 4

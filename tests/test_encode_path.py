@@ -1,0 +1,110 @@
+"""compute_features=True: raw images → on-device encode → train; and the
+extract_features phase writing feature shards."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.tar import TarShardWriter, iter_tar_samples
+
+TINY = {
+    "hidden_dim": "32", "num_layers": "1", "num_attention_heads": "2",
+    "attention_head_dim": "16", "num_cross_attention_heads": "2",
+    "cross_attention_head_dim": "16", "caption_channels": "32",
+    "max_caption_len": "8", "mlp_ratio": "1.0", "in_channels": "32",
+    "out_channels": "32", "sample_size": "4", "vae_compression": "4",
+    "tiny_encoders": "1",
+}
+
+
+def make_image_shard(path, n=10, hw=(64, 64)):
+    rng = np.random.default_rng(0)
+    with TarShardWriter(str(path)) as w:
+        for i in range(n):
+            img = rng.integers(0, 255, (*hw, 3), np.uint8)
+            ok, enc = cv2.imencode(".jpg", img)
+            w.write({"__key__": f"{i:04d}", "jpg": enc.tobytes(),
+                     "txt": f"a tiny test image number {i}"})
+    return str(path)
+
+
+def params_for(tmp_path, shard, extra=None):
+    cfg = dict(
+        local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
+        steps="2", num_steps_per_validation="100", validation_prompts=[],
+        output_dir=str(tmp_path / "models"), mesh_shape={"dp": "1"},
+        compute_features="1", vae_max_batch_size="2",
+        text_encoder_max_batch_size="2", cache_size="8",
+        aspect_ratio="256",
+        model_config_overrides=TINY,
+    )
+    cfg.update(extra or {})
+    return TrainingParameters.from_dict(cfg)
+
+
+def test_compute_features_trains(tmp_path):
+    """Raw jpg/txt shard → tiny DC-AE + Gemma encode → 2 train steps."""
+    from yat_tpu.frontends.sana import make_trainer
+    shard = make_image_shard(tmp_path / "imgs.tar", hw=(256, 256))
+    p = params_for(tmp_path, shard)
+    t = make_trainer(p)
+    assert hasattr(t, "encode_images")
+    t.run()
+    assert t.global_step == 2
+    if hasattr(t.sampler, "stop"):
+        t.sampler.stop()
+
+
+def test_extract_features_writes_shards(tmp_path):
+    """extract_features phase: images → {ratio, latent, emb} shards."""
+    from yat_tpu.frontends.sana import make_trainer
+    from yat_tpu.train.extract import FeatureExtractor
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+
+    shard = make_image_shard(tmp_path / "imgs.tar", n=6, hw=(256, 256))
+    p = params_for(tmp_path, shard)
+    t = make_trainer(p)
+    sampler = ImageBucketSampler(
+        LocalShardSource([shard], seed=0), 2,
+        bin_for_resolution(256), seed=0)
+    out_dir = str(tmp_path / "features")
+    ex = FeatureExtractor(sampler, t.encode_images, t.encode_captions,
+                          output_dir=out_dir, shard_size=4,
+                          vae_max_batch_size=2,
+                          text_encoder_max_batch_size=2, max_samples=6)
+    n = ex.run()
+    assert n == 6
+    shards = sorted(os.listdir(out_dir))
+    assert len(shards) >= 1
+    samples = list(iter_tar_samples(os.path.join(out_dir, shards[0])))
+    s = samples[0]
+    assert "ratio" in s and "latent.npy" in s and "emb.npy" in s
+    # 256px square bucket → tiny DC-AE 4x compression → 64x64 latents
+    assert s["latent.npy"].shape[-1] == 32
+
+    # and the produced shards train the compute_features=False path
+    from yat_tpu.data.sampler import FeatureBucketSampler
+    fs = FeatureBucketSampler(
+        LocalShardSource([os.path.join(out_dir, sh) for sh in shards],
+                         seed=0), 2, 8, shuffle_buffer=1)
+    b = next(iter(fs))
+    assert b.latents.shape[0] == 2 and b.embeddings.shape == (2, 8, 32)
+
+
+def test_feature_cache_prefetches():
+    from yat_tpu.train.encode import FeatureCache
+    from yat_tpu.data.sampler import Batch
+
+    def gen():
+        for i in range(5):
+            yield Batch(ratio="1.0", latents=np.full((1, 2, 2, 1), i))
+
+    cache = FeatureCache(gen(), cache_size=2)
+    seen = [float(b.latents[0, 0, 0, 0]) for _, b in zip(range(5), cache)]
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+    cache.stop()

@@ -92,6 +92,133 @@ def build_sampler(params: TrainingParameters, cfg: SanaConfig):
         seed=params.dataset_seed)
 
 
+def build_encoders(params: TrainingParameters, cfg: SanaConfig):
+    """DC-AE latent encoder + Gemma-2 caption encoder as jitted callables
+    (extract_latents / extract_embeddings parity, train_sana.py:78-94).
+
+    Checkpoints load from pretrained_pipe_path subfolders when present;
+    otherwise random init (smoke/tests).  Embeddings are mask-compressed to
+    their real lengths like the reference (:92-94).
+    """
+    import jax
+
+    from yat_tpu.models.text_encoders import (
+        GEMMA_TINY_TEST, GEMMA2_2B, Gemma2Encoder, compress_embeddings)
+    from yat_tpu.models.vae import DCAE, DCAE_SANA, DCAE_TINY_TEST
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    vae = DCAE(cfg=DCAE_TINY_TEST if tiny else DCAE_SANA)
+    te = Gemma2Encoder(cfg=GEMMA_TINY_TEST if tiny else GEMMA2_2B,
+                       dtype=jnp.bfloat16 if params.bfloat16 else jnp.float32)
+    rng = jax.random.PRNGKey(params.dataset_seed)
+    px = 16 if tiny else 256
+    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
+    te_vars = te.init(rng, jnp.zeros((1, 8), jnp.int32),
+                      jnp.ones((1, 8), jnp.int32))
+    if params.pretrained_pipe_path:
+        import os
+
+        from yat_tpu.models.convert import (
+            convert_gemma2, load_torch_state_dict, merge_into)
+        te_dir = os.path.join(params.pretrained_pipe_path, "text_encoder")
+        if os.path.isdir(te_dir):
+            sd = load_torch_state_dict(te_dir)
+            te_vars = {"params": merge_into(
+                te_vars["params"], convert_gemma2(sd, te.cfg.num_layers))}
+
+    tokenize = load_tokenizer(params.pretrained_pipe_path,
+                              vocab_size=te.cfg.vocab_size,
+                              max_length=cfg.max_caption_len)
+    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
+                                             method=vae.encode_mode))
+    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
+
+    def encode_images(images: "np.ndarray"):
+        import numpy as np
+        return np.asarray(encode_img(jnp.asarray(images)))
+
+    def encode_captions(captions):
+        ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
+        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        return compress_embeddings(hidden, mask)
+
+    decode_latents = jax.jit(lambda z: vae.apply(vae_vars, z,
+                                                 method=vae.decode))
+    return encode_images, encode_captions, decode_latents
+
+
+def build_compute_features_sampler(params: TrainingParameters,
+                                   cfg: SanaConfig, trainer_holder: dict):
+    """compute_features=True path: stream raw image shards, encode on
+    device, cache (bucket_sampler.py:276-398 + cache_size semantics)."""
+    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+
+    bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
+    if params.local_shard_paths:
+        source = LocalShardSource(params.local_shard_paths,
+                                  seed=params.dataset_seed)
+    else:
+        from yat_tpu.frontends.common import shard_range_for_host
+        import jax as _jax
+        from yat_tpu.data.sampler import RemoteShardSource
+        rng = shard_range_for_host(params.num_shards or 1)
+        source = RemoteShardSource(
+            [f"shard-{i:06d}.tar" for i in rng],
+            params.r2_dataset_folder or "", params.r2_access_key,
+            params.r2_secret_key, params.r2_endpoint,
+            params.r2_bucket_name, seed=params.dataset_seed,
+            process_index=_jax.process_index())
+    images = ImageBucketSampler(source, params.batch_size, bins,
+                                seed=params.dataset_seed)
+    encode_images, encode_captions, decode_latents = \
+        build_encoders(params, cfg)
+    trainer_holder["encode_images"] = encode_images
+    trainer_holder["encode_captions"] = encode_captions
+    trainer_holder["decode_latents"] = decode_latents
+    encoded = OnTheFlyEncodingSampler(
+        images, encode_images, encode_captions, cfg.max_caption_len,
+        vae_max_batch_size=params.vae_max_batch_size,
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+    return FeatureCache(encoded, cache_size=max(1, params.cache_size
+                                                // params.batch_size))
+
+
+def build_dreambooth_sampler(params: TrainingParameters, cfg: SanaConfig,
+                             trainer_holder: dict):
+    """Dreambooth: instance-folder passes alternating with regularization
+    passes, encoded on the fly (trainer.py:145-167 sampler selection)."""
+    from yat_tpu.data.sampler import DreamboothSampler, RemoteShardSource
+    from yat_tpu.train.encode import OnTheFlyEncodingSampler
+
+    bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
+    reg_source = None
+    if params.r2_endpoint and params.num_shards:
+        import jax as _jax
+        reg_source = RemoteShardSource(
+            [f"shard-{i:06d}.tar" for i in range(params.num_shards)],
+            params.r2_dataset_folder or "", params.r2_access_key,
+            params.r2_secret_key, params.r2_endpoint, params.r2_bucket_name,
+            seed=params.dataset_seed, process_index=_jax.process_index())
+    images = DreamboothSampler(
+        params.dreambooth_dataset_folder,
+        params.dreambooth_regularization_folder,
+        params.dreambooth_instance, params.dreambooth_class,
+        params.dreambooth_num_repeats, params.batch_size, bins,
+        num_regularisation_passes=params.dreambooth_num_regularisation_passes,
+        seed=params.dataset_seed, reg_shard_source=reg_source)
+    encode_images, encode_captions, decode_latents = \
+        build_encoders(params, cfg)
+    trainer_holder["encode_images"] = encode_images
+    trainer_holder["encode_captions"] = encode_captions
+    trainer_holder["decode_latents"] = decode_latents
+    return OnTheFlyEncodingSampler(
+        images, encode_images, encode_captions, cfg.max_caption_len,
+        vae_max_batch_size=params.vae_max_batch_size,
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+
+
 def make_trainer(params: TrainingParameters,
                  sampler=None, init_variables=None) -> Trainer:
     cfg = build_sana_config(params)
@@ -104,7 +231,13 @@ def make_trainer(params: TrainingParameters,
     pres = make_preservation_loss(model, schedule, is_flow=True) \
         if params.use_preservation else None
 
-    if sampler is None and (params.local_shard_paths or params.r2_endpoint):
+    holder: dict = {}
+    if sampler is None and params.dreambooth_dataset_folder:
+        sampler = build_dreambooth_sampler(params, cfg, holder)
+    elif sampler is None and params.compute_features and \
+            (params.local_shard_paths or params.r2_endpoint):
+        sampler = build_compute_features_sampler(params, cfg, holder)
+    elif sampler is None and (params.local_shard_paths or params.r2_endpoint):
         sampler = build_sampler(params, cfg)
 
     if init_variables is None:
@@ -123,7 +256,30 @@ def make_trainer(params: TrainingParameters,
         init_variables=init_variables, example_batch=example)
     trainer.sana_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
+    if holder and params.validation_prompts:
+        from yat_tpu.train.validation import ValidationPipeline
+        lat = cfg.sample_size
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule,
+            latent_shape=(lat, lat, cfg.in_channels),
+            encode_prompts=lambda prompts: _prompt_batch(
+                holder["encode_captions"], prompts, cfg),
+            decode_latents=lambda z: holder["decode_latents"](z),
+            guidance_scale=5.0, num_steps=20,   # train_sana.py:142-143
+            active_timesteps=params.timesteps or None)
     return trainer
+
+
+def _prompt_batch(encode_captions, prompts, cfg):
+    import numpy as np
+
+    from yat_tpu.data.sampler import pad_embeddings
+    embs = encode_captions(list(prompts))
+    padded, mask = pad_embeddings(embs, cfg.max_caption_len)
+    return {"embeddings": jnp.asarray(padded),
+            "text_mask": jnp.asarray(mask)}
 
 
 def main(argv: Optional[list] = None) -> None:

@@ -1,0 +1,117 @@
+"""On-the-fly feature encoding: images+captions → latents+embeddings batches.
+
+The reference's main live path (``compute_features=True``) encodes each
+bucketed image batch on-device right before training on it
+(/root/reference/common/bucket_sampler.py:338-388): VAE latents chunked by
+``vae_max_batch_size``, text embeddings chunked by
+``text_encoder_max_batch_size``, optional DINOv2 REPA tokens from
+224x224-resized images.  The reference also documents a ``cache_size``
+(default 1000, README.md:19) of precomputed features decoupling encode from
+train.
+
+This module provides both:
+
+* ``OnTheFlyEncodingSampler`` — wraps an ImageBucketSampler with jitted
+  encoder callables; yields train-ready feature batches.
+* ``FeatureCache`` — a bounded in-memory cache (cache_size semantics) that
+  prefetches encoded batches on a background thread so encode overlaps
+  train — the TPU-native answer to the reference's ``dual_gpu`` split
+  (bucket_sampler.py:560-627): instead of dedicating a second accelerator
+  to encoding, encode and train steps interleave on the same chips while
+  host I/O overlaps via the thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from yat_tpu.data.sampler import Batch, pad_embeddings
+
+
+class OnTheFlyEncodingSampler:
+    def __init__(
+        self,
+        image_sampler: Iterable[Batch],
+        encode_images: Callable[[np.ndarray], np.ndarray],
+        encode_captions: Callable[[List[str]], List[np.ndarray]],
+        max_caption_len: int,
+        vae_max_batch_size: Optional[int] = None,
+        text_encoder_max_batch_size: Optional[int] = None,
+        encode_repa: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        encode_pooled: Optional[Callable[[List[str]], np.ndarray]] = None,
+    ):
+        self.image_sampler = image_sampler
+        self.encode_images = encode_images
+        self.encode_captions = encode_captions
+        self.max_caption_len = max_caption_len
+        self.vae_bs = vae_max_batch_size
+        self.te_bs = text_encoder_max_batch_size
+        self.encode_repa = encode_repa
+        self.encode_pooled = encode_pooled
+
+    def _encode_batch(self, batch: Batch) -> Batch:
+        images, captions = batch.images, batch.captions
+        vb = self.vae_bs or len(images)
+        latents = np.concatenate([
+            np.asarray(self.encode_images(images[i:i + vb]))
+            for i in range(0, len(images), vb)])
+        tb = self.te_bs or len(captions)
+        embs: List[np.ndarray] = []
+        for i in range(0, len(captions), tb):
+            embs.extend(self.encode_captions(captions[i:i + tb]))
+        padded, mask = pad_embeddings(embs, self.max_caption_len)
+        out = Batch(ratio=batch.ratio, latents=latents, embeddings=padded,
+                    text_mask=mask,
+                    is_regularization=batch.is_regularization)
+        if self.encode_repa is not None:
+            out.repa_features = np.asarray(self.encode_repa(images))
+            out.repa_spatial_dims = (16, 16)        # bucket_sampler.py:256
+        if self.encode_pooled is not None:
+            out.pooled_text = np.asarray(self.encode_pooled(captions))
+        return out
+
+    def __iter__(self) -> Iterator[Batch]:
+        for batch in self.image_sampler:
+            yield self._encode_batch(batch)
+
+
+class FeatureCache:
+    """Bounded producer/consumer cache of encoded batches (cache_size
+    semantics, README.md:19 / training_parameters_reader.py:121-124).
+
+    A daemon thread drains the encoding sampler into a queue of up to
+    ``cache_size`` batches; iteration pops from the queue, so host decode +
+    device encode run ahead of training.
+    """
+
+    def __init__(self, encoded_sampler: Iterable[Batch],
+                 cache_size: int = 1000):
+        self.sampler = encoded_sampler
+        # cache_size counts samples in the reference; here batches carry
+        # batch_size samples each
+        self.q: "queue.Queue[Batch]" = queue.Queue(maxsize=max(1, cache_size))
+        self._started = False
+        self._stop = threading.Event()
+
+    def _worker(self):
+        try:
+            for batch in self.sampler:
+                if self._stop.is_set():
+                    return
+                self.q.put(batch)
+        except Exception as e:  # noqa: BLE001
+            print(f"[cache] encoding worker died: {e}")
+
+    def stop(self):
+        self._stop.set()
+
+    def __iter__(self) -> Iterator[Batch]:
+        if not self._started:
+            threading.Thread(target=self._worker, daemon=True).start()
+            self._started = True
+        while not self._stop.is_set():
+            yield self.q.get()

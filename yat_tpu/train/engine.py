@@ -185,12 +185,20 @@ class Trainer:
             out["empty_embeddings"] = self.empty_embedding
         if batch.repa_features is not None:
             out["repa_features"] = batch.repa_features
+        if batch.is_regularization and self.params.dreambooth_lambda != 1.0:
+            out["loss_scale"] = np.float32(self.params.dreambooth_lambda)
         if self.batch_transform is not None:
             out = self.batch_transform(batch, out)
         bs = batch_sharding(self.mesh)
-        return {k: jax.device_put(np.asarray(v), bs) if k != "empty_embeddings"
-                else jax.device_put(np.asarray(v))
-                for k, v in out.items() if v is not None}
+
+        def place(k, v):
+            arr = np.asarray(v)
+            # scalars and unbatched extras replicate; batch arrays shard
+            if k == "empty_embeddings" or arr.ndim == 0:
+                return jax.device_put(arr)
+            return jax.device_put(arr, bs)
+
+        return {k: place(k, v) for k, v in out.items() if v is not None}
 
     # ------------------------------------------------------------------
     def run(self) -> None:
@@ -205,6 +213,9 @@ class Trainer:
         micro = 0
         pending_metrics = None
         t_start = time.monotonic()
+        self._step_times = []
+        t_last = t_start
+        profiling = False
 
         sampler_iter = iter(self.sampler)
         while self.global_step < params.steps:
@@ -213,6 +224,16 @@ class Trainer:
             except StopIteration:
                 sampler_iter = iter(self.sampler)
                 continue
+
+            # profiler trace: steps 10..14 after compiles settle (§5 upgrade
+            # over the reference's tqdm-only observability)
+            if params.profile_dir and self.global_step == 10 and not profiling:
+                jax.profiler.start_trace(params.profile_dir)
+                profiling = True
+            if profiling and self.global_step >= 15:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[engine] profiler trace in {params.profile_dir}")
 
             rng, sub = jax.random.split(rng)
             device_batch = self._device_batch(batch)
@@ -227,9 +248,18 @@ class Trainer:
                 self._log_metrics(pending_metrics)
             pending_metrics = metrics
             self.global_step += 1
+            now = time.monotonic()
+            self._step_times.append(now - t_last)
+            t_last = now
             if self.global_step == 1 or self.global_step % 50 == 0:
+                recent = self._step_times[-50:]
+                ips = params.batch_size * accum * len(recent) / sum(recent)
                 print(f"[engine] step {self.global_step}/{params.steps} "
-                      f"loss={float(metrics['loss']):.4f}", flush=True)
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"({ips:.2f} imgs/s)", flush=True)
+                if self.logger is not None:
+                    self.logger.add_scalar("perf/images_per_sec", ips,
+                                           self.global_step)
 
             if self.global_step % params.num_steps_per_validation == 0:
                 self._validate_and_save()

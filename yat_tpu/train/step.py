@@ -61,6 +61,10 @@ def make_train_step(
             base_vars = state.base_variables()
             loss = loss + preservation_ratio * preservation_loss(
                 variables, base_vars, batch, rng)
+        if "loss_scale" in batch:
+            # Dreambooth regularization weighting (dreambooth_lambda,
+            # training_parameters_reader.py:193)
+            loss = loss * batch["loss_scale"]
         return loss
 
     def apply_uncond_dropout(batch: Dict[str, Any], rng):

@@ -1,0 +1,57 @@
+"""Tokenizer loading with a deterministic offline fallback.
+
+Real runs load the pipeline's tokenizer from a local path via the
+framework-independent ``transformers`` tokenizers (the reference does the
+same through its pipelines).  When no tokenizer files exist (tests, smoke
+runs) a deterministic hash tokenizer keeps the encode path exercisable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer (offline fallback)."""
+
+    def __init__(self, vocab_size: int = 256, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def __call__(self, texts: List[str], max_length: Optional[int] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        ml = max_length or self.max_length
+        ids = np.zeros((len(texts), ml), np.int32)
+        mask = np.zeros((len(texts), ml), np.int32)
+        for i, t in enumerate(texts):
+            words = t.split()[: ml - 1]
+            for j, w in enumerate(words):
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                ids[i, j] = 1 + h % (self.vocab_size - 2)
+            ids[i, len(words)] = self.vocab_size - 1     # eos
+            mask[i, : len(words) + 1] = 1
+        return ids, mask
+
+
+def load_tokenizer(path: Optional[str], subfolder: str = "tokenizer",
+                   vocab_size: int = 256, max_length: int = 77):
+    """transformers tokenizer from a local path, else HashTokenizer."""
+    if path:
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path, subfolder=subfolder)
+
+            def encode(texts: List[str], max_length: Optional[int] = None):
+                out = tok(texts, padding="max_length", truncation=True,
+                          max_length=max_length or tok.model_max_length,
+                          return_tensors="np")
+                return (out["input_ids"].astype(np.int32),
+                        out["attention_mask"].astype(np.int32))
+
+            return encode
+        except Exception as e:  # noqa: BLE001
+            print(f"[tokenizer] falling back to hash tokenizer: {e}")
+    return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
