@@ -106,7 +106,7 @@ def main():
     result = None
     # known-good config first (remote compile helper 500s on very large
     # unrolled graphs); later configs only improve on it
-    for batch_size, remat in ((16, True), (32, True), (32, False)):
+    for batch_size, remat in ((16, True), (16, False), (24, True)):
         try:
             imgs_per_sec = measure(batch_size, remat)
             if result is None or imgs_per_sec > result[0]:

@@ -1,0 +1,136 @@
+"""DiT-family converters: key coverage against synthesized diffusers-layout
+state dicts on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.models.convert import merge_into
+from yat_tpu.models.convert_dit import convert_pixart, convert_sd3_mmdit
+
+
+def _fill_like(init_params, mapping):
+    """Build a torch-layout state dict whose converted shapes match
+    ``init_params`` by inverting the layout rules per leaf."""
+    sd = {}
+    for torch_key, (flax_path, kind) in mapping.items():
+        node = init_params
+        for k in flax_path.split("."):
+            node = node[k]
+        arr = np.asarray(node, np.float32)
+        if kind == "linear":
+            sd[f"{torch_key}.weight"] = np.ascontiguousarray(arr.T)
+        elif kind == "bias" or kind == "norm":
+            sd[torch_key if torch_key.endswith((".weight", ".bias"))
+               else f"{torch_key}.weight"] = arr
+        elif kind == "raw":
+            sd[torch_key] = arr
+    return sd
+
+
+def test_pixart_converter_coverage():
+    from yat_tpu.models.pixart import PIXART_TINY_TEST, PixArtTransformer2D
+    import dataclasses
+    cfg = dataclasses.replace(PIXART_TINY_TEST, repa_depth=None)
+    m = PixArtTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jnp.zeros((1, 8, 8, 4))
+    txt = jnp.zeros((1, 8, 16))
+    init = m.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)), None)
+    P = init["params"]
+
+    mapping = {
+        "adaln_single.emb.timestep_embedder.linear_1":
+            ("time_embed.linear_1.kernel", "linear"),
+        "adaln_single.emb.timestep_embedder.linear_2":
+            ("time_embed.linear_2.kernel", "linear"),
+        "adaln_single.linear": ("time_proj.kernel", "linear"),
+        "caption_projection.linear_1":
+            ("caption_projection.kernel", "linear"),
+        "pos_embed.proj": ("pos_embed.proj.kernel", "linear"),
+        "proj_out": ("proj_out.kernel", "linear"),
+        "scale_shift_table": ("scale_shift_table", "raw"),
+    }
+    for i in range(cfg.num_layers):
+        for a in ("attn1", "attn2"):
+            for n in ("to_q", "to_k", "to_v"):
+                mapping[f"transformer_blocks.{i}.{a}.{n}"] = (
+                    f"blocks_{i}.{a}.{n}.kernel", "linear")
+            mapping[f"transformer_blocks.{i}.{a}.to_out.0"] = (
+                f"blocks_{i}.{a}.to_out.kernel", "linear")
+        mapping[f"transformer_blocks.{i}.ff.net.0.proj"] = (
+            f"blocks_{i}.ff.fc1.kernel", "linear")
+        mapping[f"transformer_blocks.{i}.ff.net.2"] = (
+            f"blocks_{i}.ff.fc2.kernel", "linear")
+    sd = _fill_like(P, mapping)
+    # add biases expected by _linear where the model has them
+    for tk, (fp, kind) in list(mapping.items()):
+        if kind != "linear":
+            continue
+        bias_path = fp.rsplit(".", 1)[0] + ".bias"
+        node = P
+        try:
+            for k in bias_path.split("."):
+                node = node[k]
+            sd[f"{tk}.bias"] = np.asarray(node, np.float32)
+        except (KeyError, TypeError):
+            pass
+
+    tree = convert_pixart(sd, cfg.num_layers)
+    params = merge_into(P, tree, strict=False)
+    out = m.apply({"params": params}, lat, txt, jnp.zeros((1,)), None)
+    assert out.shape == (1, 8, 8, 8)
+    # converted leaves really landed (kernel equals the transposed source)
+    np.testing.assert_allclose(
+        np.asarray(params["blocks_0"]["attn1"]["to_q"]["kernel"]),
+        sd["transformer_blocks.0.attn1.to_q.weight"].T)
+
+
+def test_sd3_converter_key_paths():
+    """Spot-check the dual-stream key translation lands at real leaves."""
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiT
+    m = MMDiT(cfg=MMDIT_TINY_TEST, dtype=jnp.float32)
+    lat = jnp.zeros((1, 8, 8, 16))
+    txt = jnp.zeros((1, 8, 16))
+    init = m.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)), None,
+                  pooled_text=jnp.zeros((1, 16)))
+    P = init["params"]
+    rng = np.random.default_rng(0)
+
+    def t_lin(fp):
+        node = P
+        for k in fp.split("."):
+            node = node[k]
+        return np.ascontiguousarray(np.asarray(node, np.float32).T)
+
+    sd = {
+        "time_text_embed.timestep_embedder.linear_1.weight":
+            t_lin("time_embed.linear_1.kernel"),
+        "time_text_embed.timestep_embedder.linear_1.bias":
+            np.asarray(P["time_embed"]["linear_1"]["bias"]),
+        "time_text_embed.timestep_embedder.linear_2.weight":
+            t_lin("time_embed.linear_2.kernel"),
+        "time_text_embed.timestep_embedder.linear_2.bias":
+            np.asarray(P["time_embed"]["linear_2"]["bias"]),
+        "time_text_embed.text_embedder.linear_1.weight":
+            t_lin("pool_linear_1.kernel"),
+        "time_text_embed.text_embedder.linear_2.weight":
+            t_lin("pool_linear_2.kernel"),
+        "context_embedder.weight": t_lin("context_embedder.kernel"),
+        "transformer_blocks.0.norm1.linear.weight":
+            t_lin("blocks_0.x_mod.mod.kernel"),
+        "transformer_blocks.0.attn.to_q.weight":
+            t_lin("blocks_0.x_to_q.kernel"),
+        "transformer_blocks.0.attn.add_q_proj.weight":
+            t_lin("blocks_0.c_to_q.kernel"),
+        "norm_out.linear.weight": t_lin("final_mod.kernel"),
+        "proj_out.weight": t_lin("proj_out.kernel"),
+    }
+    tree = convert_sd3_mmdit(sd, 1)
+    merged = merge_into(P, tree, strict=False)
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks_0"]["c_to_q"]["kernel"]),
+        sd["transformer_blocks.0.attn.add_q_proj.weight"].T)
+    np.testing.assert_allclose(
+        np.asarray(merged["final_mod"]["kernel"]),
+        sd["norm_out.linear.weight"].T)

@@ -1,0 +1,220 @@
+"""UNet/VAE converters: key coverage and shape alignment against
+synthesized diffusers-layout state dicts (diffusers itself is not
+installed; the key naming is the public checkpoint format)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.models.convert import merge_into
+from yat_tpu.models.convert_unet import (
+    convert_unet,
+    convert_vae_kl,
+    split_compvis_checkpoint,
+)
+
+
+def synth_unet_sd(block_out=(32, 64), layers=1, tlayers=(1, 1),
+                  cross_dim=16, in_ch=4):
+    """Random state dict in diffusers UNet2DConditionModel naming, with
+    shapes consistent with our UNET test config."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+    def conv(name, i, o, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (o, i, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def resnet(p, cin, cout, tdim):
+        norm(f"{p}.norm1", cin)
+        conv(f"{p}.conv1", cin, cout)
+        lin(f"{p}.time_emb_proj", tdim, cout)
+        norm(f"{p}.norm2", cout)
+        conv(f"{p}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{p}.conv_shortcut", cin, cout, k=1)
+
+    def transformer(p, c, nlayers):
+        norm(f"{p}.norm", c)
+        lin(f"{p}.proj_in", c, c)
+        lin(f"{p}.proj_out", c, c)
+        for t in range(nlayers):
+            tp = f"{p}.transformer_blocks.{t}"
+            for a, kv in (("attn1", c), ("attn2", cross_dim)):
+                lin(f"{tp}.{a}.to_q", c, c, bias=False)
+                lin(f"{tp}.{a}.to_k", kv, c, bias=False)
+                lin(f"{tp}.{a}.to_v", kv, c, bias=False)
+                lin(f"{tp}.{a}.to_out.0", c, c)
+            for i in (1, 2, 3):
+                norm(f"{tp}.norm{i}", c)
+            lin(f"{tp}.ff.net.0.proj", c, c * 8)
+            lin(f"{tp}.ff.net.2", c * 4, c)
+
+    ch0 = block_out[0]
+    tdim = ch0 * 4
+    conv("conv_in", in_ch, ch0)
+    lin("time_embedding.linear_1", ch0, tdim)
+    lin("time_embedding.linear_2", tdim, tdim)
+
+    cin = ch0
+    for L, ch in enumerate(block_out):
+        for j in range(layers):
+            resnet(f"down_blocks.{L}.resnets.{j}", cin, ch, tdim)
+            cin = ch
+            if tlayers[L] > 0:
+                transformer(f"down_blocks.{L}.attentions.{j}", ch, tlayers[L])
+        if L < len(block_out) - 1:
+            conv(f"down_blocks.{L}.downsamplers.0.conv", ch, ch)
+
+    top = block_out[-1]
+    resnet("mid_block.resnets.0", top, top, tdim)
+    transformer("mid_block.attentions.0", top, max(1, tlayers[-1]))
+    resnet("mid_block.resnets.1", top, top, tdim)
+
+    # up path: diffusers up_blocks.0 = lowest resolution (reversed levels);
+    # skip-concat input channels mirror our flax module's pops
+    n = len(block_out)
+    skips = [ch0]
+    cin_l = ch0
+    for L, ch in enumerate(block_out):
+        for j in range(layers):
+            skips.append(ch)
+        if L < n - 1:
+            skips.append(ch)
+    x_ch = top
+    for i in range(n):
+        level = n - 1 - i
+        ch = block_out[level]
+        for j in range(layers + 1):
+            skip = skips.pop()
+            resnet(f"up_blocks.{i}.resnets.{j}", x_ch + skip, ch, tdim)
+            x_ch = ch
+            if tlayers[level] > 0:
+                transformer(f"up_blocks.{i}.attentions.{j}", ch,
+                            tlayers[level])
+        if level > 0:
+            conv(f"up_blocks.{i}.upsamplers.0.conv", ch, ch)
+    norm("conv_norm_out", ch0)
+    conv("conv_out", ch0, in_ch)
+    return sd
+
+
+def test_unet_converter_full_coverage():
+    from yat_tpu.models.unet import UNET_TINY_TEST, UNet2DCondition
+    m = UNet2DCondition(cfg=UNET_TINY_TEST, dtype=jnp.float32)
+    lat = jnp.zeros((1, 16, 16, 4))
+    txt = jnp.zeros((1, 8, 16))
+    init = m.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)), None)
+    sd = synth_unet_sd()
+    tree = convert_unet(sd, (32, 64), 1, (1, 1))
+    # strict merge: every model param must be present with the right shape
+    params = merge_into(init["params"], tree, strict=True)
+    out = m.apply({"params": params}, lat, txt, jnp.zeros((1,)), None)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def synth_vae_sd(block_out=(32, 32), layers=1, lat_ch=4):
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def conv(name, i, o, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (o, i, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i)).astype(
+            np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def resnet(p, cin, cout):
+        norm(f"{p}.norm1", cin)
+        conv(f"{p}.conv1", cin, cout)
+        norm(f"{p}.norm2", cout)
+        conv(f"{p}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{p}.conv_shortcut", cin, cout, k=1)
+
+    def attn(p, c):
+        norm(f"{p}.group_norm", c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{p}.{nm}", c, c)
+        lin(f"{p}.to_out.0", c, c)
+
+    n = len(block_out)
+    conv("encoder.conv_in", 3, block_out[0])
+    cin = block_out[0]
+    for i, ch in enumerate(block_out):
+        for j in range(layers):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", cin, ch)
+            cin = ch
+        if i < n - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", ch, ch)
+    top = block_out[-1]
+    resnet("encoder.mid_block.resnets.0", top, top)
+    attn("encoder.mid_block.attentions.0", top)
+    resnet("encoder.mid_block.resnets.1", top, top)
+    norm("encoder.conv_norm_out", top)
+    conv("encoder.conv_out", top, 2 * lat_ch)
+    conv("quant_conv", 2 * lat_ch, 2 * lat_ch, k=1)
+    conv("post_quant_conv", lat_ch, lat_ch, k=1)
+
+    rev = tuple(reversed(block_out))
+    conv("decoder.conv_in", lat_ch, rev[0])
+    resnet("decoder.mid_block.resnets.0", rev[0], rev[0])
+    attn("decoder.mid_block.attentions.0", rev[0])
+    resnet("decoder.mid_block.resnets.1", rev[0], rev[0])
+    cin = rev[0]
+    for i, ch in enumerate(rev):
+        for j in range(layers + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin, ch)
+            cin = ch
+        if i < n - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", ch, ch)
+    norm("decoder.conv_norm_out", rev[-1])
+    conv("decoder.conv_out", rev[-1], 3)
+    return sd
+
+
+def test_vae_converter_full_coverage():
+    from yat_tpu.models.vae import KLVAE_TINY_TEST, AutoencoderKL
+    m = AutoencoderKL(cfg=KLVAE_TINY_TEST)
+    x = jnp.zeros((1, 16, 16, 3))
+    init = m.init(jax.random.PRNGKey(0), x)
+    sd = synth_vae_sd()
+    tree = convert_vae_kl(sd, (32, 32), layers_per_block=1)
+    params = merge_into(init["params"], tree, strict=True)
+    z = m.apply({"params": params}, x, method=m.encode_mode)
+    img = m.apply({"params": params}, z, method=m.decode)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_compvis_split():
+    sd = {
+        "model.diffusion_model.conv_in.weight": np.zeros(1),
+        "first_stage_model.encoder.conv_in.weight": np.zeros(1),
+        "cond_stage_model.transformer.text_model.final_layer_norm.weight":
+            np.zeros(1),
+        "alphas_cumprod": np.zeros(1),
+    }
+    parts = split_compvis_checkpoint(sd)
+    assert "conv_in.weight" in parts["unet"]
+    assert "encoder.conv_in.weight" in parts["vae"]
+    assert "text_model.final_layer_norm.weight" in parts["clip"]

@@ -1,0 +1,178 @@
+"""Torch checkpoint converters for the DiT families: PixArt-Sigma
+(diffusers PixArtTransformer2DModel), SD3.5 (SD3Transformer2DModel) and
+Flux (FluxTransformer2DModel) → this framework's trees.
+
+Same layout rules as models/convert.py.  The dual-stream naming of SD3/Flux
+maps attention halves: diffusers ``attn.to_q`` (image) / ``attn.add_q_proj``
+(text) → our ``x_to_q`` / ``c_to_q`` etc.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from yat_tpu.models.convert import _linear, _norm, _set
+
+
+
+def _lin_opt(sd, tp, tree, fp):
+    if f"{tp}.weight" in sd:
+        _linear(sd, tp, tree, fp)
+
+
+def _norm_opt(sd, tp, tree, fp):
+    if f"{tp}.weight" in sd:
+        _norm(sd, tp, tree, fp)
+
+
+def convert_pixart(sd: Dict[str, np.ndarray],
+                   num_layers: int) -> Dict[str, Any]:
+    """diffusers PixArtTransformer2DModel → PixArtTransformer2D."""
+    from yat_tpu.models.convert import _conv_as_linear
+    tree: dict = {}
+    if "pos_embed.proj.weight" in sd:
+        w = sd["pos_embed.proj.weight"]
+        if w.ndim == 4:
+            # conv patch embed (2x2) → our Dense over p*p*C: torch conv
+            # [D, C, p, p] → dense [(p*p*C), D] with (h, w, c) patch order
+            d, c, p, _ = w.shape
+            k = np.transpose(w, (2, 3, 1, 0)).reshape(p * p * c, d)
+            _set(tree, "pos_embed.proj.kernel", np.ascontiguousarray(k))
+            _set(tree, "pos_embed.proj.bias", sd["pos_embed.proj.bias"])
+        else:
+            _linear(sd, "pos_embed.proj", tree, "pos_embed.proj")
+    _linear(sd, "adaln_single.emb.timestep_embedder.linear_1", tree,
+            "time_embed.linear_1")
+    _linear(sd, "adaln_single.emb.timestep_embedder.linear_2", tree,
+            "time_embed.linear_2")
+    _linear(sd, "adaln_single.linear", tree, "time_proj")
+    _linear(sd, "caption_projection.linear_1", tree, "caption_projection")
+    if "scale_shift_table" in sd:
+        tree["scale_shift_table"] = sd["scale_shift_table"]
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}"
+        q = f"blocks_{i}"
+        for a in ("attn1", "attn2"):
+            for name in ("to_q", "to_k", "to_v"):
+                _linear(sd, f"{p}.{a}.{name}", tree, f"{q}.{a}.{name}")
+            _linear(sd, f"{p}.{a}.to_out.0", tree, f"{q}.{a}.to_out")
+        _linear(sd, f"{p}.ff.net.0.proj", tree, f"{q}.ff.fc1")
+        _linear(sd, f"{p}.ff.net.2", tree, f"{q}.ff.fc2")
+    if "proj_out.weight" in sd:
+        _linear(sd, "proj_out", tree, "proj_out")
+    return tree
+
+
+def convert_sd3_mmdit(sd: Dict[str, np.ndarray],
+                      num_layers: int) -> Dict[str, Any]:
+    """diffusers SD3Transformer2DModel → MMDiT."""
+    from yat_tpu.models.convert import _conv_as_linear
+    tree: dict = {}
+    w = sd.get("pos_embed.proj.weight")
+    if w is not None and w.ndim == 4:
+        d, c, p, _ = w.shape
+        k = np.transpose(w, (2, 3, 1, 0)).reshape(p * p * c, d)
+        _set(tree, "patch_embed.proj.kernel", np.ascontiguousarray(k))
+        _set(tree, "patch_embed.proj.bias", sd["pos_embed.proj.bias"])
+    _lin_opt(sd, "time_text_embed.timestep_embedder.linear_1", tree,
+            "time_embed.linear_1")
+    _lin_opt(sd, "time_text_embed.timestep_embedder.linear_2", tree,
+            "time_embed.linear_2")
+    _lin_opt(sd, "time_text_embed.text_embedder.linear_1", tree,
+            "pool_linear_1")
+    _lin_opt(sd, "time_text_embed.text_embedder.linear_2", tree,
+            "pool_linear_2")
+    _lin_opt(sd, "context_embedder", tree, "context_embedder")
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}"
+        q = f"blocks_{i}"
+        # modulation
+        _lin_opt(sd, f"{p}.norm1.linear", tree, f"{q}.x_mod.mod")
+        ctx_mod = f"{p}.norm1_context.linear"
+        if f"{ctx_mod}.weight" in sd:
+            _lin_opt(sd, ctx_mod, tree, f"{q}.c_mod.mod")
+        # joint attention: image half
+        for name in ("to_q", "to_k", "to_v"):
+            _lin_opt(sd, f"{p}.attn.{name}", tree, f"{q}.x_{name}")
+        _lin_opt(sd, f"{p}.attn.to_out.0", tree, f"{q}.x_to_out")
+        # text half
+        for src, dst in (("add_q_proj", "c_to_q"), ("add_k_proj", "c_to_k"),
+                         ("add_v_proj", "c_to_v")):
+            _lin_opt(sd, f"{p}.attn.{src}", tree, f"{q}.{dst}")
+        if f"{p}.attn.to_add_out.weight" in sd:
+            _lin_opt(sd, f"{p}.attn.to_add_out", tree, f"{q}.c_to_out")
+        # qk norms
+        for src, dst in (("norm_q", "x_norm_q"), ("norm_k", "x_norm_k"),
+                         ("norm_added_q", "c_norm_q"),
+                         ("norm_added_k", "c_norm_k")):
+            if f"{p}.attn.{src}.weight" in sd:
+                _norm_opt(sd, f"{p}.attn.{src}", tree, f"{q}.{dst}")
+        # FFNs
+        _lin_opt(sd, f"{p}.ff.net.0.proj", tree, f"{q}.x_ff.fc1")
+        _lin_opt(sd, f"{p}.ff.net.2", tree, f"{q}.x_ff.fc2")
+        if f"{p}.ff_context.net.0.proj.weight" in sd:
+            _lin_opt(sd, f"{p}.ff_context.net.0.proj", tree, f"{q}.c_ff.fc1")
+            _lin_opt(sd, f"{p}.ff_context.net.2", tree, f"{q}.c_ff.fc2")
+    _lin_opt(sd, "norm_out.linear", tree, "final_mod")
+    _lin_opt(sd, "proj_out", tree, "proj_out")
+    return tree
+
+
+def convert_flux(sd: Dict[str, np.ndarray], num_double: int,
+                 num_single: int) -> Dict[str, Any]:
+    """diffusers FluxTransformer2DModel → FluxTransformer."""
+    tree: dict = {}
+    _lin_opt(sd, "x_embedder", tree, "img_in")
+    _lin_opt(sd, "context_embedder", tree, "txt_in")
+    _lin_opt(sd, "time_text_embed.timestep_embedder.linear_1", tree,
+            "time_embed.linear_1")
+    _lin_opt(sd, "time_text_embed.timestep_embedder.linear_2", tree,
+            "time_embed.linear_2")
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        _lin_opt(sd, "time_text_embed.guidance_embedder.linear_1", tree,
+                "guidance_embed.linear_1")
+        _lin_opt(sd, "time_text_embed.guidance_embedder.linear_2", tree,
+                "guidance_embed.linear_2")
+    for i in range(num_double):
+        p = f"transformer_blocks.{i}"
+        q = f"double_{i}"
+        _lin_opt(sd, f"{p}.norm1.linear", tree, f"{q}.img_mod.lin")
+        _lin_opt(sd, f"{p}.norm1_context.linear", tree, f"{q}.txt_mod.lin")
+        for name in ("to_q", "to_k", "to_v"):
+            _lin_opt(sd, f"{p}.attn.{name}", tree, f"{q}.img_{name}")
+        _lin_opt(sd, f"{p}.attn.to_out.0", tree, f"{q}.img_to_out")
+        for src, dst in (("add_q_proj", "txt_to_q"),
+                         ("add_k_proj", "txt_to_k"),
+                         ("add_v_proj", "txt_to_v")):
+            _lin_opt(sd, f"{p}.attn.{src}", tree, f"{q}.{dst}")
+        _lin_opt(sd, f"{p}.attn.to_add_out", tree, f"{q}.txt_to_out")
+        for src, dst in (("norm_q", "img_norm_q"), ("norm_k", "img_norm_k"),
+                         ("norm_added_q", "txt_norm_q"),
+                         ("norm_added_k", "txt_norm_k")):
+            _norm_opt(sd, f"{p}.attn.{src}", tree, f"{q}.{dst}")
+        _lin_opt(sd, f"{p}.ff.net.0.proj", tree, f"{q}.img_ff_1")
+        _lin_opt(sd, f"{p}.ff.net.2", tree, f"{q}.img_ff_2")
+        _lin_opt(sd, f"{p}.ff_context.net.0.proj", tree, f"{q}.txt_ff_1")
+        _lin_opt(sd, f"{p}.ff_context.net.2", tree, f"{q}.txt_ff_2")
+    for i in range(num_single):
+        p = f"single_transformer_blocks.{i}"
+        q = f"single_{i}"
+        _lin_opt(sd, f"{p}.norm.linear", tree, f"{q}.mod.lin")
+        # fused qkv+mlp projection: diffusers keeps separate proj_mlp
+        if f"{p}.proj_mlp.weight" in sd:
+            qw = np.concatenate([
+                sd[f"{p}.attn.to_q.weight"], sd[f"{p}.attn.to_k.weight"],
+                sd[f"{p}.attn.to_v.weight"], sd[f"{p}.proj_mlp.weight"]], 0)
+            qb = np.concatenate([
+                sd[f"{p}.attn.to_q.bias"], sd[f"{p}.attn.to_k.bias"],
+                sd[f"{p}.attn.to_v.bias"], sd[f"{p}.proj_mlp.bias"]], 0)
+            _set(tree, f"{q}.linear1.kernel", np.ascontiguousarray(qw.T))
+            _set(tree, f"{q}.linear1.bias", qb)
+        _lin_opt(sd, f"{p}.proj_out", tree, f"{q}.linear2")
+        _norm_opt(sd, f"{p}.attn.norm_q", tree, f"{q}.norm_q")
+        _norm_opt(sd, f"{p}.attn.norm_k", tree, f"{q}.norm_k")
+    _lin_opt(sd, "norm_out.linear", tree, "final_mod")
+    _lin_opt(sd, "proj_out", tree, "proj_out")
+    return tree

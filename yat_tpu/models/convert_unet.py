@@ -1,0 +1,189 @@
+"""Torch checkpoint converters: diffusers UNet2DConditionModel and
+AutoencoderKL → this framework's flax trees, plus the CompVis single-file
+SD1.5 format (/root/reference/train_sd15.py:19-28 loads both).
+
+Layout rules as in models/convert.py: Linear [out,in]→[in,out] transpose,
+Conv [out,in,kh,kw]→[kh,kw,in,out], norms weight/bias→scale/bias.  Up-block
+index reversal: diffusers ``up_blocks.0`` is the LOWEST-resolution block;
+our ``up_{level}`` keeps the down-path level index, so
+``up_blocks[i] ↔ up_{n_levels-1-i}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from yat_tpu.models.convert import _conv, _conv_as_linear, _linear, _norm, _set
+
+
+def _attn_inner(sd, tp, tree, fp):
+    """One transformer block: attn1/attn2/ff + norms."""
+    for attn in ("attn1", "attn2"):
+        for name in ("to_q", "to_k", "to_v"):
+            _linear(sd, f"{tp}.{attn}.{name}", tree, f"{fp}.{attn}.{name}")
+        _linear(sd, f"{tp}.{attn}.to_out.0", tree, f"{fp}.{attn}.to_out")
+    for i in (1, 2, 3):
+        _norm(sd, f"{tp}.norm{i}", tree, f"{fp}.norm{i}")
+    _linear(sd, f"{tp}.ff.net.0.proj", tree, f"{fp}.ff.proj")
+    _linear(sd, f"{tp}.ff.net.2", tree, f"{fp}.ff.out")
+
+
+def _spatial_transformer(sd, tp, tree, fp, n_layers):
+    _norm(sd, f"{tp}.norm", tree, f"{fp}.norm")
+    for io in ("proj_in", "proj_out"):
+        w = sd[f"{tp}.{io}.weight"]
+        if w.ndim == 4:   # SD1.5 uses 1x1 convs for the projections
+            _conv_as_linear(sd, f"{tp}.{io}", tree, f"{fp}.{io}")
+        else:
+            _linear(sd, f"{tp}.{io}", tree, f"{fp}.{io}")
+    for t in range(n_layers):
+        _attn_inner(sd, f"{tp}.transformer_blocks.{t}", tree,
+                    f"{fp}.transformer_blocks_{t}")
+
+
+def _resnet(sd, tp, tree, fp, time_emb=True):
+    _norm(sd, f"{tp}.norm1", tree, f"{fp}.norm1")
+    _conv(sd, f"{tp}.conv1", tree, f"{fp}.conv1")
+    if time_emb and f"{tp}.time_emb_proj.weight" in sd:
+        _linear(sd, f"{tp}.time_emb_proj", tree, f"{fp}.time_emb_proj")
+    _norm(sd, f"{tp}.norm2", tree, f"{fp}.norm2")
+    _conv(sd, f"{tp}.conv2", tree, f"{fp}.conv2")
+    if f"{tp}.conv_shortcut.weight" in sd:
+        _conv(sd, f"{tp}.conv_shortcut", tree, f"{fp}.conv_shortcut")
+
+
+def convert_unet(sd: Dict[str, np.ndarray],
+                 block_out_channels: Tuple[int, ...],
+                 layers_per_block: int,
+                 transformer_layers: Tuple[int, ...]) -> Dict[str, Any]:
+    """diffusers UNet2DConditionModel state dict → our UNet2DCondition."""
+    tree: dict = {}
+    n = len(block_out_channels)
+    _conv(sd, "conv_in", tree, "conv_in")
+    _linear(sd, "time_embedding.linear_1", tree, "time_linear_1")
+    _linear(sd, "time_embedding.linear_2", tree, "time_linear_2")
+    if "add_embedding.linear_1.weight" in sd:   # SDXL micro-conditioning
+        _linear(sd, "add_embedding.linear_1", tree, "add_linear_1")
+        _linear(sd, "add_embedding.linear_2", tree, "add_linear_2")
+
+    for level in range(n):
+        for j in range(layers_per_block):
+            _resnet(sd, f"down_blocks.{level}.resnets.{j}", tree,
+                    f"down_{level}_resnet_{j}")
+            if transformer_layers[level] > 0:
+                _spatial_transformer(
+                    sd, f"down_blocks.{level}.attentions.{j}", tree,
+                    f"down_{level}_attn_{j}", transformer_layers[level])
+        key = f"down_blocks.{level}.downsamplers.0.conv.weight"
+        if key in sd:
+            _conv(sd, f"down_blocks.{level}.downsamplers.0.conv", tree,
+                  f"down_{level}_downsample")
+
+    _resnet(sd, "mid_block.resnets.0", tree, "mid_resnet_0")
+    _spatial_transformer(sd, "mid_block.attentions.0", tree, "mid_attn",
+                         max(1, transformer_layers[-1]))
+    _resnet(sd, "mid_block.resnets.1", tree, "mid_resnet_1")
+
+    for i in range(n):                      # diffusers up index
+        level = n - 1 - i                   # our level index
+        for j in range(layers_per_block + 1):
+            _resnet(sd, f"up_blocks.{i}.resnets.{j}", tree,
+                    f"up_{level}_resnet_{j}")
+            if transformer_layers[level] > 0:
+                _spatial_transformer(
+                    sd, f"up_blocks.{i}.attentions.{j}", tree,
+                    f"up_{level}_attn_{j}", transformer_layers[level])
+        key = f"up_blocks.{i}.upsamplers.0.conv.weight"
+        if key in sd:
+            _conv(sd, f"up_blocks.{i}.upsamplers.0.conv", tree,
+                  f"up_{level}_upsample")
+
+    _norm(sd, "conv_norm_out", tree, "conv_norm_out")
+    _conv(sd, "conv_out", tree, "conv_out")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKL
+# ---------------------------------------------------------------------------
+
+def _vae_attn(sd, tp, tree, fp):
+    _norm(sd, f"{tp}.group_norm", tree, f"{fp}.group_norm")
+    legacy = f"{tp}.query.weight" in sd
+    names = (("query", "to_q"), ("key", "to_k"), ("value", "to_v")) if legacy \
+        else (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"))
+    for src, dst in names:
+        _linear(sd, f"{tp}.{src}", tree, f"{fp}.{dst}")
+    out_src = f"{tp}.proj_attn" if legacy else f"{tp}.to_out.0"
+    _linear(sd, out_src, tree, f"{fp}.to_out")
+
+
+def convert_vae_kl(sd: Dict[str, np.ndarray],
+                   block_out_channels: Tuple[int, ...],
+                   layers_per_block: int = 2) -> Dict[str, Any]:
+    """diffusers AutoencoderKL → our AutoencoderKL tree."""
+    tree: dict = {"encoder": {}, "decoder": {}}
+    enc, dec = tree["encoder"], tree["decoder"]
+    n = len(block_out_channels)
+
+    _conv(sd, "encoder.conv_in", enc, "conv_in")
+    for i in range(n):
+        for j in range(layers_per_block):
+            _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}", enc,
+                    f"down_{i}_resnet_{j}", time_emb=False)
+        key = f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"
+        if key in sd:
+            _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", enc,
+                  f"down_{i}_downsample")
+    _resnet(sd, "encoder.mid_block.resnets.0", enc, "mid_resnet_0",
+            time_emb=False)
+    _vae_attn(sd, "encoder.mid_block.attentions.0", enc, "mid_attn")
+    _resnet(sd, "encoder.mid_block.resnets.1", enc, "mid_resnet_1",
+            time_emb=False)
+    _norm(sd, "encoder.conv_norm_out", enc, "conv_norm_out")
+    _conv(sd, "encoder.conv_out", enc, "conv_out")
+    _conv(sd, "quant_conv", enc, "quant_conv")
+
+    _conv(sd, "post_quant_conv", dec, "post_quant_conv")
+    _conv(sd, "decoder.conv_in", dec, "conv_in")
+    _resnet(sd, "decoder.mid_block.resnets.0", dec, "mid_resnet_0",
+            time_emb=False)
+    _vae_attn(sd, "decoder.mid_block.attentions.0", dec, "mid_attn")
+    _resnet(sd, "decoder.mid_block.resnets.1", dec, "mid_resnet_1",
+            time_emb=False)
+    for i in range(n):                      # decoder up index == our index
+        for j in range(layers_per_block + 1):
+            _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}", dec,
+                    f"up_{i}_resnet_{j}", time_emb=False)
+        key = f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"
+        if key in sd:
+            _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dec,
+                  f"up_{i}_upsample")
+    _norm(sd, "decoder.conv_norm_out", dec, "conv_norm_out")
+    _conv(sd, "decoder.conv_out", dec, "conv_out")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# CompVis single-file SD1.5 (.safetensors / .ckpt)
+# ---------------------------------------------------------------------------
+
+# LDM→diffusers key remapping is a published, mechanical table; here only
+# the pieces the SD1.5 frontend needs (UNet + VAE + CLIP).
+
+def split_compvis_checkpoint(sd: Dict[str, np.ndarray]
+                             ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a CompVis single-file state dict into component dicts with the
+    LDM prefixes stripped (pretrained_pipe_single_file support,
+    training_parameters_reader.py:104-105)."""
+    out = {"unet": {}, "vae": {}, "clip": {}}
+    for k, v in sd.items():
+        if k.startswith("model.diffusion_model."):
+            out["unet"][k[len("model.diffusion_model."):]] = v
+        elif k.startswith("first_stage_model."):
+            out["vae"][k[len("first_stage_model."):]] = v
+        elif k.startswith("cond_stage_model.transformer."):
+            out["clip"][k[len("cond_stage_model.transformer."):]] = v
+    return out
