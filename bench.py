@@ -106,7 +106,9 @@ def main():
     result = None
     # known-good config first (remote compile helper 500s on very large
     # unrolled graphs); later configs only improve on it
-    for batch_size, remat in ((16, True), (16, False), (24, True)):
+    # (16, False) measured fastest (76.7 imgs/s v5e); the remote compile
+    # helper 500s on every other batch size, so 16/remat is the fallback
+    for batch_size, remat in ((16, False), (16, True)):
         try:
             imgs_per_sec = measure(batch_size, remat)
             if result is None or imgs_per_sec > result[0]:

@@ -108,3 +108,29 @@ def test_feature_cache_prefetches():
     seen = [float(b.latents[0, 0, 0, 0]) for _, b in zip(range(5), cache)]
     assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
     cache.stop()
+
+
+def test_clip_vae_encoders_direct(tmp_path):
+    """CLIP + KL-VAE encoder builders: caption compression, pooled output,
+    latent shapes (the SD1.5/SDXL compute_features building blocks; a full
+    CLI run at 256px buckets is too compile-heavy for the 1-core test box)."""
+    from yat_tpu.frontends.common import build_clip_vae_encoders
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [],
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, enc_cap, enc_pool, dec = build_clip_vae_encoders(
+        p, max_caption_len=16)
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32)
+    lat = enc_img(imgs)
+    assert lat.shape == (2, 16, 16, 4)      # tiny KL-VAE: 2x compression
+    img = np.asarray(dec(lat))
+    assert img.shape == (2, 32, 32, 3)
+    caps = ["this is an image of a fluffy white cat on a warm windowsill"]
+    embs = enc_cap(caps)
+    assert embs[0].shape == (16, 32)        # CLIP: full fixed length
+    pooled = enc_pool(caps)
+    assert pooled.shape == (1, 32)

@@ -82,6 +82,94 @@ def override_config(cfg, overrides: dict):
     return dataclasses.replace(cfg, **typed)
 
 
+def build_clip_vae_encoders(params: TrainingParameters,
+                            max_caption_len: int = 77,
+                            compress: bool = True):
+    """CLIP-L + KL-VAE encoder callables for the SD1.5/SDXL frontends
+    (extract_latents / extract_embeddings parity, train_sd15.py:52-78,
+    incl. caption compression to fit CLIP-77 :66-78).
+
+    Loads converted checkpoints from pretrained_pipe_path subfolders when
+    present (text_encoder/, vae/, or a CompVis single file via
+    pretrained_pipe_single_file); random init otherwise (tests)."""
+    import jax
+
+    from yat_tpu.models.text_encoders import (
+        CLIP_L_14, CLIP_TINY_TEST, CLIPTextModel)
+    from yat_tpu.models.vae import (
+        KLVAE_SD15, KLVAE_TINY_TEST, AutoencoderKL)
+    from yat_tpu.utils.compress_caption import compress_caption
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    vae = AutoencoderKL(cfg=KLVAE_TINY_TEST if tiny else KLVAE_SD15)
+    te = CLIPTextModel(cfg=CLIP_TINY_TEST if tiny else CLIP_L_14,
+                       dtype=jnp.float32)
+    rng = jax.random.PRNGKey(params.dataset_seed)
+    px = 16 if tiny else 256
+    ml = min(max_caption_len, te.cfg.max_length)
+    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
+    te_vars = te.init(rng, jnp.zeros((1, ml), jnp.int32))
+
+    import os
+
+    from yat_tpu.models.convert import (
+        convert_clip_text, load_torch_state_dict, merge_into)
+    from yat_tpu.models.convert_unet import (
+        convert_vae_kl, split_compvis_checkpoint)
+    if params.pretrained_pipe_single_file and \
+            os.path.exists(params.pretrained_pipe_single_file):
+        parts = split_compvis_checkpoint(
+            load_torch_state_dict(params.pretrained_pipe_single_file))
+        if parts["clip"]:
+            te_vars = {"params": merge_into(
+                te_vars["params"],
+                convert_clip_text(parts["clip"], te.cfg.num_layers))}
+        # CompVis VAE uses the LDM naming — conversion lands next round
+    elif params.pretrained_pipe_path:
+        te_dir = os.path.join(params.pretrained_pipe_path, "text_encoder")
+        if os.path.isdir(te_dir):
+            te_vars = {"params": merge_into(
+                te_vars["params"], convert_clip_text(
+                    load_torch_state_dict(te_dir), te.cfg.num_layers))}
+        vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
+        if os.path.isdir(vae_dir):
+            vae_vars = {"params": merge_into(
+                vae_vars["params"], convert_vae_kl(
+                    load_torch_state_dict(vae_dir),
+                    vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
+
+    tokenize = load_tokenizer(params.pretrained_pipe_path,
+                              vocab_size=te.cfg.vocab_size, max_length=ml)
+    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
+                                             method=vae.encode_mode))
+    encode_txt = jax.jit(lambda ids: te.apply(te_vars, ids))
+    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+
+    def encode_images(images):
+        import numpy as np
+        return np.asarray(encode_img(jnp.asarray(images)))
+
+    def encode_captions(captions):
+        import numpy as np
+        caps = [compress_caption(c) for c in captions] if compress \
+            else list(captions)
+        ids, mask = tokenize(caps, max_length=ml)
+        hidden, _ = encode_txt(jnp.asarray(ids))
+        # CLIP consumes the full 77 tokens (no mask compression)
+        return [np.asarray(hidden[i]) for i in range(hidden.shape[0])]
+
+    def encode_pooled(captions):
+        import numpy as np
+        caps = [compress_caption(c) for c in captions] if compress \
+            else list(captions)
+        ids, _ = tokenize(caps, max_length=ml)
+        _, pooled = encode_txt(jnp.asarray(ids))
+        return np.asarray(pooled)
+
+    return encode_images, encode_captions, encode_pooled, decode
+
+
 def cli_main(make_trainer: Callable[[TrainingParameters], object],
              argv: Optional[list] = None) -> None:
     import argparse

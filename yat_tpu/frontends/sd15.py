@@ -30,7 +30,30 @@ def make_trainer(params: TrainingParameters, sampler=None,
                              timestep_list=params.timesteps or None)
     pres = make_preservation_loss(model, schedule, is_flow=False) \
         if params.use_preservation else None
-    if sampler is None:
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        from yat_tpu.data.bins import bin_for_resolution
+        from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+        from yat_tpu.frontends.common import build_clip_vae_encoders
+        from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+        enc_img, enc_cap, enc_pool, dec = build_clip_vae_encoders(
+            params, CLIP_MAX_LEN)
+        holder.update(encode_images=enc_img, encode_captions=enc_cap,
+                      decode_latents=dec)
+        bins = bin_for_resolution(params.aspect_ratios or 512)  # 512 bins,
+        # train_sd15.py:36
+        images = ImageBucketSampler(
+            LocalShardSource(params.local_shard_paths,
+                             seed=params.dataset_seed),
+            params.batch_size, bins, seed=params.dataset_seed)
+        encoded = OnTheFlyEncodingSampler(
+            images, enc_img, enc_cap, CLIP_MAX_LEN,
+            vae_max_batch_size=params.vae_max_batch_size,
+            text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+        sampler = FeatureCache(encoded, cache_size=max(
+            1, params.cache_size // params.batch_size))
+    elif sampler is None:
         sampler = build_feature_sampler(params, CLIP_MAX_LEN)
 
     example = None
@@ -46,6 +69,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       example_batch=example)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
     return trainer
 
 
