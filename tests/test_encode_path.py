@@ -134,3 +134,59 @@ def test_clip_vae_encoders_direct(tmp_path):
     assert embs[0].shape == (16, 32)        # CLIP: full fixed length
     pooled = enc_pool(caps)
     assert pooled.shape == (1, 32)
+
+
+def test_t5_vae_encoders_direct():
+    from yat_tpu.frontends.common import build_t5_vae_encoders
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [],
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, enc_cap, dec = build_t5_vae_encoders(p, max_caption_len=12)
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32)
+    lat = enc_img(imgs)
+    assert lat.shape == (2, 16, 16, 4)
+    embs = enc_cap(["a cat", "a much longer caption about a dog"])
+    # T5 path mask-compresses to real lengths (train_pixart_sigma.py:68-74)
+    assert embs[0].shape[0] < embs[1].shape[0]
+    assert embs[0].shape[1] == 32
+
+
+def test_sdxl_dual_clip_encoders_direct():
+    from yat_tpu.frontends.sdxl import build_sdxl_encoders
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [],
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, enc_cap, enc_pool, dec = build_sdxl_encoders(p)
+    embs = enc_cap(["a photo of a cat"])
+    # concat of tiny TE1 (32) + tiny TE2 (32) hidden widths
+    assert embs[0].shape[-1] == 64
+    pooled = enc_pool(["a photo of a cat"])
+    assert pooled.shape == (1, 32)
+
+
+def test_sd35_triple_encoders_direct():
+    from yat_tpu.frontends.sd35 import build_sd35_encoders
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST
+    import dataclasses
+    cfg = dataclasses.replace(MMDIT_TINY_TEST, caption_dim=96,
+                              max_caption_len=32)
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [],
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, enc_cap, enc_pool, dec = build_sd35_encoders(p, cfg)
+    embs = enc_cap(["a photo of a cat sitting on a mat"])
+    # CLIP block (77 rows) + T5 block, channel width = caption_dim
+    assert embs[0].shape[1] == 96
+    assert embs[0].shape[0] > 16        # 16 clip rows + t5 rows
+    pooled = enc_pool(["a photo of a cat"])
+    assert pooled.shape[0] == 1

@@ -1,0 +1,129 @@
+"""URL shard sources, url_probs weighting, cyclic LR, exploration steps."""
+
+import http.server
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.sampler import LocalShardSource, UrlShardSource
+from yat_tpu.data.tar import TarShardWriter
+from yat_tpu.train.state import make_lr_schedule
+
+
+def test_local_source_probs(tmp_path):
+    a, b = str(tmp_path / "a.tar"), str(tmp_path / "b.tar")
+    for p in (a, b):
+        with TarShardWriter(p) as w:
+            w.write({"__key__": "0", "txt": "x"})
+    src = LocalShardSource([a, b], seed=0, probs=[0.95, 0.05])
+    picks = [next(iter([p])) for p, _ in zip(src, range(200))]
+    frac_a = sum(1 for p in picks if p == a) / len(picks)
+    assert frac_a > 0.85
+
+
+def test_url_source_streams_over_http(tmp_path):
+    shard = tmp_path / "web.tar"
+    with TarShardWriter(str(shard)) as w:
+        for i in range(3):
+            w.write({"__key__": str(i), "txt": f"t{i}"})
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def translate_path(self, path):
+            return str(shard)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/web.tar"
+        src = UrlShardSource([url], seed=0,
+                             local_temp_dir=str(tmp_path / "tmp"))
+        it = iter(src)
+        path = next(it)
+        assert os.path.exists(path)
+        from yat_tpu.data.tar import iter_tar_samples
+        samples = list(iter_tar_samples(path))
+        assert len(samples) == 3 and samples[0]["txt"] == "t0"
+        src.stop()
+    finally:
+        srv.shutdown()
+
+
+def test_cyclic_lr_schedule():
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "10", "num_steps_per_validation": "10",
+        "validation_prompts": [],
+        "cyclic_lr_max_lr": "1e-3", "cyclic_lr_step_size_up": "10",
+        "cyclic_lr_step_size_down": "10",
+    })
+    sched = make_lr_schedule(p)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(10)) == pytest.approx(1e-3)       # peak
+    assert float(sched(20)) == pytest.approx(1e-4)       # trough
+    assert float(sched(5)) == pytest.approx((1e-4 + 1e-3) / 2, rel=0.01)
+
+
+def test_warmup_then_cyclic():
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "10", "num_steps_per_validation": "10",
+        "validation_prompts": [], "warmup_steps": "4",
+        "cyclic_lr_max_lr": "1e-3",
+    })
+    sched = make_lr_schedule(p)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(2)) == pytest.approx(5e-5)
+    assert float(sched(4)) == pytest.approx(1e-4)
+
+
+def test_exploration_steps_picks_lowest_noise():
+    """Best-of-N noise search: the chosen rng reproduces the min loss
+    (trainer.py:325-336 semantics)."""
+    from yat_tpu.models.sana import SANA_TINY_TEST, SanaTransformer2D
+    from yat_tpu.ops.schedulers import FlowMatchSchedule
+    from yat_tpu.train.state import create_train_state, make_optimizer
+    from yat_tpu.train.step import make_train_step
+    from yat_tpu.train.tasks import make_flow_matching_loss
+
+    model = SanaTransformer2D(cfg=SANA_TINY_TEST, dtype=jnp.float32)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4)),
+        "embeddings": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32)),
+        "text_mask": jnp.ones((2, 16), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(2), batch["latents"],
+                           batch["embeddings"], jnp.zeros((2,)),
+                           batch["text_mask"])
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [], "exploration_steps": "4",
+    })
+    tx = make_optimizer(p)
+    state = create_train_state(variables["params"], tx)
+    loss_fn = make_flow_matching_loss(model, FlowMatchSchedule(shift=1.0))
+    step_explore = make_train_step(task_loss=loss_fn, tx=tx,
+                                   exploration_steps=4, donate=False)
+    step_plain = make_train_step(task_loss=loss_fn, tx=tx, donate=False)
+    rng = jax.random.PRNGKey(7)
+    _, m_explore = step_explore(state, batch, rng)
+    _, m_plain = step_plain(state, batch, rng)
+    # the explored loss can never exceed the single-draw loss for the same
+    # pool... (different rng usage), but it must be finite and typically lower
+    assert np.isfinite(float(m_explore["loss"]))
+    # verify it equals the true minimum over the candidate pool
+    _, rng_noise = jax.random.split(rng)
+    keys = jax.random.split(rng_noise, 4)
+    losses = [float(loss_fn(state.variables(), batch, k,
+                            deterministic=True)) for k in keys]
+    # the gradient step used the argmin key: explored loss == min, modulo
+    # deterministic=False dropout rng (none here)
+    assert float(m_explore["loss"]) == pytest.approx(min(losses), rel=1e-4)

@@ -65,21 +65,88 @@ class Batch:
 
 class LocalShardSource:
     """Cycle over local TAR paths, shuffled per epoch from a seed
-    (bucket_sampler.py:81-90 local_file_getter, made deterministic)."""
+    (bucket_sampler.py:81-90 local_file_getter, made deterministic).
+    Optional ``probs`` weight the draw per path (url_probs parity,
+    training_parameters_reader.py:91-92)."""
 
-    def __init__(self, paths: Sequence[str], seed: int = 0):
+    def __init__(self, paths: Sequence[str], seed: int = 0,
+                 probs: Optional[Sequence[float]] = None):
         if not paths:
             raise ValueError("no shard paths given")
         self.paths = list(paths)
         self.rng = random.Random(seed)
+        self.probs = list(probs) if probs else None
+        if self.probs and len(self.probs) != len(self.paths):
+            raise ValueError("probs must match paths length")
 
     def __iter__(self) -> Iterator[str]:
+        if self.probs:
+            while True:
+                p = self.rng.choices(self.paths, weights=self.probs, k=1)[0]
+                if os.path.exists(p):
+                    yield p
+            return
         while True:
             order = list(self.paths)
             self.rng.shuffle(order)
             for p in order:
                 if os.path.exists(p):
                     yield p
+
+
+class UrlShardSource:
+    """Stream shards from plain (presigned or public) URLs with a
+    background prefetch queue — the reference's ``urls`` dataset source
+    (training_parameters_reader.py:74, with url_probs weighting :91-92)."""
+
+    def __init__(self, urls: Sequence[str], seed: int = 0,
+                 probs: Optional[Sequence[float]] = None,
+                 local_temp_dir: str = "temp", queue_depth: int = 4,
+                 process_index: int = 0):
+        if not urls:
+            raise ValueError("no urls given")
+        self.urls = list(urls)
+        self.probs = list(probs) if probs else None
+        self.rng = random.Random(seed + process_index)
+        self.temp = local_temp_dir
+        self.q: "queue.Queue[str]" = queue.Queue(maxsize=queue_depth)
+        self.process_index = process_index
+        self._started = False
+        self._stop = threading.Event()
+
+    def _pick(self) -> str:
+        if self.probs:
+            return self.rng.choices(self.urls, weights=self.probs, k=1)[0]
+        return self.urls[self.rng.randrange(len(self.urls))]
+
+    def _worker(self):
+        from yat_tpu.data.r2 import download_tar
+        os.makedirs(self.temp, exist_ok=True)
+        item = 0
+        while not self._stop.is_set():
+            url = self._pick()
+            path = os.path.join(self.temp,
+                                f"urlshard_{self.process_index}_{item}.tar")
+            try:
+                download_tar(url, path)
+            except Exception as e:  # noqa: BLE001
+                print(f"[sampler] url download failed, skipping: {e}")
+                continue
+            self.q.put(path)
+            item += 1
+
+    def __iter__(self) -> Iterator[str]:
+        if not self._started:
+            threading.Thread(target=self._worker, daemon=True).start()
+            self._started = True
+        while True:
+            path = self.q.get()
+            yield path
+            if os.path.exists(path):
+                os.remove(path)
+
+    def stop(self):
+        self._stop.set()
 
 
 class RemoteShardSource:

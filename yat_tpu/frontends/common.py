@@ -34,6 +34,11 @@ def build_feature_sampler(params: TrainingParameters, max_caption_len: int):
     if params.local_shard_paths:
         source = LocalShardSource(params.local_shard_paths,
                                   seed=params.dataset_seed)
+    elif params.urls:
+        from yat_tpu.data.sampler import UrlShardSource
+        source = UrlShardSource(params.urls, seed=params.dataset_seed,
+                                probs=params.url_probs,
+                                process_index=jax.process_index())
     elif params.r2_endpoint:
         rng = shard_range_for_host(params.num_shards or 1)
         shards = [f"shard-{i:06d}.tar" for i in rng]
@@ -168,6 +173,90 @@ def build_clip_vae_encoders(params: TrainingParameters,
         return np.asarray(pooled)
 
     return encode_images, encode_captions, encode_pooled, decode
+
+
+def build_t5_vae_encoders(params: TrainingParameters,
+                          max_caption_len: int = 300):
+    """T5 + KL-VAE encoder callables (PixArt-Sigma path: T5 embeddings
+    mask-compressed then padded to 300, train_pixart_sigma.py:68-74,
+    158-165)."""
+    import jax
+
+    from yat_tpu.models.text_encoders import (
+        T5_TINY_TEST, T5_XXL, T5Encoder, compress_embeddings)
+    from yat_tpu.models.vae import KLVAE_SD15, KLVAE_TINY_TEST, AutoencoderKL
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    vae = AutoencoderKL(cfg=KLVAE_TINY_TEST if tiny else KLVAE_SD15)
+    te = T5Encoder(cfg=T5_TINY_TEST if tiny else T5_XXL,
+                   dtype=jnp.bfloat16 if params.bfloat16 else jnp.float32)
+    rng = jax.random.PRNGKey(params.dataset_seed)
+    px = 16 if tiny else 256
+    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
+    te_vars = te.init(rng, jnp.zeros((1, 8), jnp.int32),
+                      jnp.ones((1, 8), jnp.int32))
+    if params.pretrained_pipe_path:
+        import os
+
+        from yat_tpu.models.convert import (
+            convert_t5_encoder, load_torch_state_dict, merge_into)
+        from yat_tpu.models.convert_unet import convert_vae_kl
+        te_dir = os.path.join(params.pretrained_pipe_path, "text_encoder")
+        if os.path.isdir(te_dir):
+            te_vars = {"params": merge_into(
+                te_vars["params"], convert_t5_encoder(
+                    load_torch_state_dict(te_dir), te.cfg.num_layers))}
+        vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
+        if os.path.isdir(vae_dir):
+            vae_vars = {"params": merge_into(
+                vae_vars["params"], convert_vae_kl(
+                    load_torch_state_dict(vae_dir),
+                    vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
+
+    tokenize = load_tokenizer(params.pretrained_pipe_path,
+                              vocab_size=te.cfg.vocab_size,
+                              max_length=max_caption_len)
+    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
+                                             method=vae.encode_mode))
+    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
+    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+
+    def encode_images(images):
+        import numpy as np
+        return np.asarray(encode_img(jnp.asarray(images)))
+
+    def encode_captions(captions):
+        ids, mask = tokenize(list(captions), max_length=max_caption_len)
+        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        return compress_embeddings(hidden, mask)
+
+    return encode_images, encode_captions, decode
+
+
+def attach_compute_features(params: TrainingParameters, holder: dict,
+                            encoders, max_caption_len: int,
+                            resolution: int, encode_pooled=None):
+    """Shared compute_features wiring: image sampler → on-the-fly encode →
+    FeatureCache.  ``encoders`` = (encode_images, encode_captions, decode)."""
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+
+    encode_images, encode_captions, decode = encoders
+    holder.update(encode_images=encode_images,
+                  encode_captions=encode_captions, decode_latents=decode)
+    bins = bin_for_resolution(params.aspect_ratios or resolution)
+    images = ImageBucketSampler(
+        LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
+        params.batch_size, bins, seed=params.dataset_seed)
+    encoded = OnTheFlyEncodingSampler(
+        images, encode_images, encode_captions, max_caption_len,
+        vae_max_batch_size=params.vae_max_batch_size,
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+        encode_pooled=encode_pooled)
+    return FeatureCache(encoded, cache_size=max(
+        1, params.cache_size // params.batch_size))
 
 
 def cli_main(make_trainer: Callable[[TrainingParameters], object],

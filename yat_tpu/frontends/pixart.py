@@ -34,7 +34,16 @@ def make_trainer(params: TrainingParameters, sampler=None,
         repa_lambda=params.repa_lambda if params.use_repa else 0.0)
     pres = make_preservation_loss(model, schedule, is_flow=False) \
         if params.use_preservation else None
-    if sampler is None:
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        from yat_tpu.frontends.common import (
+            attach_compute_features, build_t5_vae_encoders)
+        sampler = attach_compute_features(
+            params, holder, build_t5_vae_encoders(params,
+                                                  cfg.max_caption_len),
+            cfg.max_caption_len, cfg.resolution)
+    elif sampler is None:
         sampler = build_feature_sampler(params, cfg.max_caption_len)
 
     if init_variables is None:
@@ -53,6 +62,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       preservation_loss=pres, init_variables=init_variables)
     trainer.pixart_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
     return trainer
 
 

@@ -69,27 +69,11 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
 def build_sampler(params: TrainingParameters, cfg: SanaConfig):
     """Feature-shard streaming (the compute_features=False path the
     reference broke, SURVEY §2d — here it is first-class)."""
-    if params.local_shard_paths:
-        source = LocalShardSource(params.local_shard_paths,
-                                  seed=params.dataset_seed)
-    elif params.r2_endpoint:
-        num = params.num_shards or 1
-        # per-host shard range (trainer.py:66-84 parity)
-        pi, np_ = jax.process_index(), jax.process_count()
-        per = max(1, num // np_)
-        begin = pi * per
-        end = num if pi == np_ - 1 else begin + per
-        shards = [f"shard-{i:06d}.tar" for i in range(begin, end)]
-        source = RemoteShardSource(
-            shards, params.r2_dataset_folder or "",
-            params.r2_access_key, params.r2_secret_key,
-            params.r2_endpoint, params.r2_bucket_name,
-            seed=params.dataset_seed, process_index=pi)
-    else:
-        raise ValueError("need local_shard_paths or R2 credentials")
-    return FeatureBucketSampler(
-        source, params.batch_size, cfg.max_caption_len,
-        seed=params.dataset_seed)
+    from yat_tpu.frontends.common import build_feature_sampler
+    sampler = build_feature_sampler(params, cfg.max_caption_len)
+    if sampler is None:
+        raise ValueError("need local_shard_paths, urls, or R2 credentials")
+    return sampler
 
 
 def build_encoders(params: TrainingParameters, cfg: SanaConfig):
@@ -237,7 +221,8 @@ def make_trainer(params: TrainingParameters,
     elif sampler is None and params.compute_features and \
             (params.local_shard_paths or params.r2_endpoint):
         sampler = build_compute_features_sampler(params, cfg, holder)
-    elif sampler is None and (params.local_shard_paths or params.r2_endpoint):
+    elif sampler is None and (params.local_shard_paths or params.urls
+                              or params.r2_endpoint):
         sampler = build_sampler(params, cfg)
 
     if init_variables is None:

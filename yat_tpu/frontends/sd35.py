@@ -18,6 +18,64 @@ from yat_tpu.train.engine import Trainer
 from yat_tpu.train.tasks import make_flow_matching_loss, make_preservation_loss
 
 
+def build_sd35_encoders(params: TrainingParameters, cfg):
+    """Triple text encoders (train_sd35.py:79-92): CLIP-L and CLIP-G get
+    the compressed caption (pooled outputs concatenated), T5 gets the full
+    caption; CLIP hidden states are concatenated channel-wise, zero-padded
+    to the T5 width, and prepended to the T5 sequence.  Plus the 16-channel
+    KL-VAE."""
+    import jax
+
+    from yat_tpu.frontends.common import build_clip_vae_encoders
+    from yat_tpu.frontends.sdxl import build_sdxl_encoders
+    from yat_tpu.models.text_encoders import (
+        T5_TINY_TEST, T5_XXL, T5Encoder, compress_embeddings)
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    # dual-CLIP machinery is identical to SDXL's
+    enc_img, enc_clip_cap, enc_pool, dec = build_sdxl_encoders(params)
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    t5 = T5Encoder(cfg=T5_TINY_TEST if tiny else T5_XXL, dtype=jnp.float32)
+    t5_vars = t5.init(jax.random.PRNGKey(params.dataset_seed + 2),
+                      jnp.zeros((1, 8), jnp.int32),
+                      jnp.ones((1, 8), jnp.int32))
+    if params.pretrained_pipe_path:
+        import os
+
+        from yat_tpu.models.convert import (
+            convert_t5_encoder, load_torch_state_dict, merge_into)
+        d = os.path.join(params.pretrained_pipe_path, "text_encoder_3")
+        if os.path.isdir(d):
+            t5_vars = {"params": merge_into(
+                t5_vars["params"], convert_t5_encoder(
+                    load_torch_state_dict(d), t5.cfg.num_layers))}
+    t5_len = min(cfg.max_caption_len, 256)
+    tokenize_t5 = load_tokenizer(params.pretrained_pipe_path,
+                                 subfolder="tokenizer_3",
+                                 vocab_size=t5.cfg.vocab_size,
+                                 max_length=t5_len)
+    encode_t5 = jax.jit(lambda ids, mask: t5.apply(t5_vars, ids, mask))
+
+    def encode_captions(captions):
+        import numpy as np
+        clip = enc_clip_cap(captions)          # list [77, d_clip]
+        ids, mask = tokenize_t5(list(captions), max_length=t5_len)
+        t5_hidden = encode_t5(jnp.asarray(ids), jnp.asarray(mask))
+        t5_list = compress_embeddings(t5_hidden, mask)
+        out = []
+        width = cfg.caption_dim
+        for c_emb, t_emb in zip(clip, t5_list):
+            c = np.zeros((c_emb.shape[0], width), np.float32)
+            c[:, : c_emb.shape[1]] = np.asarray(c_emb)
+            t = np.zeros((t_emb.shape[0], width), np.float32)
+            t[:, : t_emb.shape[1]] = np.asarray(t_emb)
+            out.append(np.concatenate([c, t], axis=0))
+        return out
+
+    return enc_img, encode_captions, enc_pool, dec
+
+
 def make_trainer(params: TrainingParameters, sampler=None,
                  init_variables=None) -> Trainer:
     cfg = override_config(SD35_MEDIUM, params.model_config_overrides)
@@ -31,7 +89,15 @@ def make_trainer(params: TrainingParameters, sampler=None,
     pres = make_preservation_loss(model, schedule, is_flow=True,
                                   extra_keys=("pooled_text",)) \
         if params.use_preservation else None
-    if sampler is None:
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        from yat_tpu.frontends.common import attach_compute_features
+        enc_img, enc_cap, enc_pool, dec = build_sd35_encoders(params, cfg)
+        sampler = attach_compute_features(
+            params, holder, (enc_img, enc_cap, dec), cfg.max_caption_len,
+            params.aspect_ratios or 1024, encode_pooled=enc_pool)
+    elif sampler is None:
         sampler = build_feature_sampler(params, cfg.max_caption_len)
 
     def batch_transform(batch, out):
@@ -62,6 +128,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       batch_transform=batch_transform)
     trainer.mmdit_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
     return trainer
 
 

@@ -31,6 +31,64 @@ def make_time_ids(bucket_hw, batch_size: int) -> np.ndarray:
     return np.tile(row[None], (batch_size, 1))
 
 
+def build_sdxl_encoders(params: TrainingParameters):
+    """Dual text encoders (CLIP-L hidden + CLIP-G penultimate, concatenated
+    to 2048; pooled from CLIP-G) + KL-VAE — the SDXL prompt pipeline
+    (train_sdxl.py:60-73)."""
+    import jax
+
+    from yat_tpu.frontends.common import build_clip_vae_encoders
+    from yat_tpu.models.text_encoders import (
+        CLIP_G_14, CLIP_TINY_TEST, CLIPTextModel)
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    # TE1 (+VAE) rides the shared CLIP-L builder
+    enc_img, enc_cap1, _, dec = build_clip_vae_encoders(params, CLIP_MAX_LEN)
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    import dataclasses
+    te2_cfg = dataclasses.replace(CLIP_TINY_TEST, penultimate=True) \
+        if tiny else CLIP_G_14
+    te2 = CLIPTextModel(cfg=te2_cfg, dtype=jnp.float32)
+    ml = min(CLIP_MAX_LEN, te2_cfg.max_length)
+    te2_vars = te2.init(jax.random.PRNGKey(params.dataset_seed + 1),
+                        jnp.zeros((1, ml), jnp.int32))
+    if params.pretrained_pipe_path:
+        import os
+
+        from yat_tpu.models.convert import (
+            convert_clip_text, load_torch_state_dict, merge_into)
+        d = os.path.join(params.pretrained_pipe_path, "text_encoder_2")
+        if os.path.isdir(d):
+            te2_vars = {"params": merge_into(
+                te2_vars["params"], convert_clip_text(
+                    load_torch_state_dict(d), te2_cfg.num_layers))}
+    tokenize2 = load_tokenizer(params.pretrained_pipe_path,
+                               subfolder="tokenizer_2",
+                               vocab_size=te2_cfg.vocab_size, max_length=ml)
+    encode2 = jax.jit(lambda ids: te2.apply(te2_vars, ids))
+
+    from yat_tpu.utils.compress_caption import compress_caption
+
+    def encode_captions(captions):
+        import numpy as np
+        h1 = enc_cap1(captions)                           # list of [L, 768]
+        caps = [compress_caption(c) for c in captions]
+        ids, _ = tokenize2(caps, max_length=ml)
+        h2, _ = encode2(jnp.asarray(ids))                 # [B, L, 1280]
+        return [np.concatenate([np.asarray(h1[i]), np.asarray(h2[i])], -1)
+                for i in range(len(captions))]
+
+    def encode_pooled(captions):
+        import numpy as np
+        caps = [compress_caption(c) for c in captions]
+        ids, _ = tokenize2(caps, max_length=ml)
+        _, pooled = encode2(jnp.asarray(ids))
+        return np.asarray(pooled)
+
+    return enc_img, encode_captions, encode_pooled, dec
+
+
 def make_trainer(params: TrainingParameters, sampler=None,
                  init_variables=None) -> Trainer:
     cfg = override_config(SDXL_UNET, params.model_config_overrides)
@@ -44,7 +102,15 @@ def make_trainer(params: TrainingParameters, sampler=None,
     pres = make_preservation_loss(model, schedule, is_flow=False,
                                   extra_keys=("pooled_text", "time_ids")) \
         if params.use_preservation else None
-    if sampler is None:
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        from yat_tpu.frontends.common import attach_compute_features
+        enc_img, enc_cap, enc_pool, dec = build_sdxl_encoders(params)
+        sampler = attach_compute_features(
+            params, holder, (enc_img, enc_cap, dec), CLIP_MAX_LEN,
+            params.aspect_ratios or 1024, encode_pooled=enc_pool)
+    elif sampler is None:
         sampler = build_feature_sampler(params, CLIP_MAX_LEN)
 
     bins = bin_for_resolution(params.aspect_ratios or 1024)
@@ -85,6 +151,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       batch_transform=batch_transform)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
     return trainer
 
 
