@@ -190,3 +190,38 @@ def test_sd35_triple_encoders_direct():
     assert embs[0].shape[0] > 16        # 16 clip rows + t5 rows
     pooled = enc_pool(["a photo of a cat"])
     assert pooled.shape[0] == 1
+
+
+def test_flux_compute_features_trains(tmp_path):
+    """Flux: raw images → 16ch KL-VAE + LLM captions → packed-space flow
+    matching train steps."""
+    from yat_tpu.frontends.flux import make_trainer
+    import yat_tpu.frontends.flux as ff
+    shard = make_image_shard(tmp_path / "imgs.tar", n=8, hw=(256, 256))
+    p = TrainingParameters.from_dict({
+        "local_shard_paths": [shard], "batch_size": "2",
+        "learning_rate": "1e-3", "steps": "2",
+        "num_steps_per_validation": "100", "validation_prompts": [],
+        "output_dir": str(tmp_path / "models"), "mesh_shape": {"dp": "1"},
+        "compute_features": "1", "vae_max_batch_size": "2",
+        "text_encoder_max_batch_size": "2", "cache_size": "8",
+        "aspect_ratio": "256",
+        "model_config_overrides": {
+            # tiny VAE compresses 2x -> 128x128x16 latents; patchify 2x2
+            # -> 64x64 tokens of 64ch matching in_channels
+            "in_channels": "64", "hidden_dim": "32",
+            "num_double_blocks": "1", "num_single_blocks": "1",
+            "num_heads": "2", "text_dim": "32",
+            "axes_dims": ["4", "6", "6"], "tiny_encoders": "1"},
+    })
+    orig = ff.FLUX_CAPTION_LEN
+    ff.FLUX_CAPTION_LEN = 8
+    try:
+        t = make_trainer(p)
+        assert hasattr(t, "encode_images")
+        t.run()
+        assert t.global_step == 2
+    finally:
+        ff.FLUX_CAPTION_LEN = orig
+        if hasattr(t.sampler, "stop"):
+            t.sampler.stop()

@@ -19,6 +19,52 @@ from yat_tpu.train.tasks import make_flux_loss
 FLUX_CAPTION_LEN = 512
 
 
+def _build_flux_compute_features(params: TrainingParameters, holder: dict):
+    """Flux compute_features: 16-channel KL-VAE latents (the flow loss
+    patchifies + BN-standardizes them, train_flux_klein.py:42-54) and an
+    LLM caption encoder (Gemma-2-class decoder used as encoder)."""
+    import jax
+    import numpy as np
+
+    from yat_tpu.frontends.common import attach_compute_features
+    from yat_tpu.models.text_encoders import (
+        GEMMA_TINY_TEST, GEMMA2_2B, Gemma2Encoder, compress_embeddings)
+    from yat_tpu.models.vae import KLVAE_FLUX, KLVAE_TINY_TEST, AutoencoderKL
+    from yat_tpu.utils.tokenizer import load_tokenizer
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    import dataclasses
+    vae_cfg = dataclasses.replace(KLVAE_TINY_TEST, latent_channels=16,
+                                  shift_factor=0.1159) if tiny else KLVAE_FLUX
+    vae = AutoencoderKL(cfg=vae_cfg)
+    te = Gemma2Encoder(cfg=GEMMA_TINY_TEST if tiny else GEMMA2_2B,
+                       dtype=jnp.float32)
+    rng = jax.random.PRNGKey(params.dataset_seed)
+    px = 16 if tiny else 256
+    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
+    te_vars = te.init(rng, jnp.zeros((1, 8), jnp.int32),
+                      jnp.ones((1, 8), jnp.int32))
+    tokenize = load_tokenizer(params.pretrained_pipe_path,
+                              vocab_size=te.cfg.vocab_size,
+                              max_length=FLUX_CAPTION_LEN)
+    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
+                                             method=vae.encode_mode))
+    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
+    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+
+    def encode_images(images):
+        return np.asarray(encode_img(jnp.asarray(images)))
+
+    def encode_captions(captions):
+        ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
+        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        return compress_embeddings(hidden, mask)
+
+    return attach_compute_features(
+        params, holder, (encode_images, encode_captions, decode),
+        FLUX_CAPTION_LEN, params.aspect_ratios or 1024)
+
+
 def make_trainer(params: TrainingParameters, sampler=None,
                  init_variables=None) -> Trainer:
     cfg = override_config(FLUX2_KLEIN, params.model_config_overrides)
@@ -28,7 +74,11 @@ def make_trainer(params: TrainingParameters, sampler=None,
     schedule = FlowMatchSchedule(use_dynamic_shifting=True, shift=3.0)
     loss = make_flux_loss(model, schedule,
                           timestep_list=params.timesteps or None)
-    if sampler is None:
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        sampler = _build_flux_compute_features(params, holder)
+    elif sampler is None:
         sampler = build_feature_sampler(params, FLUX_CAPTION_LEN)
 
     if init_variables is None:
@@ -47,6 +97,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       init_variables=init_variables)
     trainer.flux_config = cfg
     trainer.schedule = schedule
+    for k, v in holder.items():
+        setattr(trainer, k, v)
     return trainer
 
 

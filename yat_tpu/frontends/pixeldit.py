@@ -29,8 +29,28 @@ def make_trainer(params: TrainingParameters, sampler=None,
     loss = make_flow_matching_loss(
         model, schedule, timestep_list=params.timesteps or None,
         repa_lambda=REPA_LOSS_WEIGHT if params.use_repa else 0.0)
-    if sampler is None:
-        # pixel-space: 'latents' in feature shards are pixels
+    holder: dict = {}
+    if sampler is None and params.compute_features and \
+            params.local_shard_paths:
+        # pixel-space: extract_latents is the identity
+        # (train_pixeldit.py:172-173); captions go through Gemma-2
+        import numpy as np
+
+        from yat_tpu.frontends.common import attach_compute_features
+        from yat_tpu.frontends.sana import build_encoders
+
+        class _IdCfg:
+            max_caption_len = cfg.max_caption_len
+            resolution = cfg.patch_size * 16
+            in_channels = 3
+
+        _, encode_captions, _ = build_encoders(params, _IdCfg)
+        sampler = attach_compute_features(
+            params, holder,
+            (lambda images: np.asarray(images), encode_captions, None),
+            cfg.max_caption_len, params.aspect_ratios or 256)
+    elif sampler is None:
+        # 'latents' in feature shards are pixels
         sampler = build_feature_sampler(params, cfg.max_caption_len)
 
     example = None

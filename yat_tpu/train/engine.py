@@ -290,6 +290,14 @@ class Trainer:
     def _validate_and_save(self) -> None:
         if jax.process_index() != 0:
             return
+        # dual_gpu parity: validation disabled in the reference's pipelined
+        # mode (trainer.py:392-394); here dual_gpu maps to the FeatureCache
+        # encode-overlap thread, but the flag still gates validation
+        if self.params.dual_gpu:
+            self.save_model()
+            if self.params.checkpoint_dir:
+                self.save_checkpoint()
+            return
         if self.validate_fn is not None:
             try:
                 images = self.validate_fn(self)
