@@ -225,3 +225,18 @@ def test_flux_compute_features_trains(tmp_path):
         ff.FLUX_CAPTION_LEN = orig
         if hasattr(t.sampler, "stop"):
             t.sampler.stop()
+
+
+def test_uncond_dropout_with_encoded_empty_embedding(tmp_path):
+    """train_unconditional_prob path: the empty caption is encoded once and
+    swapped in on-device (trainer.py:306-323 parity)."""
+    from yat_tpu.frontends.sana import make_trainer
+    shard = make_image_shard(tmp_path / "imgs.tar", n=8, hw=(256, 256))
+    p = params_for(tmp_path, shard,
+                   extra={"train_unconditional_prob": "1.0"})
+    t = make_trainer(p)
+    t.run()
+    assert t.global_step == 2
+    assert getattr(t, "_empty_raw", None) is not None
+    if hasattr(t.sampler, "stop"):
+        t.sampler.stop()

@@ -195,3 +195,23 @@ def test_fsdp_param_sharding(setup):
                            tx=tx, donate=False)
     state, metrics = step(state, batch_sharded, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_warmup_buckets_compiles_all_shapes(setup, tmp_path):
+    """Per-bucket compile warmup leaves training state untouched."""
+    import numpy as np
+    from yat_tpu.train.engine import Trainer
+    model, variables, batch = setup
+    params = tiny_params(batch_size="8")
+    params.mesh_shape = {"dp": 1}
+    sched = FlowMatchSchedule(shift=1.0)
+    t = Trainer(params, model, make_flow_matching_loss(model, sched),
+                init_variables=variables)
+    t.initialize()
+    before = np.asarray(jax.tree.leaves(t.state.params)[0]).copy()
+    bins = {"1.0": (32, 32), "0.5": (32, 64)}
+    n = t.warmup_buckets(bins, vae_compression=4, latent_channels=4,
+                         caption_len=8, caption_dim=16)
+    assert n == 2
+    np.testing.assert_array_equal(
+        before, np.asarray(jax.tree.leaves(t.state.params)[0]))

@@ -307,6 +307,12 @@ class FeatureBucketSampler:
                        if len(v) >= self.batch_size)
         if self.sync_hook is not None and ready:
             self.sync_hook({k: len(self.buckets[k]) for k in ready})
+            # multi-host holdback: only drain buckets every host can fill
+            # (WindowedBucketSync exposes the min counts across hosts)
+            mins = getattr(self.sync_hook, "min_counts", None)
+            if mins is not None:
+                ready = [k for k in ready
+                         if mins.get(k, 0) >= self.batch_size]
         for k in ready:
             yield self._emit(k)
 

@@ -169,6 +169,17 @@ class Trainer:
             accum_steps=params.gradient_accumulation_steps,
         )
 
+        # empty-embedding precompute for unconditional-caption dropout
+        # (trainer.py:306-308): encode '' once, pad to the batch layout
+        if (params.train_unconditional_prob > 0.0
+                and self.empty_embedding is None
+                and hasattr(self, "encode_captions")):
+            from yat_tpu.data.sampler import pad_embeddings
+            embs = self.encode_captions([""])
+            # pad lazily at batch time isn't possible (shape unknown here);
+            # store the raw compressed embedding, padded per batch below
+            self._empty_raw = embs[0]
+
         if params.checkpoint_dir and params.resume:
             self.restore_checkpoint()
 
@@ -183,6 +194,12 @@ class Trainer:
         }
         if self.empty_embedding is not None:
             out["empty_embeddings"] = self.empty_embedding
+        elif getattr(self, "_empty_raw", None) is not None:
+            from yat_tpu.data.sampler import pad_embeddings
+            padded, mask = pad_embeddings([self._empty_raw],
+                                          batch.embeddings.shape[1])
+            out["empty_embeddings"] = padded
+            out["empty_text_mask"] = mask
         if batch.repa_features is not None:
             out["repa_features"] = batch.repa_features
         if batch.is_regularization and self.params.dreambooth_lambda != 1.0:
@@ -194,11 +211,48 @@ class Trainer:
         def place(k, v):
             arr = np.asarray(v)
             # scalars and unbatched extras replicate; batch arrays shard
-            if k == "empty_embeddings" or arr.ndim == 0:
+            if k in ("empty_embeddings", "empty_text_mask") or arr.ndim == 0:
                 return jax.device_put(arr)
             return jax.device_put(arr, bs)
 
         return {k: place(k, v) for k, v in out.items() if v is not None}
+
+    # ------------------------------------------------------------------
+    def warmup_buckets(self, aspect_ratios, vae_compression: int,
+                       latent_channels: int, caption_len: int,
+                       caption_dim: int) -> int:
+        """Pre-compile the train step for every aspect bucket so training
+        never stalls on a first-seen shape (SURVEY §7 hard part 1: dynamic
+        bucketing vs XLA static shapes).  Runs one zero batch per bucket on
+        a throwaway copy of the state; returns the number of programs
+        compiled."""
+        import numpy as np
+        if self.state is None:
+            self.initialize()
+        rng = jax.random.PRNGKey(0)
+        n = 0
+        for key, (ph, pw) in aspect_ratios.items():
+            h, w = int(ph) // vae_compression, int(pw) // vae_compression
+            batch = {
+                "latents": jnp.zeros(
+                    (self.params.batch_size, h, w, latent_channels),
+                    jnp.bfloat16 if self.params.bfloat16 else jnp.float32),
+                "embeddings": jnp.zeros(
+                    (self.params.batch_size, caption_len, caption_dim),
+                    jnp.bfloat16 if self.params.bfloat16 else jnp.float32),
+                "text_mask": jnp.ones(
+                    (self.params.batch_size, caption_len), jnp.int32),
+            }
+            batch = jax.device_put(batch, batch_sharding(self.mesh))
+            # the step donates its input state — feed a real copy so the
+            # live training state's buffers survive the warmup
+            state_copy = jax.tree.map(jnp.copy, self.state)
+            state_copy, metrics = self._step_fn(state_copy, batch, rng)
+            float(metrics["loss"])
+            del state_copy
+            n += 1
+        print(f"[engine] warmed {n} bucket programs")
+        return n
 
     # ------------------------------------------------------------------
     def run(self) -> None:
