@@ -203,3 +203,28 @@ def test_local_shard_source_cycles(tmp_path):
     it = iter(src)
     assert next(it) == p
     assert next(it) == p
+
+
+class TestCaptionLengthBucketing:
+    def test_rung_ladder(self):
+        from yat_tpu.data.sampler import caption_length_buckets
+        assert caption_length_buckets(512) == (128, 256, 384, 512)
+        assert caption_length_buckets(300) == (128, 256, 300)
+        assert caption_length_buckets(77) == (77,)
+
+    def test_pad_to_smallest_rung(self):
+        from yat_tpu.data.sampler import pad_embeddings
+        embs = [np.ones((50, 4)), np.ones((120, 4))]
+        out, mask = pad_embeddings(embs, 512,
+                                   length_buckets=(128, 256, 384, 512))
+        assert out.shape == (2, 128, 4)
+        assert mask[1].sum() == 120
+        # longer batch climbs to the next rung
+        out2, _ = pad_embeddings([np.ones((130, 4))], 512,
+                                 length_buckets=(128, 256, 384, 512))
+        assert out2.shape == (1, 256, 4)
+
+    def test_without_buckets_pads_to_max(self):
+        from yat_tpu.data.sampler import pad_embeddings
+        out, _ = pad_embeddings([np.ones((5, 4))], 512)
+        assert out.shape == (1, 512, 4)

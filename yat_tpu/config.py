@@ -171,6 +171,7 @@ class TrainingParameters:
     output_dir: str = "models"
 
     # --- TPU-native extensions (no reference equivalent) ---
+    caption_length_bucketing: bool = False  # pad captions to 128-multiples
     mesh_shape: Optional[dict] = None       # e.g. {'dp': 8} or {'dp': 2, 'fsdp': 4}
     checkpoint_dir: Optional[str] = None    # orbax full-state checkpoints
     resume: bool = False                    # resume full train state
@@ -323,6 +324,7 @@ class TrainingParameters:
         p.preservation_ratio = _as_float(raw, "preservation_ratio", 0.5)
 
         # TPU extensions
+        p.caption_length_bucketing = "caption_length_bucketing" in raw
         if "mesh_shape" in raw:
             ms = raw["mesh_shape"]
             if not isinstance(ms, dict):

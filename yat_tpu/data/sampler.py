@@ -209,19 +209,44 @@ class RemoteShardSource:
 # Embedding padding (static shapes)
 # ---------------------------------------------------------------------------
 
+def caption_length_buckets(max_len: int, step: int = 128) -> Tuple[int, ...]:
+    """Static caption-length ladder: multiples of ``step`` up to max_len.
+
+    The reference always pads SANA captions to 512 (train_sana.py:171) —
+    cross-attention over mostly-padding is ~1/3 of per-layer FLOPs.  Padding
+    to the smallest rung >= the batch's real max keeps shapes static (one
+    compiled program per (ratio, caption rung)) while skipping dead tokens.
+    """
+    if max_len <= step:
+        return (max_len,)
+    rungs = list(range(step, max_len, step)) + [max_len]
+    return tuple(rungs)
+
+
 def pad_embeddings(embs: Sequence[np.ndarray], max_len: int,
-                   dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
-    """Variable-length [L_i, D] embeddings → ([B, max_len, D], [B, max_len])
-    mask.  Parity with train_sana.py:167-175 (pad + binary mask)."""
+                   dtype=np.float32,
+                   length_buckets: Optional[Sequence[int]] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Variable-length [L_i, D] embeddings → ([B, L_pad, D], [B, L_pad])
+    mask.  Parity with train_sana.py:167-175 (pad + binary mask); with
+    ``length_buckets`` L_pad is the smallest rung covering the batch."""
     b = len(embs)
-    d = embs[0].shape[-1]
-    out = np.zeros((b, max_len, d), dtype=dtype)
-    mask = np.zeros((b, max_len), dtype=np.int32)
-    for i, e in enumerate(embs):
+    cleaned = []
+    for e in embs:
         e = np.asarray(e)
         if e.ndim == 3:   # [1, L, D] squeeze
             e = e[0]
-        n = min(e.shape[0], max_len)
+        cleaned.append(e)
+    pad_to = max_len
+    if length_buckets:
+        real_max = min(max(e.shape[0] for e in cleaned), max_len)
+        pad_to = next((r for r in sorted(length_buckets) if r >= real_max),
+                      max_len)
+    d = cleaned[0].shape[-1]
+    out = np.zeros((b, pad_to, d), dtype=dtype)
+    mask = np.zeros((b, pad_to), dtype=np.int32)
+    for i, e in enumerate(cleaned):
+        n = min(e.shape[0], pad_to)
         out[i, :n] = e[:n]
         mask[i, :n] = 1
     return out, mask
@@ -253,7 +278,8 @@ class FeatureBucketSampler:
     def __init__(self, shard_source, batch_size: int, max_caption_len: int,
                  shuffle_buffer: int = 1000, seed: int = 0,
                  sync_hook: Optional[Callable[[Dict[str, int]], None]] = None,
-                 latent_dtype=np.float32):
+                 latent_dtype=np.float32,
+                 caption_buckets: Optional[Sequence[int]] = None):
         self.source = shard_source
         self.batch_size = batch_size
         self.max_caption_len = max_caption_len
@@ -262,6 +288,7 @@ class FeatureBucketSampler:
         self.rng = random.Random(seed)
         self.sync_hook = sync_hook
         self.latent_dtype = latent_dtype
+        self.caption_buckets = caption_buckets
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
@@ -269,7 +296,8 @@ class FeatureBucketSampler:
             _chw_to_hwc(np.asarray(l, self.latent_dtype), from_torch=pt)
             for l, _, _, pt in items])
         embs, mask = pad_embeddings([e for _, e, _, _ in items],
-                                    self.max_caption_len)
+                                    self.max_caption_len,
+                                    length_buckets=self.caption_buckets)
         pooled = None
         if items[0][2] is not None:
             pooled = np.stack([np.asarray(p, np.float32).reshape(-1)

@@ -49,8 +49,13 @@ def build_feature_sampler(params: TrainingParameters, max_caption_len: int):
             seed=params.dataset_seed, process_index=jax.process_index())
     else:
         return None
+    cb = None
+    if params.caption_length_bucketing:
+        from yat_tpu.data.sampler import caption_length_buckets
+        cb = caption_length_buckets(max_caption_len)
     return FeatureBucketSampler(source, params.batch_size, max_caption_len,
-                                seed=params.dataset_seed)
+                                seed=params.dataset_seed,
+                                caption_buckets=cb)
 
 
 def _coerce_like(cur, v):
@@ -250,11 +255,15 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
     images = ImageBucketSampler(
         LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
         params.batch_size, bins, seed=params.dataset_seed)
+    cb = None
+    if params.caption_length_bucketing:
+        from yat_tpu.data.sampler import caption_length_buckets
+        cb = caption_length_buckets(max_caption_len)
     encoded = OnTheFlyEncodingSampler(
         images, encode_images, encode_captions, max_caption_len,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_pooled=encode_pooled)
+        encode_pooled=encode_pooled, caption_buckets=cb)
     return FeatureCache(encoded, cache_size=max(
         1, params.cache_size // params.batch_size))
 

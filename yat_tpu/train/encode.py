@@ -43,6 +43,7 @@ class OnTheFlyEncodingSampler:
         text_encoder_max_batch_size: Optional[int] = None,
         encode_repa: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         encode_pooled: Optional[Callable[[List[str]], np.ndarray]] = None,
+        caption_buckets=None,
     ):
         self.image_sampler = image_sampler
         self.encode_images = encode_images
@@ -52,6 +53,7 @@ class OnTheFlyEncodingSampler:
         self.te_bs = text_encoder_max_batch_size
         self.encode_repa = encode_repa
         self.encode_pooled = encode_pooled
+        self.caption_buckets = caption_buckets
 
     def _encode_batch(self, batch: Batch) -> Batch:
         images, captions = batch.images, batch.captions
@@ -63,7 +65,8 @@ class OnTheFlyEncodingSampler:
         embs: List[np.ndarray] = []
         for i in range(0, len(captions), tb):
             embs.extend(self.encode_captions(captions[i:i + tb]))
-        padded, mask = pad_embeddings(embs, self.max_caption_len)
+        padded, mask = pad_embeddings(embs, self.max_caption_len,
+                                      length_buckets=self.caption_buckets)
         out = Batch(ratio=batch.ratio, latents=latents, embeddings=padded,
                     text_mask=mask,
                     is_regularization=batch.is_regularization)
