@@ -181,3 +181,25 @@ def test_compress_embeddings():
     mask = jnp.asarray([[1, 1, 0], [1, 0, 0]])
     out = compress_embeddings(hidden, mask)
     assert out[0].shape == (2, 4) and out[1].shape == (1, 4)
+
+
+def test_tiled_vae_decode_matches_full():
+    """Tiled decode (2048px enable_tiling parity) blends to ~the full
+    decode within overlap-feathering tolerance."""
+    from yat_tpu.models.vae import KLVAE_TINY_TEST, AutoencoderKL, decode_tiled
+    m = AutoencoderKL(cfg=KLVAE_TINY_TEST)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    vs = m.init(jax.random.PRNGKey(1), x)
+    z = m.apply(vs, x, method=m.encode_mode)     # [1, 16, 16, 4]
+    full = np.asarray(m.apply(vs, z, method=m.decode))
+    tiled = np.asarray(decode_tiled(m, vs, z, tile_latent=8, overlap=4))
+    assert tiled.shape == full.shape
+    assert np.isfinite(tiled).all()
+    # exactness is impossible: the VAE mid-block attention is global, so
+    # every tile sees different context (the same approximation diffusers'
+    # enable_tiling makes); tiled output must still correlate strongly
+    corr = np.corrcoef(tiled.ravel(), full.ravel())[0, 1]
+    assert corr > 0.8, corr
+    # and the single-tile fast path is exact
+    small = np.asarray(decode_tiled(m, vs, z, tile_latent=64, overlap=4))
+    np.testing.assert_allclose(small, full, atol=1e-5)

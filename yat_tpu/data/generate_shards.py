@@ -129,6 +129,24 @@ def generate_shards(sources: Iterable[str], output_dir: str,
     return written
 
 
+def list_hf_dataset_urls(repo_id: str, pattern: str = ".tar") -> list:
+    """Resolve a HF dataset repo's TAR files to download URLs
+    (huggingface_dataset_repo parity, training_parameters_reader.py:162-164;
+    generate_shards.py:22-27 lists repo files the same way).  Requires
+    network + huggingface_hub; raises a clear error offline."""
+    try:
+        from huggingface_hub import HfApi, hf_hub_url
+    except ImportError as e:
+        raise RuntimeError(
+            "huggingface_dataset_repo needs the huggingface_hub package; "
+            "use 'urls' or 'local_shard_paths' in offline environments"
+        ) from e
+    api = HfApi()
+    files = [f for f in api.list_repo_files(repo_id, repo_type="dataset")
+             if f.endswith(pattern)]
+    return [hf_hub_url(repo_id, f, repo_type="dataset") for f in files]
+
+
 def main(argv=None):
     from yat_tpu.config import TrainingParameters
     p = argparse.ArgumentParser()
@@ -140,6 +158,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     params = TrainingParameters.read_yaml(args.config)
     sources = args.sources or params.urls or params.local_shard_paths or []
+    if not sources and params.huggingface_dataset_repo:
+        sources = list_hf_dataset_urls(params.huggingface_dataset_repo)
     uploader = None
     if params.r2_endpoint and params.r2_upload_key:
         from yat_tpu.data.r2 import R2Client

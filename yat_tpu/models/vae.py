@@ -184,6 +184,53 @@ class AutoencoderKL(nn.Module):
         return self.decode(z)
 
 
+def decode_tiled(vae, variables, latents: jnp.ndarray,
+                 tile_latent: int = 128, overlap: int = 16) -> jnp.ndarray:
+    """Memory-bounded VAE decode by overlapping tiles with linear blending.
+
+    Parity with the reference's ``enable_tiling`` at 2048px
+    (/root/reference/train_sana.py:56-57): the decoder's activations at
+    2048x2048 exceed HBM headroom during training, so decode runs per
+    latent tile and the overlaps are feathered together.
+    """
+    b, h, w, c = latents.shape
+    comp = vae.cfg.compression
+    step = tile_latent - overlap
+    if h <= tile_latent and w <= tile_latent:
+        return vae.apply(variables, latents, method=vae.decode)
+
+    out = None
+    weight = None
+    ys = list(range(0, max(h - overlap, 1), step))
+    xs = list(range(0, max(w - overlap, 1), step))
+    for y0 in ys:
+        for x0 in xs:
+            y1 = min(y0 + tile_latent, h)
+            x1 = min(x0 + tile_latent, w)
+            tile = latents[:, y0:y1, x0:x1]
+            img = vae.apply(variables, tile, method=vae.decode)
+            ph, pw = img.shape[1], img.shape[2]
+            if out is None:
+                out = jnp.zeros((b, h * comp, w * comp, img.shape[-1]),
+                                jnp.float32)
+                weight = jnp.zeros((b, h * comp, w * comp, 1), jnp.float32)
+            # feathered weights taper across the overlap band
+            wy = jnp.minimum(jnp.arange(ph) + 1,
+                             jnp.arange(ph)[::-1] + 1).clip(max=overlap
+                                                            * comp) \
+                / (overlap * comp)
+            wx = jnp.minimum(jnp.arange(pw) + 1,
+                             jnp.arange(pw)[::-1] + 1).clip(max=overlap
+                                                            * comp) \
+                / (overlap * comp)
+            wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
+            oy, ox = y0 * comp, x0 * comp
+            out = out.at[:, oy:oy + ph, ox:ox + pw].add(
+                img.astype(jnp.float32) * wmap)
+            weight = weight.at[:, oy:oy + ph, ox:ox + pw].add(wmap)
+    return (out / jnp.maximum(weight, 1e-8)).astype(latents.dtype)
+
+
 # ---------------------------------------------------------------------------
 # DC-AE (SANA): 32x deep-compression autoencoder
 # ---------------------------------------------------------------------------
