@@ -93,3 +93,22 @@ def test_validation_uses_ema_weights():
     state2 = state.replace(ema=None)
     img_zero = pipe(DummyTrainer(state2, ["x"]))["validation/0/x"]
     assert not np.allclose(img_ema, img_zero)
+
+
+def test_flux_token_space_sampling():
+    from yat_tpu.models.flux import FLUX_TINY_TEST, FluxTransformer, latent_ids
+    from yat_tpu.ops.sampling import sample_flux
+    m = FluxTransformer(cfg=FLUX_TINY_TEST, dtype=jnp.float32)
+    txt = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 16)) * 0.1
+    un = jnp.zeros((1, 8, 16))
+    tokens = jnp.zeros((1, 16, 16))
+    vs = m.init(jax.random.PRNGKey(1), tokens, txt, jnp.full((1,), 0.5),
+                latent_ids(4, 4))
+    sched = FlowMatchSchedule(shift=1.0)
+    out = sample_flux(m, vs, sched, (4, 4), txt, uncond_emb=un,
+                      guidance_scale=7.0, num_steps=3)
+    assert out.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # distilled path (no CFG doubling)
+    out2 = sample_flux(m, vs, sched, (4, 4), txt, num_steps=3)
+    assert np.isfinite(np.asarray(out2)).all()

@@ -151,6 +151,52 @@ def sample_dpm_solver_2m(
     return x
 
 
+def sample_flux(
+    model, variables, schedule: FlowMatchSchedule,
+    grid_hw: Tuple[int, int], text_emb: jnp.ndarray,
+    uncond_emb: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 7.0,          # train_flux_klein.py:96
+    num_steps: int = 20, seed: int = 42,
+) -> jnp.ndarray:
+    """Token-space Euler sampling for the Flux family (packed 2x2 latents
+    with rotary ids, t passed as sigma — train_flux_klein.py:89-99 semantics).
+
+    Uses both the guidance embedding (the distilled path) and, when an
+    unconditional embedding is given, true CFG batch doubling."""
+    from yat_tpu.models.flux import latent_ids
+    gh, gw = grid_hw
+    ids = latent_ids(gh, gw)
+    c = model.cfg.in_channels
+    mu = schedule.mu_for_seq_len(gh * gw) if schedule.use_dynamic_shifting \
+        else None
+    sigmas = schedule.inference_sigmas(num_steps, mu)
+    x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, gh * gw, c),
+                           jnp.float32)
+    g = jnp.full((1,), guidance_scale, jnp.float32)
+
+    def denoise(x, sigma):
+        t = jnp.full((1,), sigma, jnp.float32)
+        if uncond_emb is None or guidance_scale <= 1.0:
+            return model.apply(variables, x, text_emb, t, ids, guidance=g,
+                               deterministic=True)
+        x2 = jnp.concatenate([x, x], 0)
+        t2 = jnp.concatenate([t, t], 0)
+        emb2 = jnp.concatenate([uncond_emb, text_emb], 0)
+        pred = model.apply(variables, x2, emb2, t2, ids,
+                           guidance=jnp.concatenate([g, g], 0),
+                           deterministic=True)
+        un, co = jnp.split(pred, 2, 0)
+        return un + guidance_scale * (co - un)
+
+    def body(x, i):
+        v = denoise(x, sigmas[i])
+        return schedule.euler_step(x, v.astype(x.dtype), sigmas[i],
+                                   sigmas[i + 1]), None
+
+    x, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    return x
+
+
 def make_cfg_denoiser(
     model_apply: Callable,
     variables: Dict[str, Any],
