@@ -22,7 +22,7 @@ import io
 import json
 import os
 import tarfile
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 

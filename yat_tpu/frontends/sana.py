@@ -8,7 +8,6 @@ to 512 with mask (here in the data plane so shapes stay static), MSE in fp32.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional
@@ -19,7 +18,7 @@ import numpy as np
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.data.bins import bin_for_resolution
-from yat_tpu.data.sampler import FeatureBucketSampler, LocalShardSource, RemoteShardSource
+from yat_tpu.data.sampler import LocalShardSource, RemoteShardSource
 from yat_tpu.models.sana import SANA_600M, SANA_1600M, SanaConfig, SanaTransformer2D
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer

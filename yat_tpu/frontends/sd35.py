@@ -26,7 +26,6 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     KL-VAE."""
     import jax
 
-    from yat_tpu.frontends.common import build_clip_vae_encoders
     from yat_tpu.frontends.sdxl import build_sdxl_encoders
     from yat_tpu.models.text_encoders import (
         T5_TINY_TEST, T5_XXL, T5Encoder, compress_embeddings)

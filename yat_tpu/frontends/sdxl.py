@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yat_tpu.config import TrainingParameters
-from yat_tpu.data.bins import ASPECT_RATIO_1024_BIN, bin_for_resolution
+from yat_tpu.data.bins import bin_for_resolution
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.unet import SDXL_UNET, UNet2DCondition
 from yat_tpu.ops.schedulers import DDPMSchedule

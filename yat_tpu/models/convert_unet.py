@@ -15,7 +15,7 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-from yat_tpu.models.convert import _conv, _conv_as_linear, _linear, _norm, _set
+from yat_tpu.models.convert import _conv, _conv_as_linear, _linear, _norm
 
 
 def _attn_inner(sd, tp, tree, fp):

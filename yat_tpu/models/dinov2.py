@@ -11,7 +11,6 @@ after the final norm (cls dropped).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

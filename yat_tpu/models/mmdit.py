@@ -15,7 +15,7 @@ add_noise, target ``eps - x`` (/root/reference/train_sd35.py:165-194).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

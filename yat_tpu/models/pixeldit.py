@@ -17,7 +17,7 @@ efficient.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

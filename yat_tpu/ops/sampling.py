@@ -15,7 +15,6 @@ multiplies every adapter scale leaf.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax

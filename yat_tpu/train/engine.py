@@ -39,19 +39,14 @@ from yat_tpu.adapters.builder import (
     count_adapter_params,
 )
 from yat_tpu.config import TrainingParameters
-from yat_tpu.parallel.mesh import (
-    batch_sharding,
-    create_mesh,
-    pytree_shardings,
-    shard_pytree,
-)
+from yat_tpu.parallel.mesh import batch_sharding, create_mesh, shard_pytree
 from yat_tpu.train.state import (
     TrainState,
     create_train_state,
     make_lr_schedule,
     make_optimizer,
 )
-from yat_tpu.train.step import make_eval_loss, make_train_step
+from yat_tpu.train.step import make_train_step
 from yat_tpu.utils.logging import MetricLogger
 
 

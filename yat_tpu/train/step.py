@@ -19,7 +19,6 @@ Reference-parity features implemented on-device:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -16,7 +16,7 @@ functions of the caption.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List
 
 # drop-keywords mirroring the reference's filter list semantics
 _STOP_KEYWORDS = frozenset({
