@@ -1,0 +1,87 @@
+"""Context-parallel and ring attention vs single-device attention on the
+virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yat_tpu.ops.context_parallel import (
+    context_parallel_attention,
+    ring_attention,
+)
+
+
+def reference_attention(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (2, 16, 2, 8))
+    k = jax.random.normal(k2, (2, 32, 2, 8))     # KV seq 32 = 8 shards of 4
+    v = jax.random.normal(k3, (2, 32, 2, 8))
+    return q, k, v
+
+
+def _mesh():
+    import numpy as np
+    return Mesh(np.asarray(jax.devices()).reshape(8), ("ctx",))
+
+
+def test_context_parallel_matches_reference(qkv):
+    q, k, v = qkv
+    mesh = _mesh()
+    fn = jax.shard_map(
+        lambda q_, k_, v_: context_parallel_attention(q_, k_, v_, "ctx"),
+        mesh=mesh,
+        in_specs=(P(), P(None, "ctx"), P(None, "ctx")),
+        out_specs=P(),
+    )
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(q, k, v)),
+                               atol=2e-5)
+
+
+def test_ring_attention_matches_reference(qkv):
+    q, k, v = qkv
+    mesh = _mesh()
+    # the ring result is value-replicated but type-varying (each chip saw
+    # all rotated blocks); check_vma can't infer that
+    fn = jax.shard_map(
+        lambda q_, k_, v_: ring_attention(q_, k_, v_, "ctx"),
+        mesh=mesh,
+        in_specs=(P(), P(None, "ctx"), P(None, "ctx")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(q, k, v)),
+                               atol=2e-5)
+
+
+def test_ring_attention_grads_flow(qkv):
+    q, k, v = qkv
+    mesh = _mesh()
+
+    def loss(q_, k_, v_):
+        fn = jax.shard_map(
+            lambda a, b, c: ring_attention(a, b, c, "ctx"),
+            mesh=mesh,
+            in_specs=(P(), P(None, "ctx"), P(None, "ctx")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jnp.sum(fn(q_, k_, v_) ** 2)
+
+    g = jax.grad(loss)(q, k, v)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -1,0 +1,94 @@
+"""Context-parallel attention: shard the KV sequence across a mesh axis.
+
+New capability beyond the reference (SURVEY §2c lists sequence parallelism
+as absent upstream; §5 marks it the scaling path once one chip's HBM can't
+hold the token dimension — 4096+ tokens at 2048px).  Two standard forms:
+
+* ``context_parallel_attention`` — each chip computes partial attention
+  against its local KV shard, then partial outputs merge with the online-
+  softmax correction across chips (one ``pmax`` + two ``psum``): only
+  O(d_head + 2) values travel per query, never the KV cache.
+* ``ring_attention`` — KV blocks rotate around the axis with
+  ``jax.lax.ppermute`` while each chip computes on the block in front of it,
+  overlapping ICI transfer with MXU work.
+
+Both run under ``jax.shard_map`` on any mesh axis and are validated against
+single-device attention on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _partial_attention(q, k, v, scale):
+    """Local attention with softmax statistics returned.
+
+    q: [B, Nq, H, D]; k, v: [B, Nk_local, H, D]
+    → (o_unnormalized [B, Nq, H, D], m [B, H, Nq], l [B, H, Nq])
+    """
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    m = jnp.max(logits, axis=-1)                       # [B, H, Nq]
+    p = jnp.exp(logits - m[..., None])
+    l = jnp.sum(p, axis=-1)                            # [B, H, Nq]
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+    return o.astype(jnp.float32), m, l
+
+
+def context_parallel_attention(q, k_shard, v_shard, axis_name: str,
+                               scale: Optional[float] = None):
+    """All-reduce-combine form.  Call inside shard_map with the KV sequence
+    sharded over ``axis_name`` (queries replicated or batch-sharded)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, m, l = _partial_attention(q, k_shard, v_shard, scale)
+    m_global = jax.lax.pmax(m, axis_name)
+    alpha = jnp.exp(m - m_global)                      # correction
+    l_corr = alpha * l
+    o_corr = o * alpha.transpose(0, 2, 1)[..., None]
+    l_global = jax.lax.psum(l_corr, axis_name)
+    o_global = jax.lax.psum(o_corr, axis_name)
+    out = o_global / jnp.maximum(
+        l_global.transpose(0, 2, 1)[..., None], 1e-20)
+    return out.astype(q.dtype)
+
+
+def ring_attention(q, k_local, v_local, axis_name: str,
+                   scale: Optional[float] = None):
+    """Ring form: KV blocks rotate via point-to-point ppermute; online
+    softmax merges each incoming block.  Communication is neighbor-only and
+    overlaps with the block's matmuls."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_dev = jax.lax.psum(1, axis_name)
+    b, nq, h, d = q.shape
+
+    m = jnp.full((b, h, nq), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, nq), jnp.float32)
+    o = jnp.zeros((b, nq, h, d), jnp.float32)
+    # under shard_map the accumulators must carry the axis's device-varying
+    # type from the start (they mix with the rotating KV inside the scan)
+    m, l, o = (jax.lax.pvary(x, axis_name) for x in (m, l, o))
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(carry, _):
+        m, l, o, k_blk, v_blk = carry
+        o_new, m_new, l_new = _partial_attention(q, k_blk, v_blk, scale)
+        m_next = jnp.maximum(m, m_new)
+        alpha = jnp.exp(m - m_next)
+        beta = jnp.exp(m_new - m_next)
+        l_next = alpha * l + beta * l_new
+        o_next = (o * alpha.transpose(0, 2, 1)[..., None]
+                  + o_new * beta.transpose(0, 2, 1)[..., None])
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (m_next, l_next, o_next, k_blk, v_blk), None
+
+    (m, l, o, _, _), _ = jax.lax.scan(
+        step, (m, l, o, k_local, v_local), None, length=n_dev)
+    out = o / jnp.maximum(l.transpose(0, 2, 1)[..., None], 1e-20)
+    return out.astype(q.dtype)
