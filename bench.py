@@ -106,17 +106,21 @@ def main():
     result = None
     # known-good config first (remote compile helper 500s on very large
     # unrolled graphs); later configs only improve on it
-    # (16, False) measured fastest (76.7 imgs/s v5e); the remote compile
-    # helper 500s on every other batch size, so 16/remat is the fallback
-    for batch_size, remat in ((16, False), (16, True)):
-        try:
-            imgs_per_sec = measure(batch_size, remat)
-            if result is None or imgs_per_sec > result[0]:
-                result = (imgs_per_sec, batch_size, remat)
-        except Exception as e:  # noqa: BLE001 — OOM/compile → next config
-            msg = str(e)[:300].replace("\n", " ")
-            print(f"# batch={batch_size} remat={remat} failed: {msg}")
-            continue
+    # batch 16 is the only size the remote compile helper accepts; remat
+    # on/off are within noise.  Two passes: the second only runs if the
+    # first produced nothing (transient compile-service 500s must never
+    # leave the driver a 0 result).
+    for attempt in range(2):
+        for batch_size, remat in ((16, False), (16, True)):
+            try:
+                imgs_per_sec = measure(batch_size, remat)
+                if result is None or imgs_per_sec > result[0]:
+                    result = (imgs_per_sec, batch_size, remat)
+            except Exception as e:  # noqa: BLE001 — OOM/compile → next
+                msg = str(e)[:300].replace("\n", " ")
+                print(f"# batch={batch_size} remat={remat} failed: {msg}")
+        if result is not None:
+            break
     if result is None:
         print(json.dumps({"metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
                           "value": 0.0, "unit": "images/sec/chip",
