@@ -1,0 +1,144 @@
+"""DC-AE converter: full-coverage conversion from a synthesized diffusers
+AutoencoderDC layout (the SANA 32x VAE, /root/reference/train_sana.py:78-82)
+into our DCAE tree, including the structure-driven tolerance for resample
+blocks serialized at the end of a stage OR the start of the next."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yat_tpu.frontends.common import merge_with_report
+from yat_tpu.models.convert_dcae import convert_dcae
+from yat_tpu.models.vae import DCAE, DCAE_TINY_TEST
+
+
+def _leaves(tree, prefix=""):
+    for k, v in sorted(tree.items()):
+        name = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _leaves(v, name)
+        else:
+            yield name, np.asarray(v, np.float32)
+
+
+def _get(tree, dotted):
+    node = tree
+    for k in dotted.split("."):
+        node = node[k]
+    return np.asarray(node)
+
+
+def _synth_dcae(params_tree, cfg, rng, resample_at_stage_end=True):
+    """Emit a diffusers-AutoencoderDC-named state dict covering every model
+    leaf.  ``resample_at_stage_end`` toggles whether down/up sample convs
+    are serialized as the trailing block of stage i or the leading block of
+    stage i+1 — the converter must accept both."""
+    sd = {}
+    expected = {}
+    n = len(cfg.block_out_channels)
+
+    def emit_conv(tk, fp):
+        v = rng.standard_normal(
+            _get(params_tree, f"{fp}.kernel").shape).astype(np.float32)
+        sd[f"{tk}.weight"] = np.ascontiguousarray(
+            np.transpose(v, (3, 2, 0, 1)))
+        expected[f"{fp}.kernel"] = v
+        bias_path = f"{fp}.bias"
+        try:
+            b = rng.standard_normal(
+                _get(params_tree, bias_path).shape).astype(np.float32)
+            sd[f"{tk}.bias"] = b
+            expected[bias_path] = b
+        except KeyError:
+            pass
+
+    def emit_lin(tk, fp):
+        v = rng.standard_normal(
+            _get(params_tree, f"{fp}.kernel").shape).astype(np.float32)
+        sd[f"{tk}.weight"] = np.ascontiguousarray(v.T)
+        expected[f"{fp}.kernel"] = v
+
+    def emit_norm(tk, fp):
+        v = rng.standard_normal(
+            _get(params_tree, f"{fp}.scale").shape).astype(np.float32)
+        sd[f"{tk}.weight"] = v
+        expected[f"{fp}.scale"] = v
+
+    def emit_res(tk, fp):
+        emit_conv(f"{tk}.conv1", f"{fp}.conv1")
+        emit_conv(f"{tk}.conv2", f"{fp}.conv2")
+        emit_norm(f"{tk}.norm", f"{fp}.norm")
+
+    def emit_glu(tk, fp):
+        emit_conv(f"{tk}.conv_inverted", f"{fp}.conv_inverted")
+        emit_conv(f"{tk}.conv_depth", f"{fp}.conv_depth")
+        emit_conv(f"{tk}.conv_point", f"{fp}.conv_point")
+        emit_norm(f"{tk}.norm", f"{fp}.norm")
+
+    def emit_vit(tk, fp):
+        for name in ("to_q", "to_k", "to_v", "to_out"):
+            emit_lin(f"{tk}.attn.{name}", f"{fp}.attn.{name}")
+        for s in range(len(cfg.qkv_multiscales)):
+            emit_conv(f"{tk}.attn.to_qkv_multiscale.{s}.proj_in",
+                      f"{fp}.attn.ms_{s}_proj_in")
+            emit_conv(f"{tk}.attn.to_qkv_multiscale.{s}.proj_out",
+                      f"{fp}.attn.ms_{s}_proj_out")
+        emit_norm(f"{tk}.attn.norm_out", f"{fp}.attn.norm_out")
+        emit_glu(f"{tk}.conv_out", f"{fp}.conv_out")
+
+    for side, depths, resample in (("encoder", cfg.encoder_layers, "down"),
+                                   ("decoder",
+                                    tuple(reversed(cfg.decoder_layers)),
+                                    "up")):
+        attn = cfg.attention_stages if side == "encoder" \
+            else tuple(reversed(cfg.attention_stages))
+        kind = "down_blocks" if side == "encoder" else "up_blocks"
+        emit_conv(f"{side}.conv_in", f"{side}.conv_in")
+        if side == "encoder":
+            emit_conv(f"{side}.conv_out", f"{side}.conv_out")
+        else:
+            emit_norm(f"{side}.norm_out", f"{side}.norm_out")
+            emit_conv(f"{side}.conv_out", f"{side}.conv_out")
+        for i in range(n):
+            j = 0
+            if i > 0 and not resample_at_stage_end:
+                emit_conv(f"{side}.{kind}.{i}.{j}.conv",
+                          f"{side}.{resample}_{i}.conv")
+                j += 1
+            for b in range(depths[i]):
+                tk = f"{side}.{kind}.{i}.{j}"
+                fp = f"{side}.stage_{i}_block_{b}"
+                if attn[i]:
+                    emit_vit(tk, fp)
+                else:
+                    emit_res(tk, fp)
+                j += 1
+            if i < n - 1 and resample_at_stage_end:
+                emit_conv(f"{side}.{kind}.{i}.{j}.conv",
+                          f"{side}.{resample}_{i + 1}.conv")
+    return sd, expected
+
+
+def _run(resample_at_stage_end):
+    cfg = DCAE_TINY_TEST
+    m = DCAE(cfg=cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    sd, expected = _synth_dcae(v["params"], cfg, np.random.default_rng(0),
+                               resample_at_stage_end=resample_at_stage_end)
+    tree = convert_dcae(sd, cfg)
+    merged, missing = merge_with_report(v["params"], tree)
+    assert not missing, f"uncovered DCAE params: {missing[:10]}"
+    for path, val in expected.items():
+        np.testing.assert_allclose(_get(merged, path), val, atol=1e-6,
+                                   err_msg=path)
+    # converted weights actually run
+    out = m.apply({"params": merged}, jnp.ones((1, 16, 16, 3)) * 0.1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dcae_converter_resample_at_stage_end():
+    _run(True)
+
+
+def test_dcae_converter_resample_at_stage_start():
+    _run(False)

@@ -49,9 +49,12 @@ def test_pixart_converter_coverage():
             ("caption_projection.kernel", "linear"),
         "pos_embed.proj": ("pos_embed.proj.kernel", "linear"),
         "proj_out": ("proj_out.kernel", "linear"),
-        "scale_shift_table": ("scale_shift_table", "raw"),
+        # diffusers: top-level (2,dim) table + per-block (6,dim) tables
+        "scale_shift_table": ("out_scale_shift_table", "raw"),
     }
     for i in range(cfg.num_layers):
+        mapping[f"transformer_blocks.{i}.scale_shift_table"] = (
+            f"blocks_{i}.scale_shift_table", "raw")
         for a in ("attn1", "attn2"):
             for n in ("to_q", "to_k", "to_v"):
                 mapping[f"transformer_blocks.{i}.{a}.{n}"] = (

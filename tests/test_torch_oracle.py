@@ -1,0 +1,236 @@
+"""Golden-activation oracles: independent torch implementations of the
+documented diffusers block semantics, fed identical weights through the
+converters, compared against our flax forwards.
+
+These stand in for diffusers-parity tests in this offline environment (no
+diffusers wheel): the torch modules below re-implement the *published* block
+math (DC-AE ResBlock / GLUMBConv / multiscale linear attention, KL-VAE
+resnet + attention), so agreement means our flax math and the converter
+layout rules are jointly consistent with that spec.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+torch.manual_seed(0)
+
+
+def _to_flax_conv(w):
+    return np.ascontiguousarray(np.transpose(w.detach().numpy(),
+                                             (2, 3, 1, 0)))
+
+
+def _to_flax_lin(w):
+    return np.ascontiguousarray(w.detach().numpy().T)
+
+
+def _nchw(x_nhwc):
+    return torch.tensor(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def _rms_channelwise(t, weight, eps=1e-5):
+    """RMSNorm over channels of NCHW torch tensor."""
+    x = t.movedim(1, -1).float()
+    x = x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)
+    return (x * weight).movedim(-1, 1)
+
+
+# ---------------------------------------------------------------------------
+# DC-AE ResBlock
+# ---------------------------------------------------------------------------
+
+def test_dcae_resblock_matches_torch():
+    from yat_tpu.models.vae import DCResBlock
+    c = 8
+    conv1 = tnn.Conv2d(c, c, 3, padding=1)
+    conv2 = tnn.Conv2d(c, c, 3, padding=1, bias=False)
+    norm_w = torch.randn(c)
+
+    x = np.random.default_rng(0).standard_normal((2, 6, 6, c)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        h = conv2(F.silu(conv1(t)))
+        h = _rms_channelwise(h, norm_w)
+        ref = _nhwc(t + h)
+
+    params = {"conv1": {"kernel": _to_flax_conv(conv1.weight),
+                        "bias": conv1.bias.detach().numpy()},
+              "conv2": {"kernel": _to_flax_conv(conv2.weight)},
+              "norm": {"scale": norm_w.numpy()}}
+    out = DCResBlock(c).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DC-AE GLUMBConv
+# ---------------------------------------------------------------------------
+
+def test_dcae_glumbconv_matches_torch():
+    from yat_tpu.models.vae import DCGLUMBConv
+    c, expand = 8, 2.0
+    hidden = int(c * expand)
+    conv_inv = tnn.Conv2d(c, hidden * 2, 1)
+    conv_depth = tnn.Conv2d(hidden * 2, hidden * 2, 3, padding=1,
+                            groups=hidden * 2)
+    conv_point = tnn.Conv2d(hidden, c, 1, bias=False)
+    norm_w = torch.randn(c)
+
+    x = np.random.default_rng(1).standard_normal((2, 6, 6, c)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        h = F.silu(conv_inv(t))
+        h = conv_depth(h)
+        a, g = torch.chunk(h, 2, dim=1)
+        h = a * F.silu(g)
+        h = conv_point(h)
+        h = _rms_channelwise(h, norm_w)
+        ref = _nhwc(t + h)
+
+    params = {"conv_inverted": {"kernel": _to_flax_conv(conv_inv.weight),
+                                "bias": conv_inv.bias.detach().numpy()},
+              "conv_depth": {"kernel": _to_flax_conv(conv_depth.weight),
+                             "bias": conv_depth.bias.detach().numpy()},
+              "conv_point": {"kernel": _to_flax_conv(conv_point.weight)},
+              "norm": {"scale": norm_w.numpy()}}
+    out = DCGLUMBConv(c, expand=expand).apply({"params": params},
+                                              jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DC-AE multiscale linear attention
+# ---------------------------------------------------------------------------
+
+def _torch_linear_attn(q, k, v, heads, head_dim, eps=1e-15):
+    """ReLU kernel linear attention with ones-row normalization.
+    q,k,v: [B, N, C]."""
+    b, n, c = q.shape
+    q = F.relu(q).reshape(b, n, heads, head_dim)
+    k = F.relu(k).reshape(b, n, heads, head_dim)
+    v = v.reshape(b, n, heads, head_dim)
+    v = torch.cat([v, torch.ones(b, n, heads, 1)], dim=-1)
+    kv = torch.einsum("bnhd,bnhe->bhde", k, v)
+    out = torch.einsum("bnhd,bhde->bnhe", q, kv)
+    out = out[..., :-1] / (out[..., -1:] + eps)
+    return out.reshape(b, n, c)
+
+
+def test_dcae_litemla_matches_torch():
+    from yat_tpu.models.vae import DCLiteMLA
+    c, head_dim, ks = 8, 4, 3
+    heads = c // head_dim
+    to_q = tnn.Linear(c, c, bias=False)
+    to_k = tnn.Linear(c, c, bias=False)
+    to_v = tnn.Linear(c, c, bias=False)
+    ms_in = tnn.Conv2d(3 * c, 3 * c, ks, padding=ks // 2, groups=3 * c,
+                       bias=False)
+    ms_out = tnn.Conv2d(3 * c, 3 * c, 1, groups=3 * heads, bias=False)
+    to_out = tnn.Linear(2 * c, c, bias=False)
+    norm_w = torch.randn(c)
+
+    x = np.random.default_rng(2).standard_normal((2, 4, 4, c)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        b, _, h, w = t.shape
+        flat = t.flatten(2).transpose(1, 2)           # [B, N, C]
+        q, k, v = to_q(flat), to_k(flat), to_v(flat)
+        qkv = torch.cat([q, k, v], dim=-1)            # [B, N, 3C]
+        grid = qkv.transpose(1, 2).reshape(b, 3 * c, h, w)
+        ms = ms_out(ms_in(grid)).flatten(2).transpose(1, 2)
+        outs = []
+        for m in (qkv, ms):
+            qs, ks_, vs = torch.chunk(m, 3, dim=-1)
+            outs.append(_torch_linear_attn(qs, ks_, vs, heads, head_dim))
+        y = to_out(torch.cat(outs, dim=-1))
+        y32 = y.float()
+        y = (y32 * torch.rsqrt(y32.pow(2).mean(-1, keepdim=True) + 1e-5)
+             ) * norm_w
+        ref = x + y.reshape(b, h, w, c).numpy()
+
+    params = {"to_q": {"kernel": _to_flax_lin(to_q.weight)},
+              "to_k": {"kernel": _to_flax_lin(to_k.weight)},
+              "to_v": {"kernel": _to_flax_lin(to_v.weight)},
+              "ms_0_proj_in": {"kernel": _to_flax_conv(ms_in.weight)},
+              "ms_0_proj_out": {"kernel": _to_flax_conv(ms_out.weight)},
+              "to_out": {"kernel": _to_flax_lin(to_out.weight)},
+              "norm_out": {"scale": norm_w.numpy()}}
+    out = DCLiteMLA(c, head_dim=head_dim, scales=(ks,)).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# KL-VAE resnet + attention blocks
+# ---------------------------------------------------------------------------
+
+def test_klvae_resnet_matches_torch():
+    from yat_tpu.models.vae import ResnetBlock
+    c = 32          # GroupNorm(32) needs >= 32 channels
+    norm1 = tnn.GroupNorm(32, c, eps=1e-6)
+    conv1 = tnn.Conv2d(c, c, 3, padding=1)
+    norm2 = tnn.GroupNorm(32, c, eps=1e-6)
+    conv2 = tnn.Conv2d(c, c, 3, padding=1)
+    for m in (norm1, norm2):
+        tnn.init.normal_(m.weight)
+        tnn.init.normal_(m.bias)
+
+    x = np.random.default_rng(3).standard_normal((1, 6, 6, c)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        h = conv1(F.silu(norm1(t)))
+        h = conv2(F.silu(norm2(h)))
+        ref = _nhwc(t + h)
+
+    params = {"norm1": {"scale": norm1.weight.detach().numpy(),
+                        "bias": norm1.bias.detach().numpy()},
+              "conv1": {"kernel": _to_flax_conv(conv1.weight),
+                        "bias": conv1.bias.detach().numpy()},
+              "norm2": {"scale": norm2.weight.detach().numpy(),
+                        "bias": norm2.bias.detach().numpy()},
+              "conv2": {"kernel": _to_flax_conv(conv2.weight),
+                        "bias": conv2.bias.detach().numpy()}}
+    out = ResnetBlock(c, dtype=jnp.float32).apply({"params": params},
+                                                  jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_klvae_attn_matches_torch():
+    from yat_tpu.models.vae import AttnBlock
+    c = 32
+    gn = tnn.GroupNorm(32, c, eps=1e-6)
+    tnn.init.normal_(gn.weight)
+    tnn.init.normal_(gn.bias)
+    to_q, to_k, to_v, to_o = (tnn.Linear(c, c) for _ in range(4))
+
+    x = np.random.default_rng(4).standard_normal((1, 4, 4, c)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        b, _, h, w = t.shape
+        y = gn(t).flatten(2).transpose(1, 2)          # [B, N, C]
+        q, k, v = to_q(y), to_k(y), to_v(y)
+        attn = torch.softmax(q @ k.transpose(1, 2) / np.sqrt(c), dim=-1)
+        y = to_o(attn @ v)
+        ref = x + y.reshape(b, h, w, c).numpy()
+
+    params = {"group_norm": {"scale": gn.weight.detach().numpy(),
+                             "bias": gn.bias.detach().numpy()}}
+    for name, mod in (("to_q", to_q), ("to_k", to_k), ("to_v", to_v),
+                      ("to_out", to_o)):
+        params[name] = {"kernel": _to_flax_lin(mod.weight),
+                        "bias": mod.bias.detach().numpy()}
+    out = AttnBlock(dtype=jnp.float32).apply({"params": params},
+                                             jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)

@@ -172,6 +172,7 @@ class TrainingParameters:
 
     # --- TPU-native extensions (no reference equivalent) ---
     caption_length_bucketing: bool = False  # pad captions to 128-multiples
+    warmup_compile: bool = False            # pre-compile every bucket shape
     mesh_shape: Optional[dict] = None       # e.g. {'dp': 8} or {'dp': 2, 'fsdp': 4}
     checkpoint_dir: Optional[str] = None    # orbax full-state checkpoints
     resume: bool = False                    # resume full train state
@@ -323,8 +324,11 @@ class TrainingParameters:
         p.use_preservation = "use_preservation" in raw
         p.preservation_ratio = _as_float(raw, "preservation_ratio", 0.5)
 
+        p.output_repo = _as_str(raw, "output_repo")
+
         # TPU extensions
         p.caption_length_bucketing = "caption_length_bucketing" in raw
+        p.warmup_compile = "warmup_compile" in raw
         if "mesh_shape" in raw:
             ms = raw["mesh_shape"]
             if not isinstance(ms, dict):

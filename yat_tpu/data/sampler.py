@@ -279,7 +279,8 @@ class FeatureBucketSampler:
                  shuffle_buffer: int = 1000, seed: int = 0,
                  sync_hook: Optional[Callable[[Dict[str, int]], None]] = None,
                  latent_dtype=np.float32,
-                 caption_buckets: Optional[Sequence[int]] = None):
+                 caption_buckets: Optional[Sequence[int]] = None,
+                 bucket_repeat: int = 1):
         self.source = shard_source
         self.batch_size = batch_size
         self.max_caption_len = max_caption_len
@@ -289,6 +290,9 @@ class FeatureBucketSampler:
         self.sync_hook = sync_hook
         self.latent_dtype = latent_dtype
         self.caption_buckets = caption_buckets
+        # each drained batch re-yielded N times (training_parameters_reader
+        # .py:214-216 / bucket_sampler_cache.py:115 data-reuse semantics)
+        self.bucket_repeat = max(1, int(bucket_repeat))
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
@@ -331,18 +335,32 @@ class FeatureBucketSampler:
                 from_pt: bool = False) -> Iterator[Batch]:
         self.buckets.setdefault(key, deque()).append(
             (latent, emb, pooled, from_pt))
+        if self.sync_hook is not None:
+            # hook fires once per ingested sample — the deterministic
+            # shared counter WindowedBucketSync's collective is driven by
+            self.sync_hook({k: len(v) for k, v in self.buckets.items()})
         ready = sorted(k for k, v in self.buckets.items()
                        if len(v) >= self.batch_size)
         if self.sync_hook is not None and ready:
-            self.sync_hook({k: len(self.buckets[k]) for k in ready})
             # multi-host holdback: only drain buckets every host can fill
-            # (WindowedBucketSync exposes the min counts across hosts)
+            # (WindowedBucketSync exposes the min counts across hosts);
+            # keys the sync has no verdict on yet drain locally
             mins = getattr(self.sync_hook, "min_counts", None)
-            if mins is not None:
+            if mins:
                 ready = [k for k in ready
-                         if mins.get(k, 0) >= self.batch_size]
+                         if k not in mins or mins[k] >= self.batch_size]
         for k in ready:
-            yield self._emit(k)
+            batch = self._emit(k)
+            on_drain = getattr(self.sync_hook, "on_drain", None)
+            if on_drain is not None:
+                on_drain(k, self.batch_size)
+            for _ in range(self.bucket_repeat):
+                yield batch
+
+    def stop(self):
+        stop = getattr(self.source, "stop", None)
+        if stop is not None:
+            stop()
 
 
 class ImageBucketSampler:
@@ -361,7 +379,7 @@ class ImageBucketSampler:
                  aspect_ratios: Dict[str, Tuple[int, int]],
                  seed: int = 0, shuffle_buffer: int = 256,
                  caption_fn: Optional[Callable[[dict], str]] = None,
-                 use_native: bool = True):
+                 use_native: bool = True, bucket_repeat: int = 1):
         self.source = shard_source
         self.batch_size = batch_size
         self.aspect_ratios = aspect_ratios
@@ -369,6 +387,7 @@ class ImageBucketSampler:
         self.rng = random.Random(seed)
         self.shuffle_buffer = shuffle_buffer
         self.caption_fn = caption_fn
+        self.bucket_repeat = max(1, int(bucket_repeat))
         if use_native:
             from yat_tpu.data import native as _native
             self.native = _native if _native.available() else None
@@ -445,7 +464,14 @@ class ImageBucketSampler:
                     (payload, caption))
                 for k in sorted(k for k, v in self.buckets.items()
                                 if len(v) >= self.batch_size):
-                    yield self._emit(k)
+                    batch = self._emit(k)
+                    for _ in range(self.bucket_repeat):
+                        yield batch
+
+    def stop(self):
+        stop = getattr(self.source, "stop", None)
+        if stop is not None:
+            stop()
 
 
 class DreamboothSampler(ImageBucketSampler):
@@ -469,7 +495,13 @@ class DreamboothSampler(ImageBucketSampler):
         self.class_name = class_name
         self.num_repeats = num_repeats
         self.num_reg_passes = num_regularisation_passes
+        self._reg_source_raw = reg_shard_source
         self.reg_shard_source = iter(reg_shard_source) if reg_shard_source else None
+
+    def stop(self):
+        stop = getattr(self._reg_source_raw, "stop", None)
+        if stop is not None:
+            stop()
 
     def _iter_folder(self, folder: str) -> Iterator[Tuple[np.ndarray, Optional[str]]]:
         names = sorted(os.listdir(folder))

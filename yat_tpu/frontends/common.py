@@ -30,7 +30,33 @@ def shard_range_for_host(num_shards: int) -> range:
     return range(begin, end)
 
 
-def build_feature_sampler(params: TrainingParameters, max_caption_len: int):
+def r2_shard_names(params: TrainingParameters, per_host: bool = True) -> list:
+    """The R2 shard list: explicit ``r2_tar_files``
+    (/root/reference/common/cloudflare.py:20-34, the list handed to
+    get_secured_urls) or generated ``shard-%06d.tar`` names over
+    ``num_shards``; optionally restricted to this host's range."""
+    if params.r2_tar_files:
+        names = list(params.r2_tar_files)
+        if per_host:
+            rng = shard_range_for_host(len(names))
+            names = [names[i] for i in rng]
+        return names
+    rng = shard_range_for_host(params.num_shards or 1) if per_host \
+        else range(params.num_shards or 1)
+    return [f"shard-{i:06d}.tar" for i in rng]
+
+
+def make_remote_source(params: TrainingParameters, per_host: bool = True):
+    return RemoteShardSource(
+        r2_shard_names(params, per_host=per_host),
+        params.r2_dataset_folder or "",
+        params.r2_access_key, params.r2_secret_key,
+        params.r2_endpoint, params.r2_bucket_name,
+        seed=params.dataset_seed, process_index=jax.process_index())
+
+
+def build_feature_sampler(params: TrainingParameters, max_caption_len: int,
+                          resolution: int = 512):
     if params.local_shard_paths:
         source = LocalShardSource(params.local_shard_paths,
                                   seed=params.dataset_seed)
@@ -40,22 +66,175 @@ def build_feature_sampler(params: TrainingParameters, max_caption_len: int):
                                 probs=params.url_probs,
                                 process_index=jax.process_index())
     elif params.r2_endpoint:
-        rng = shard_range_for_host(params.num_shards or 1)
-        shards = [f"shard-{i:06d}.tar" for i in rng]
-        source = RemoteShardSource(
-            shards, params.r2_dataset_folder or "",
-            params.r2_access_key, params.r2_secret_key,
-            params.r2_endpoint, params.r2_bucket_name,
-            seed=params.dataset_seed, process_index=jax.process_index())
+        source = make_remote_source(params)
     else:
         return None
     cb = None
     if params.caption_length_bucketing:
         from yat_tpu.data.sampler import caption_length_buckets
         cb = caption_length_buckets(max_caption_len)
+    sync_hook = None
+    if jax.process_count() > 1:
+        from yat_tpu.data.bins import bin_for_resolution
+        from yat_tpu.parallel.multihost import WindowedBucketSync
+        sync_hook = WindowedBucketSync(
+            bucket_keys=sorted(bin_for_resolution(
+                params.aspect_ratios or resolution)))
     return FeatureBucketSampler(source, params.batch_size, max_caption_len,
                                 seed=params.dataset_seed,
-                                caption_buckets=cb)
+                                caption_buckets=cb, sync_hook=sync_hook,
+                                bucket_repeat=params.bucket_repeat)
+
+
+_CKPT_NAMES = ("diffusion_pytorch_model.safetensors", "model.safetensors",
+               "pytorch_model.bin", "diffusion_pytorch_model.bin")
+
+
+def _find_denoiser_dir(params: TrainingParameters):
+    """Locate the denoiser checkpoint directory among the reference's three
+    path params (train_sana.py:20-23 separate transformer;
+    pipeline subfolders transformer/ or unet/ otherwise)."""
+    import os
+    candidates = []
+    if params.pretrained_model_path:
+        candidates.append(params.pretrained_model_path)
+    if params.pretrained_pipe_path:
+        for sub in ("transformer", "unet"):
+            candidates.append(os.path.join(params.pretrained_pipe_path, sub))
+    for c in candidates:
+        if os.path.isdir(c) and any(
+                os.path.exists(os.path.join(c, n)) for n in _CKPT_NAMES):
+            return c
+    return None
+
+
+def load_pretrained_backbone(params: TrainingParameters, family: str,
+                             cfg, variables):
+    """Merge pretrained denoiser weights into freshly-initialized variables
+    — the reference ALWAYS finetunes a pretrained diffusers model
+    (common/trainer.py:90-107, train_*.py pipeline loads); a round-1 gap
+    left every converter uncalled so LoRA runs trained random backbones.
+
+    Returns ``variables`` updated in the ``params`` collection.  Raises if a
+    pretrained path is configured but no denoiser checkpoint can be found
+    or converted (silently training random weights is the failure mode this
+    exists to kill).
+    """
+    import os
+
+    from yat_tpu.models.convert import load_torch_state_dict, merge_into
+
+    requested = bool(params.pretrained_model_path
+                     or params.pretrained_pipe_path
+                     or params.pretrained_pipe_single_file)
+    if not requested:
+        return variables
+
+    sd = None
+    dirpath = _find_denoiser_dir(params)
+    if dirpath is None and params.pretrained_model_path and \
+            os.path.isfile(params.pretrained_model_path):
+        # raw checkpoint file (PixelDiT's .pth, train_pixeldit.py:117-121)
+        dirpath = params.pretrained_model_path
+    if dirpath is not None:
+        sd = load_torch_state_dict(dirpath)
+    elif params.pretrained_pipe_single_file and \
+            os.path.exists(params.pretrained_pipe_single_file) and \
+            family in ("sd15", "sdxl"):
+        from yat_tpu.models.convert_unet import (
+            ldm_unet_to_diffusers, split_compvis_checkpoint)
+        parts = split_compvis_checkpoint(
+            load_torch_state_dict(params.pretrained_pipe_single_file))
+        if parts["unet"]:
+            sd = ldm_unet_to_diffusers(
+                parts["unet"], cfg.block_out_channels,
+                cfg.layers_per_block, cfg.transformer_layers)
+    if sd is None:
+        raise ValueError(
+            f"pretrained weights requested for {family} "
+            f"(pretrained_model_path={params.pretrained_model_path!r}, "
+            f"pretrained_pipe_path={params.pretrained_pipe_path!r}, "
+            f"pretrained_pipe_single_file="
+            f"{params.pretrained_pipe_single_file!r}) but no denoiser "
+            "checkpoint was found — refusing to train a randomly "
+            "initialized backbone")
+
+    if family == "sana":
+        from yat_tpu.models.convert import convert_sana
+        tree = convert_sana(sd, cfg.num_layers)
+    elif family == "pixart":
+        from yat_tpu.models.convert_dit import convert_pixart
+        tree = convert_pixart(sd, cfg.num_layers)
+    elif family in ("sd15", "sdxl"):
+        from yat_tpu.models.convert_unet import convert_unet
+        tree = convert_unet(sd, cfg.block_out_channels,
+                            cfg.layers_per_block, cfg.transformer_layers)
+    elif family == "sd35":
+        from yat_tpu.models.convert_dit import convert_sd3_mmdit
+        tree = convert_sd3_mmdit(sd, cfg.num_layers)
+    elif family == "flux":
+        from yat_tpu.models.convert_dit import convert_flux
+        tree = convert_flux(sd, cfg.num_double_blocks, cfg.num_single_blocks)
+    elif family == "pixeldit":
+        from yat_tpu.models.convert_dit import convert_pixeldit
+        tree = convert_pixeldit(sd, cfg.num_layers, cfg.num_pixel_layers)
+    else:
+        raise ValueError(f"unknown model family {family!r}")
+
+    merged, missing = merge_with_report(variables["params"], tree)
+    # new-capability modules have no checkpoint counterpart by design
+    allowed = ("repa_projector", "resnet_branch")
+    hard_missing = [m for m in missing
+                    if not any(a in m for a in allowed)]
+    if hard_missing:
+        raise ValueError(
+            f"{family} checkpoint at "
+            f"{dirpath or params.pretrained_pipe_single_file} converted but "
+            f"{len(hard_missing)} model parameters got no weights, e.g. "
+            f"{hard_missing[:8]} — converter/checkpoint mismatch")
+    n_loaded = sum(1 for _ in _iter_leaves(tree))
+    print(f"[{family}] loaded pretrained backbone: {n_loaded} tensors "
+          f"({len(missing)} new-capability params kept at init)")
+    out = dict(variables)
+    out["params"] = merged
+    return out
+
+
+def _iter_leaves(tree, prefix=""):
+    for k, v in tree.items():
+        name = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _iter_leaves(v, name)
+        else:
+            yield name
+
+
+def merge_with_report(base, converted):
+    """strict merge_into, but returns (merged, missing_leaf_paths) instead
+    of raising on the first miss."""
+    import numpy as np
+    missing = []
+
+    def walk(b, c, path=""):
+        out = {}
+        for k, v in b.items():
+            name = f"{path}.{k}" if path else k
+            if isinstance(v, dict):
+                out[k] = walk(v, c.get(k, {}) if isinstance(c, dict) else {},
+                              name)
+            elif isinstance(c, dict) and k in c:
+                arr = np.asarray(c[k])
+                if tuple(arr.shape) != tuple(np.asarray(v).shape):
+                    raise ValueError(
+                        f"shape mismatch at {name}: checkpoint {arr.shape} "
+                        f"vs model {np.asarray(v).shape}")
+                out[k] = arr.astype(np.asarray(v).dtype)
+            else:
+                missing.append(name)
+                out[k] = v
+        return out
+
+    return walk(base, converted), missing
 
 
 def _coerce_like(cur, v):
@@ -126,7 +305,7 @@ def build_clip_vae_encoders(params: TrainingParameters,
     from yat_tpu.models.convert import (
         convert_clip_text, load_torch_state_dict, merge_into)
     from yat_tpu.models.convert_unet import (
-        convert_vae_kl, split_compvis_checkpoint)
+        convert_vae_compvis, convert_vae_kl, split_compvis_checkpoint)
     if params.pretrained_pipe_single_file and \
             os.path.exists(params.pretrained_pipe_single_file):
         parts = split_compvis_checkpoint(
@@ -135,7 +314,11 @@ def build_clip_vae_encoders(params: TrainingParameters,
             te_vars = {"params": merge_into(
                 te_vars["params"],
                 convert_clip_text(parts["clip"], te.cfg.num_layers))}
-        # CompVis VAE uses the LDM naming — conversion lands next round
+        if parts["vae"]:
+            vae_vars = {"params": merge_into(
+                vae_vars["params"], convert_vae_compvis(
+                    parts["vae"], vae.cfg.block_out_channels,
+                    vae.cfg.layers_per_block))}
     elif params.pretrained_pipe_path:
         te_dir = os.path.join(params.pretrained_pipe_path, "text_encoder")
         if os.path.isdir(te_dir):
@@ -254,7 +437,8 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
     bins = bin_for_resolution(params.aspect_ratios or resolution)
     images = ImageBucketSampler(
         LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
-        params.batch_size, bins, seed=params.dataset_seed)
+        params.batch_size, bins, seed=params.dataset_seed,
+        bucket_repeat=params.bucket_repeat)
     cb = None
     if params.caption_length_bucketing:
         from yat_tpu.data.sampler import caption_length_buckets
@@ -265,7 +449,8 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
         encode_pooled=encode_pooled, caption_buckets=cb)
     return FeatureCache(encoded, cache_size=max(
-        1, params.cache_size // params.batch_size))
+        1, params.cache_size // params.batch_size),
+        save_to_disk=params.save_to_disk)
 
 
 def cli_main(make_trainer: Callable[[TrainingParameters], object],

@@ -76,10 +76,11 @@ def make_trainer(params: TrainingParameters, sampler=None,
                           timestep_list=params.timesteps or None)
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         sampler = _build_flux_compute_features(params, holder)
     elif sampler is None:
-        sampler = build_feature_sampler(params, FLUX_CAPTION_LEN)
+        sampler = build_feature_sampler(params, FLUX_CAPTION_LEN, resolution=1024)
 
     if init_variables is None:
         import jax
@@ -93,10 +94,23 @@ def make_trainer(params: TrainingParameters, sampler=None,
             jax.random.PRNGKey(params.dataset_seed), tokens, txt,
             jnp.full((1,), 0.5), ids)
 
+    if (params.pretrained_model_path or params.pretrained_pipe_path
+            or params.pretrained_pipe_single_file):
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "flux", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       init_variables=init_variables)
     trainer.flux_config = cfg
     trainer.schedule = schedule
+    from yat_tpu.data.bins import bin_for_resolution
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(params.aspect_ratios or 1024),
+        "vae_compression": 8,          # 16ch KL-VAE; loss patchifies 2x2
+        "latent_channels": cfg.in_channels // 4,
+        "caption_len": FLUX_CAPTION_LEN,
+        "caption_dim": cfg.text_dim,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     return trainer

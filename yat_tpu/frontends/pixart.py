@@ -36,6 +36,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         if params.use_preservation else None
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         from yat_tpu.frontends.common import (
             attach_compute_features, build_t5_vae_encoders)
@@ -44,7 +45,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                                   cfg.max_caption_len),
             cfg.max_caption_len, cfg.resolution)
     elif sampler is None:
-        sampler = build_feature_sampler(params, cfg.max_caption_len)
+        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=cfg.resolution)
 
     if init_variables is None:
         import jax
@@ -58,10 +59,24 @@ def make_trainer(params: TrainingParameters, sampler=None,
             jnp.zeros((1,)),
             jnp.ones((1, cfg.max_caption_len), jnp.int32),
             return_repa=params.use_repa)
+    if (params.pretrained_model_path or params.pretrained_pipe_path
+            or params.pretrained_pipe_single_file):
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "pixart", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       preservation_loss=pres, init_variables=init_variables)
     trainer.pixart_config = cfg
     trainer.schedule = schedule
+    from yat_tpu.data.bins import bin_for_resolution
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(
+            params.aspect_ratios or cfg.resolution),
+        "vae_compression": cfg.vae_compression,
+        "latent_channels": cfg.in_channels,
+        "caption_len": cfg.max_caption_len,
+        "caption_dim": cfg.caption_channels,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     return trainer

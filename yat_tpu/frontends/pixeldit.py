@@ -31,6 +31,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         repa_lambda=REPA_LOSS_WEIGHT if params.use_repa else 0.0)
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         # pixel-space: extract_latents is the identity
         # (train_pixeldit.py:172-173); captions go through Gemma-2
@@ -51,9 +52,12 @@ def make_trainer(params: TrainingParameters, sampler=None,
             cfg.max_caption_len, params.aspect_ratios or 256)
     elif sampler is None:
         # 'latents' in feature shards are pixels
-        sampler = build_feature_sampler(params, cfg.max_caption_len)
+        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=256)
 
     example = None
+    pretrained = bool(params.pretrained_model_path
+                      or params.pretrained_pipe_path
+                      or params.pretrained_pipe_single_file)
     if init_variables is None:
         s = cfg.patch_size * 2
         example = {
@@ -62,10 +66,30 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                      cfg.caption_channels), dtype),
             "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
         }
+        if pretrained:
+            import jax
+            init_variables = model.init(
+                jax.random.PRNGKey(params.dataset_seed),
+                example["latents"], example["embeddings"],
+                jnp.zeros((1,)), example["text_mask"],
+                return_repa=params.use_repa)
+            example = None
+    if pretrained:
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "pixeldit", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       init_variables=init_variables, example_batch=example)
     trainer.pixeldit_config = cfg
     trainer.schedule = schedule
+    from yat_tpu.data.bins import bin_for_resolution
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(params.aspect_ratios or 256),
+        "vae_compression": 1,          # pixel-space (no VAE)
+        "latent_channels": cfg.in_channels,
+        "caption_len": cfg.max_caption_len,
+        "caption_dim": cfg.caption_channels,
+    }
     return trainer
 
 

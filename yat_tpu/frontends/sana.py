@@ -69,7 +69,7 @@ def build_sampler(params: TrainingParameters, cfg: SanaConfig):
     """Feature-shard streaming (the compute_features=False path the
     reference broke, SURVEY §2d — here it is first-class)."""
     from yat_tpu.frontends.common import build_feature_sampler
-    sampler = build_feature_sampler(params, cfg.max_caption_len)
+    sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=cfg.resolution)
     if sampler is None:
         raise ValueError("need local_shard_paths, urls, or R2 credentials")
     return sampler
@@ -109,6 +109,12 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
             sd = load_torch_state_dict(te_dir)
             te_vars = {"params": merge_into(
                 te_vars["params"], convert_gemma2(sd, te.cfg.num_layers))}
+        vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
+        if os.path.isdir(vae_dir):
+            from yat_tpu.models.convert_dcae import convert_dcae
+            vae_vars = {"params": merge_into(
+                vae_vars["params"],
+                convert_dcae(load_torch_state_dict(vae_dir), vae.cfg))}
 
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
@@ -143,18 +149,11 @@ def build_compute_features_sampler(params: TrainingParameters,
         source = LocalShardSource(params.local_shard_paths,
                                   seed=params.dataset_seed)
     else:
-        from yat_tpu.frontends.common import shard_range_for_host
-        import jax as _jax
-        from yat_tpu.data.sampler import RemoteShardSource
-        rng = shard_range_for_host(params.num_shards or 1)
-        source = RemoteShardSource(
-            [f"shard-{i:06d}.tar" for i in rng],
-            params.r2_dataset_folder or "", params.r2_access_key,
-            params.r2_secret_key, params.r2_endpoint,
-            params.r2_bucket_name, seed=params.dataset_seed,
-            process_index=_jax.process_index())
+        from yat_tpu.frontends.common import make_remote_source
+        source = make_remote_source(params)
     images = ImageBucketSampler(source, params.batch_size, bins,
-                                seed=params.dataset_seed)
+                                seed=params.dataset_seed,
+                                bucket_repeat=params.bucket_repeat)
     encode_images, encode_captions, decode_latents = \
         build_encoders(params, cfg)
     trainer_holder["encode_images"] = encode_images
@@ -165,7 +164,8 @@ def build_compute_features_sampler(params: TrainingParameters,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size)
     return FeatureCache(encoded, cache_size=max(1, params.cache_size
-                                                // params.batch_size))
+                                                // params.batch_size),
+                        save_to_disk=params.save_to_disk)
 
 
 def build_dreambooth_sampler(params: TrainingParameters, cfg: SanaConfig,
@@ -177,13 +177,9 @@ def build_dreambooth_sampler(params: TrainingParameters, cfg: SanaConfig,
 
     bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
     reg_source = None
-    if params.r2_endpoint and params.num_shards:
-        import jax as _jax
-        reg_source = RemoteShardSource(
-            [f"shard-{i:06d}.tar" for i in range(params.num_shards)],
-            params.r2_dataset_folder or "", params.r2_access_key,
-            params.r2_secret_key, params.r2_endpoint, params.r2_bucket_name,
-            seed=params.dataset_seed, process_index=_jax.process_index())
+    if params.r2_endpoint and (params.num_shards or params.r2_tar_files):
+        from yat_tpu.frontends.common import make_remote_source
+        reg_source = make_remote_source(params, per_host=False)
     images = DreamboothSampler(
         params.dreambooth_dataset_folder,
         params.dreambooth_regularization_folder,
@@ -218,12 +214,16 @@ def make_trainer(params: TrainingParameters,
     if sampler is None and params.dreambooth_dataset_folder:
         sampler = build_dreambooth_sampler(params, cfg, holder)
     elif sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             (params.local_shard_paths or params.r2_endpoint):
         sampler = build_compute_features_sampler(params, cfg, holder)
     elif sampler is None and (params.local_shard_paths or params.urls
                               or params.r2_endpoint):
         sampler = build_sampler(params, cfg)
 
+    pretrained = bool(params.pretrained_model_path
+                      or params.pretrained_pipe_path
+                      or params.pretrained_pipe_single_file)
     if init_variables is None:
         lat_hw = cfg.sample_size
         example = {
@@ -232,14 +232,32 @@ def make_trainer(params: TrainingParameters,
                                      cfg.caption_channels), dtype),
             "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
         }
+        if pretrained:
+            init_variables = model.init(
+                jax.random.PRNGKey(params.dataset_seed),
+                example["latents"], example["embeddings"],
+                jnp.zeros((1,)), example["text_mask"])
+            example = None
     else:
         example = None
+    if pretrained:
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "sana", cfg,
+                                                  init_variables)
 
     trainer = Trainer(
         params, model, loss, sampler=sampler, preservation_loss=pres,
         init_variables=init_variables, example_batch=example)
     trainer.sana_config = cfg
     trainer.schedule = schedule
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(
+            params.aspect_ratios or cfg.resolution),
+        "vae_compression": cfg.vae_compression,
+        "latent_channels": cfg.in_channels,
+        "caption_len": cfg.max_caption_len,
+        "caption_dim": cfg.caption_channels,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     if holder and params.validation_prompts:

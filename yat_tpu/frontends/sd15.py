@@ -32,6 +32,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         if params.use_preservation else None
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         from yat_tpu.data.bins import bin_for_resolution
         from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
@@ -57,6 +58,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
         sampler = build_feature_sampler(params, CLIP_MAX_LEN)
 
     example = None
+    pretrained = bool(params.pretrained_model_path
+                      or params.pretrained_pipe_path
+                      or params.pretrained_pipe_single_file)
     if init_variables is None:
         example = {
             "latents": jnp.zeros((1, 64, 64, cfg.in_channels), dtype),
@@ -64,11 +68,30 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                      cfg.cross_attention_dim), dtype),
             "text_mask": jnp.ones((1, CLIP_MAX_LEN), jnp.int32),
         }
+        if pretrained:
+            import jax
+            init_variables = model.init(
+                jax.random.PRNGKey(params.dataset_seed),
+                example["latents"], example["embeddings"],
+                jnp.zeros((1,)), example["text_mask"])
+            example = None
+    if pretrained:
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "sd15", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       preservation_loss=pres, init_variables=init_variables,
                       example_batch=example)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    from yat_tpu.data.bins import bin_for_resolution
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(params.aspect_ratios or 512),
+        "vae_compression": 8,
+        "latent_channels": cfg.in_channels,
+        "caption_len": CLIP_MAX_LEN,
+        "caption_dim": cfg.cross_attention_dim,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     return trainer

@@ -90,6 +90,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         if params.use_preservation else None
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         from yat_tpu.frontends.common import attach_compute_features
         enc_img, enc_cap, enc_pool, dec = build_sd35_encoders(params, cfg)
@@ -97,7 +98,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
             params, holder, (enc_img, enc_cap, dec), cfg.max_caption_len,
             params.aspect_ratios or 1024, encode_pooled=enc_pool)
     elif sampler is None:
-        sampler = build_feature_sampler(params, cfg.max_caption_len)
+        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=1024)
 
     def batch_transform(batch, out):
         b = out["latents"].shape[0]
@@ -122,11 +123,25 @@ def make_trainer(params: TrainingParameters, sampler=None,
             example["embeddings"], jnp.zeros((1,)), example["text_mask"],
             pooled_text=jnp.zeros((1, cfg.pooled_dim), dtype))
 
+    if (params.pretrained_model_path or params.pretrained_pipe_path
+            or params.pretrained_pipe_single_file):
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "sd35", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       preservation_loss=pres, init_variables=init_variables,
                       batch_transform=batch_transform)
     trainer.mmdit_config = cfg
     trainer.schedule = schedule
+    from yat_tpu.data.bins import bin_for_resolution
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(params.aspect_ratios or 1024),
+        "vae_compression": 8,
+        "latent_channels": cfg.in_channels,
+        "caption_len": cfg.max_caption_len,
+        "caption_dim": cfg.caption_dim,
+        "pooled_dim": cfg.pooled_dim,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     return trainer

@@ -104,6 +104,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         if params.use_preservation else None
     holder: dict = {}
     if sampler is None and params.compute_features and \
+            not params.use_calculated_features and \
             params.local_shard_paths:
         from yat_tpu.frontends.common import attach_compute_features
         enc_img, enc_cap, enc_pool, dec = build_sdxl_encoders(params)
@@ -111,7 +112,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
             params, holder, (enc_img, enc_cap, dec), CLIP_MAX_LEN,
             params.aspect_ratios or 1024, encode_pooled=enc_pool)
     elif sampler is None:
-        sampler = build_feature_sampler(params, CLIP_MAX_LEN)
+        sampler = build_feature_sampler(params, CLIP_MAX_LEN, resolution=1024)
 
     bins = bin_for_resolution(params.aspect_ratios or 1024)
     pooled_dim = int(params.model_config_overrides.get("pooled_dim",
@@ -146,11 +147,24 @@ def make_trainer(params: TrainingParameters, sampler=None,
             example["embeddings"], jnp.zeros((1,)), example["text_mask"],
             pooled_text=example["pooled_text"], time_ids=example["time_ids"])
 
+    if (params.pretrained_model_path or params.pretrained_pipe_path
+            or params.pretrained_pipe_single_file):
+        from yat_tpu.frontends.common import load_pretrained_backbone
+        init_variables = load_pretrained_backbone(params, "sdxl", cfg,
+                                                  init_variables)
     trainer = Trainer(params, model, loss, sampler=sampler,
                       preservation_loss=pres, init_variables=init_variables,
                       batch_transform=batch_transform)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    trainer.warmup_spec = {
+        "aspect_ratios": bin_for_resolution(params.aspect_ratios or 1024),
+        "vae_compression": 8,
+        "latent_channels": cfg.in_channels,
+        "caption_len": CLIP_MAX_LEN,
+        "caption_dim": cfg.cross_attention_dim,
+        "pooled_dim": pooled_dim,
+    }
     for k, v in holder.items():
         setattr(trainer, k, v)
     return trainer

@@ -200,10 +200,12 @@ def convert_sana(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
             if sd.get(f"{p}.ff.conv_point.weight", np.zeros(2)).ndim == 2 \
             else _conv(sd, f"{p}.ff.conv_point", tree, f"{q}.ff.conv_point")
         if f"{p}.scale_shift_table" in sd:
-            # per-block tables exist in some variants; ours is shared — skip
-            pass
+            # per-block (6, dim) AdaLN table — one per SanaTransformerBlock
+            _set(tree, f"{q}.scale_shift_table",
+                 sd[f"{p}.scale_shift_table"])
     if "scale_shift_table" in sd:
-        tree["scale_shift_table"] = sd["scale_shift_table"]
+        # top-level (2, dim) table modulates the output head
+        tree["out_scale_shift_table"] = sd["scale_shift_table"]
     if "proj_out.weight" in sd:
         _linear(sd, "proj_out", tree, "proj_out")
     return tree

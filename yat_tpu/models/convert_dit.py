@@ -50,10 +50,15 @@ def convert_pixart(sd: Dict[str, np.ndarray],
     _linear(sd, "adaln_single.linear", tree, "time_proj")
     _linear(sd, "caption_projection.linear_1", tree, "caption_projection")
     if "scale_shift_table" in sd:
-        tree["scale_shift_table"] = sd["scale_shift_table"]
+        # top-level (2, dim) table modulates the output head (the per-block
+        # (6, dim) tables live at transformer_blocks.{i}.scale_shift_table)
+        tree["out_scale_shift_table"] = sd["scale_shift_table"]
     for i in range(num_layers):
         p = f"transformer_blocks.{i}"
         q = f"blocks_{i}"
+        if f"{p}.scale_shift_table" in sd:
+            _set(tree, f"{q}.scale_shift_table",
+                 sd[f"{p}.scale_shift_table"])
         for a in ("attn1", "attn2"):
             for name in ("to_q", "to_k", "to_v"):
                 _linear(sd, f"{p}.{a}.{name}", tree, f"{q}.{a}.{name}")
@@ -117,6 +122,79 @@ def convert_sd3_mmdit(sd: Dict[str, np.ndarray],
             _lin_opt(sd, f"{p}.ff_context.net.2", tree, f"{q}.c_ff.fc2")
     _lin_opt(sd, "norm_out.linear", tree, "final_mod")
     _lin_opt(sd, "proj_out", tree, "proj_out")
+    return tree
+
+
+def convert_pixeldit(sd: Dict[str, np.ndarray], num_layers: int,
+                     num_pixel_layers: int) -> Dict[str, Any]:
+    """DiT-style torch checkpoint → our PixelDiT tree
+    (train_pixeldit.py:117-121 downloads an NVlabs ``.pth``; the NVlabs
+    PixelDiT submodule is absent from the reference snapshot, so the
+    mapping targets the standard DiT naming its t2i code derives from:
+    ``x_embedder.proj`` conv patch embed, ``t_embedder.mlp.0/.2``,
+    fused ``blocks.{i}.attn.qkv``, ``adaLN_modulation.1``, PixArt-style
+    ``cross_attn.q_linear/kv_linear``, ``final_layer.linear``)."""
+    tree: dict = {}
+    w = sd.get("x_embedder.proj.weight")
+    if w is not None:
+        if w.ndim == 4:
+            d, c, p, _ = w.shape
+            k = np.transpose(w, (2, 3, 1, 0)).reshape(p * p * c, d)
+            _set(tree, "patch_embed.proj.kernel", np.ascontiguousarray(k))
+            _set(tree, "patch_embed.proj.bias", sd["x_embedder.proj.bias"])
+        else:
+            _linear(sd, "x_embedder.proj", tree, "patch_embed.proj")
+    _lin_opt(sd, "t_embedder.mlp.0", tree, "time_embed.linear_1")
+    _lin_opt(sd, "t_embedder.mlp.2", tree, "time_embed.linear_2")
+    for src in ("cap_embedder.1", "y_embedder.proj", "caption_projection"):
+        if f"{src}.weight" in sd:
+            _lin_opt(sd, src, tree, "caption_projection")
+            break
+    _lin_opt(sd, "token_expand", tree, "token_expand")
+    _lin_opt(sd, "pixel_time_proj", tree, "pixel_time_proj")
+
+    def _block(p: str, q: str):
+        if f"{p}.attn.qkv.weight" in sd:
+            qkv_w = sd[f"{p}.attn.qkv.weight"]
+            d3 = qkv_w.shape[0] // 3
+            for n, name in enumerate(("to_q", "to_k", "to_v")):
+                _set(tree, f"{q}.attn.{name}.kernel", np.ascontiguousarray(
+                    qkv_w[n * d3:(n + 1) * d3].T))
+                bk = f"{p}.attn.qkv.bias"
+                if bk in sd:
+                    _set(tree, f"{q}.attn.{name}.bias",
+                         sd[bk][n * d3:(n + 1) * d3])
+        else:
+            for name in ("to_q", "to_k", "to_v"):
+                _lin_opt(sd, f"{p}.attn.{name}", tree, f"{q}.attn.{name}")
+        for src in (f"{p}.attn.proj", f"{p}.attn.to_out.0"):
+            if f"{src}.weight" in sd:
+                _lin_opt(sd, src, tree, f"{q}.attn.to_out")
+                break
+        # PixArt-style cross attention: q_linear + fused kv_linear
+        if f"{p}.cross_attn.q_linear.weight" in sd:
+            _lin_opt(sd, f"{p}.cross_attn.q_linear", tree,
+                     f"{q}.cross_attn.to_q")
+            kv_w = sd[f"{p}.cross_attn.kv_linear.weight"]
+            d2 = kv_w.shape[0] // 2
+            for n, name in enumerate(("to_k", "to_v")):
+                _set(tree, f"{q}.cross_attn.{name}.kernel",
+                     np.ascontiguousarray(kv_w[n * d2:(n + 1) * d2].T))
+                bk = f"{p}.cross_attn.kv_linear.bias"
+                if bk in sd:
+                    _set(tree, f"{q}.cross_attn.{name}.bias",
+                         sd[bk][n * d2:(n + 1) * d2])
+            _lin_opt(sd, f"{p}.cross_attn.proj", tree,
+                     f"{q}.cross_attn.to_out")
+        _lin_opt(sd, f"{p}.adaLN_modulation.1", tree, f"{q}.mod")
+        _lin_opt(sd, f"{p}.mlp.fc1", tree, f"{q}.ff.fc1")
+        _lin_opt(sd, f"{p}.mlp.fc2", tree, f"{q}.ff.fc2")
+
+    for i in range(num_layers):
+        _block(f"blocks.{i}", f"blocks_{i}")
+    for i in range(num_pixel_layers):
+        _block(f"pixel_blocks.{i}", f"pixel_blocks_{i}")
+    _lin_opt(sd, "final_layer.linear", tree, "proj_out")
     return tree
 
 

@@ -187,3 +187,142 @@ def split_compvis_checkpoint(sd: Dict[str, np.ndarray]
         elif k.startswith("cond_stage_model.transformer."):
             out["clip"][k[len("cond_stage_model.transformer."):]] = v
     return out
+
+
+_LDM_RESNET = (("in_layers.0", "norm1"), ("in_layers.2", "conv1"),
+               ("emb_layers.1", "time_emb_proj"), ("out_layers.0", "norm2"),
+               ("out_layers.3", "conv2"), ("skip_connection", "conv_shortcut"))
+
+
+def _remap_prefix(sd, out, src: str, dst: str):
+    for k, v in sd.items():
+        if k.startswith(src + "."):
+            out[dst + k[len(src):]] = v
+
+
+def _remap_ldm_resnet(sd, out, src: str, dst: str):
+    for a, b in _LDM_RESNET:
+        for wb in ("weight", "bias"):
+            k = f"{src}.{a}.{wb}"
+            if k in sd:
+                out[f"{dst}.{b}.{wb}"] = sd[k]
+
+
+def ldm_unet_to_diffusers(sd: Dict[str, np.ndarray],
+                          block_out_channels: Tuple[int, ...],
+                          layers_per_block: int,
+                          transformer_layers: Tuple[int, ...]
+                          ) -> Dict[str, np.ndarray]:
+    """CompVis/LDM UNet naming (the ``model.diffusion_model`` split of a
+    single-file checkpoint) → diffusers UNet2DConditionModel naming, so
+    ``convert_unet`` can finish (train_sd15.py:19-28 / train_sdxl.py:20-28
+    from_single_file parity).  LDM's SpatialTransformer inner keys already
+    match diffusers' BasicTransformerBlock, so attention is a pure prefix
+    remap; resnets use the in_layers/out_layers table."""
+    out: Dict[str, np.ndarray] = {}
+    n = len(block_out_channels)
+    lpb = layers_per_block
+
+    out["conv_in.weight"] = sd["input_blocks.0.0.weight"]
+    out["conv_in.bias"] = sd["input_blocks.0.0.bias"]
+    for src, dst in (("time_embed.0", "time_embedding.linear_1"),
+                     ("time_embed.2", "time_embedding.linear_2"),
+                     ("label_emb.0.0", "add_embedding.linear_1"),
+                     ("label_emb.0.2", "add_embedding.linear_2"),
+                     ("out.0", "conv_norm_out"), ("out.2", "conv_out")):
+        for wb in ("weight", "bias"):
+            if f"{src}.{wb}" in sd:
+                out[f"{dst}.{wb}"] = sd[f"{src}.{wb}"]
+
+    k = 1
+    for i in range(n):
+        for j in range(lpb):
+            _remap_ldm_resnet(sd, out, f"input_blocks.{k}.0",
+                              f"down_blocks.{i}.resnets.{j}")
+            if transformer_layers[i] > 0:
+                _remap_prefix(sd, out, f"input_blocks.{k}.1",
+                              f"down_blocks.{i}.attentions.{j}")
+            k += 1
+        if i < n - 1:
+            for wb in ("weight", "bias"):
+                out[f"down_blocks.{i}.downsamplers.0.conv.{wb}"] = \
+                    sd[f"input_blocks.{k}.0.op.{wb}"]
+            k += 1
+
+    _remap_ldm_resnet(sd, out, "middle_block.0", "mid_block.resnets.0")
+    _remap_prefix(sd, out, "middle_block.1", "mid_block.attentions.0")
+    _remap_ldm_resnet(sd, out, "middle_block.2", "mid_block.resnets.1")
+
+    k = 0
+    for u in range(n):                      # diffusers up index, 0 = lowest
+        level = n - 1 - u
+        for j in range(lpb + 1):
+            _remap_ldm_resnet(sd, out, f"output_blocks.{k}.0",
+                              f"up_blocks.{u}.resnets.{j}")
+            mod = 1
+            if transformer_layers[level] > 0:
+                _remap_prefix(sd, out, f"output_blocks.{k}.{mod}",
+                              f"up_blocks.{u}.attentions.{j}")
+                mod += 1
+            if j == lpb and u < n - 1:
+                for wb in ("weight", "bias"):
+                    key = f"output_blocks.{k}.{mod}.conv.{wb}"
+                    if key in sd:
+                        out[f"up_blocks.{u}.upsamplers.0.conv.{wb}"] = sd[key]
+            k += 1
+    return out
+
+
+def ldm_vae_to_diffusers(sd: Dict[str, np.ndarray],
+                         n_levels: int = 4) -> Dict[str, np.ndarray]:
+    """CompVis/LDM VAE key naming → diffusers AutoencoderKL naming, so
+    ``convert_vae_kl`` can finish the job.  The remap is the published
+    mechanical table: ``down.{i}.block.{j}`` → ``down_blocks.{i}.resnets.{j}``,
+    ``mid.block_1/2`` → ``mid_block.resnets.0/1``, ``mid.attn_1`` →
+    ``mid_block.attentions.0`` with 1x1-conv q/k/v/proj_out squeezed to
+    linears, ``nin_shortcut`` → ``conv_shortcut``, ``norm_out`` →
+    ``conv_norm_out``, and decoder ``up.{i}`` reversed (LDM's highest up
+    index runs first)."""
+    import re
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        nk = k.replace("nin_shortcut", "conv_shortcut")
+        nk = re.sub(r"^encoder\.down\.(\d+)\.block\.(\d+)",
+                    r"encoder.down_blocks.\1.resnets.\2", nk)
+        nk = re.sub(r"^encoder\.down\.(\d+)\.downsample\.conv",
+                    r"encoder.down_blocks.\1.downsamplers.0.conv", nk)
+        m = re.match(r"^decoder\.up\.(\d+)\.(.*)$", nk)
+        if m:
+            i = n_levels - 1 - int(m.group(1))   # reversed up index
+            rest = m.group(2)
+            rest = re.sub(r"^block\.(\d+)", r"resnets.\1", rest)
+            rest = re.sub(r"^upsample\.conv", "upsamplers.0.conv", rest)
+            nk = f"decoder.up_blocks.{i}.{rest}"
+        for side in ("encoder", "decoder"):
+            nk = nk.replace(f"{side}.mid.block_1", f"{side}.mid_block.resnets.0")
+            nk = nk.replace(f"{side}.mid.block_2", f"{side}.mid_block.resnets.1")
+            nk = nk.replace(f"{side}.mid.attn_1", f"{side}.mid_block.attentions.0")
+            nk = nk.replace(f"{side}.norm_out", f"{side}.conv_norm_out")
+        if ".attentions.0." in nk:
+            tail = nk.rsplit(".attentions.0.", 1)[1]
+            head = nk[: len(nk) - len(tail)]
+            name, _, wb = tail.partition(".")
+            remap = {"norm": "group_norm", "q": "to_q", "k": "to_k",
+                     "v": "to_v", "proj_out": "to_out.0"}
+            if name in remap:
+                nk = head + remap[name] + ("." + wb if wb else "")
+                if name in ("q", "k", "v", "proj_out") and v.ndim == 4:
+                    v = v[:, :, 0, 0]            # 1x1 conv → linear
+        out[nk] = v
+    return out
+
+
+def convert_vae_compvis(ldm_sd: Dict[str, np.ndarray],
+                        block_out_channels: Tuple[int, ...],
+                        layers_per_block: int = 2) -> Dict[str, Any]:
+    """CompVis/LDM-named VAE state dict (the ``first_stage_model`` split of
+    a single-file checkpoint) → our AutoencoderKL tree
+    (/root/reference/train_sd15.py:19-28 single-file path)."""
+    return convert_vae_kl(
+        ldm_vae_to_diffusers(ldm_sd, n_levels=len(block_out_channels)),
+        block_out_channels, layers_per_block)

@@ -111,9 +111,15 @@ class PixArtBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask):
+    def __call__(self, x, cond_emb, text_emb, text_mask):
         c = self.cfg
         deterministic = self.deterministic
+        # per-block table (diffusers BasicTransformerBlock ada_norm_single
+        # keeps randn(6,dim)/sqrt(dim) per block — ADVICE r1)
+        scale_shift_table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=c.hidden_dim ** -0.5),
+            (6, c.hidden_dim), jnp.float32)
         mod = scale_shift_table[None] + cond_emb
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
@@ -166,10 +172,6 @@ class PixArtTransformer2D(nn.Module):
         cond = AdapterDense(6 * c.hidden_dim, dtype=jnp.float32,
                             name="time_proj")(nn.silu(t_emb))
         cond = cond.reshape(b, 6, c.hidden_dim)
-        scale_shift_table = self.param(
-            "scale_shift_table",
-            lambda key, shape: jnp.zeros(shape, jnp.float32),
-            (6, c.hidden_dim))
 
         ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
                            name="caption_projection")(
@@ -184,16 +186,17 @@ class PixArtTransformer2D(nn.Module):
         for i in range(c.num_layers):
             x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
                           dtype=self.dtype, name=f"blocks_{i}")(
-                x, cond, scale_shift_table, ctx, text_mask)
+                x, cond, ctx, text_mask)
             if c.repa_depth is not None and i == c.repa_depth and return_repa:
                 repa_proj = RepaProjector(
                     out_dim=c.repa_target_dim, dtype=jnp.float32,
                     name="repa_projector")(x.astype(jnp.float32))
 
+        # diffusers' top-level (2, dim) scale_shift_table
         out_table = self.param(
             "out_scale_shift_table",
-            lambda key, shape: jnp.zeros(shape, jnp.float32),
-            (2, c.hidden_dim))
+            nn.initializers.normal(stddev=c.hidden_dim ** -0.5),
+            (2, c.hidden_dim), jnp.float32)
         out_mod = out_table[None] + t_emb[:, None, :]
         shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
                         out_mod[:, 1][:, None, :].astype(x.dtype))

@@ -75,12 +75,18 @@ class SanaBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond_emb, scale_shift_table, text_emb, text_mask):
+    def __call__(self, x, cond_emb, text_emb, text_mask):
         c = self.cfg
         hw = self.hw
         deterministic = self.deterministic
-        # AdaLN-single: 6 modulation vectors = shared table + per-step emb
-        # scale_shift_table: [6, D] learned; cond_emb: [B, 6, D]
+        # AdaLN-single: 6 modulation vectors = PER-BLOCK table + shared
+        # per-step emb (diffusers SanaTransformerBlock keeps one
+        # randn(6,dim)/sqrt(dim) table per block; a shared table cannot
+        # represent those checkpoints — ADVICE r1)
+        scale_shift_table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=c.hidden_dim ** -0.5),
+            (6, c.hidden_dim), jnp.float32)
         mod = scale_shift_table[None] + cond_emb  # [B, 6, D]
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
@@ -148,11 +154,6 @@ class SanaTransformer2D(nn.Module):
                             name="time_proj")(nn.silu(t_emb))
         cond = cond.reshape(b, 6, c.hidden_dim)
 
-        scale_shift_table = self.param(
-            "scale_shift_table",
-            lambda key, shape: jnp.zeros(shape, jnp.float32),
-            (6, c.hidden_dim))
-
         # caption projection into model width
         ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
                            name="caption_projection")(text_emb.astype(self.dtype))
@@ -166,13 +167,14 @@ class SanaTransformer2D(nn.Module):
                           use_softmax_self_attn=(
                               i in c.softmax_self_attn_blocks),
                           dtype=self.dtype, name=f"blocks_{i}")(
-                x, cond, scale_shift_table, ctx, text_mask)
+                x, cond, ctx, text_mask)
 
         # output: AdaLN-modulated norm → projection to patch pixels
+        # (diffusers' top-level (2, dim) scale_shift_table)
         out_table = self.param(
             "out_scale_shift_table",
-            lambda key, shape: jnp.zeros(shape, jnp.float32),
-            (2, c.hidden_dim))
+            nn.initializers.normal(stddev=c.hidden_dim ** -0.5),
+            (2, c.hidden_dim), jnp.float32)
         out_mod = out_table[None] + t_emb[:, None, :]          # [B, 2, D]
         shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
                         out_mod[:, 1][:, None, :].astype(x.dtype))

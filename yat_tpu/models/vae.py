@@ -233,6 +233,17 @@ def decode_tiled(vae, variables, latents: jnp.ndarray,
 
 # ---------------------------------------------------------------------------
 # DC-AE (SANA): 32x deep-compression autoencoder
+#
+# Weight-compatible rebuild of diffusers AutoencoderDC
+# (dc-ae-f32c32-sana-1.0-diffusers; /root/reference/train_sana.py:78-82 uses
+# it through SanaPipeline): ResBlock stages (conv1 → act → biasless conv2 →
+# channelwise RMSNorm → +residual), EfficientViT stages (multiscale ReLU
+# linear attention + gated GLUMBConv, both residual with trailing RMSNorm),
+# pixel-unshuffle downsample / pixel-shuffle upsample with the paper's
+# channel-averaging / channel-duplication residual shortcuts.  The converter
+# in models/convert_dcae.py is structure-driven (classifies checkpoint key
+# groups), so it tolerates start-vs-end placement of the resample blocks in
+# the serialized torch layout.
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
@@ -240,17 +251,60 @@ class DCAEConfig:
     in_channels: int = 3
     latent_channels: int = 32
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512, 1024, 1024)
-    layers_per_block: Tuple[int, ...] = (2, 2, 2, 3, 3, 3)
+    encoder_layers: Tuple[int, ...] = (2, 2, 2, 3, 3, 3)
+    decoder_layers: Tuple[int, ...] = (3, 3, 3, 3, 3, 3)
     attention_stages: Tuple[bool, ...] = (False, False, False, True, True, True)
+    attention_head_dim: int = 32
+    qkv_multiscales: Tuple[int, ...] = (5,)
+    glu_expand: float = 4.0
     scaling_factor: float = 0.41407
+
+    # kept for call-site compatibility (encoder stage depths)
+    @property
+    def layers_per_block(self) -> Tuple[int, ...]:
+        return self.encoder_layers
 
     @property
     def compression(self) -> int:
         return 2 ** (len(self.block_out_channels) - 1)
 
 
-class GLUConvBlock(nn.Module):
-    """Residual gated conv block (DC-AE's GLUMBConv residual unit)."""
+class ChannelRMSNorm(nn.Module):
+    """RMSNorm over the channel (last) dim with an affine scale — the
+    ``norm``/``norm_out`` of diffusers' dc-ae blocks (weight-only)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           jnp.float32)
+        y = x.astype(jnp.float32)
+        y = y * jax.lax.rsqrt(jnp.mean(y * y, -1, keepdims=True)
+                              + self.epsilon)
+        return (y * scale).astype(x.dtype)
+
+
+class DCResBlock(nn.Module):
+    """conv1 → silu → conv2 (no bias) → RMSNorm → +x."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
+        h = ChannelRMSNorm(name="norm")(h)
+        return x + h
+
+
+class DCGLUMBConv(nn.Module):
+    """Gated inverted-residual conv FFN with trailing RMSNorm
+    (diffusers GLUMBConv, norm_type='rms_norm', residual)."""
 
     channels: int
     expand: float = 4.0
@@ -259,7 +313,8 @@ class GLUConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.channels * self.expand)
-        h = nn.Conv(hidden * 2, (1, 1), dtype=self.dtype, name="conv_in")(x)
+        h = nn.Conv(hidden * 2, (1, 1), dtype=self.dtype,
+                    name="conv_inverted")(x)
         h = nn.silu(h)
         h = nn.Conv(hidden * 2, (3, 3), padding="SAME",
                     feature_group_count=hidden * 2, dtype=self.dtype,
@@ -267,25 +322,125 @@ class GLUConvBlock(nn.Module):
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.silu(g)
         h = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv_out")(h)
+                    name="conv_point")(h)
+        h = ChannelRMSNorm(name="norm")(h)
         return x + h
 
 
-class LiteMLABlock(nn.Module):
-    """Residual linear-attention block for the low-res DC-AE stages."""
+class DCLiteMLA(nn.Module):
+    """SANA multiscale ReLU linear attention (diffusers
+    SanaMultiscaleLinearAttention): per-scale depthwise + grouped-1x1
+    aggregation of the fused qkv, ReLU kernel, ones-row normalization,
+    trailing RMSNorm, residual."""
 
     channels: int
-    heads: int = 8
+    head_dim: int = 32
+    scales: Tuple[int, ...] = (5,)
     dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-15
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = nn.LayerNorm(name="norm")(x).reshape(b, h * w, c)
-        y = LiteLinearAttention(num_heads=self.heads, head_dim=c // self.heads,
-                                dtype=self.dtype, name="attn")(y)
-        x = x + y.reshape(b, h, w, c)
-        return GLUConvBlock(c, dtype=self.dtype, name="ff")(x)
+        heads = c // self.head_dim
+        flat = x.reshape(b, h * w, c)
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(flat)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(flat)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(flat)
+        qkv = jnp.concatenate([q, k, v], -1)
+        multi = [qkv]
+        grid = qkv.reshape(b, h, w, 3 * c)
+        for s_i, ks in enumerate(self.scales):
+            y = nn.Conv(3 * c, (ks, ks), padding="SAME",
+                        feature_group_count=3 * c, use_bias=False,
+                        dtype=self.dtype, name=f"ms_{s_i}_proj_in")(grid)
+            y = nn.Conv(3 * c, (1, 1), feature_group_count=3 * heads,
+                        use_bias=False, dtype=self.dtype,
+                        name=f"ms_{s_i}_proj_out")(y)
+            multi.append(y.reshape(b, h * w, 3 * c))
+
+        def linear_attn(qkv_flat):
+            qs, ks_, vs = jnp.split(qkv_flat, 3, -1)
+            qs = jax.nn.relu(qs).astype(jnp.float32).reshape(
+                b, -1, heads, self.head_dim)
+            ks_ = jax.nn.relu(ks_).astype(jnp.float32).reshape(
+                b, -1, heads, self.head_dim)
+            vs = vs.astype(jnp.float32).reshape(b, -1, heads, self.head_dim)
+            vs = jnp.concatenate(
+                [vs, jnp.ones(vs.shape[:-1] + (1,), jnp.float32)], -1)
+            kv = jnp.einsum("bnhd,bnhe->bhde", ks_, vs)
+            out = jnp.einsum("bnhd,bhde->bnhe", qs, kv)
+            out = out[..., :-1] / (out[..., -1:] + self.eps)
+            return out.reshape(b, -1, c)
+
+        y = jnp.concatenate([linear_attn(m) for m in multi], -1)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(
+            y.astype(self.dtype))
+        y = ChannelRMSNorm(name="norm_out")(y)
+        return x + y.reshape(b, h, w, c)
+
+
+class EfficientViTBlock(nn.Module):
+    channels: int
+    head_dim: int = 32
+    scales: Tuple[int, ...] = (5,)
+    expand: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = DCLiteMLA(self.channels, head_dim=self.head_dim,
+                      scales=self.scales, dtype=self.dtype, name="attn")(x)
+        return DCGLUMBConv(self.channels, expand=self.expand,
+                           dtype=self.dtype, name="conv_out")(x)
+
+
+def _pixel_unshuffle(x, r=2):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r,
+                                                 r * r * c)
+
+
+def _pixel_shuffle(x, r=2):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r,
+                                                 c // (r * r))
+
+
+class DCDownsample(nn.Module):
+    """conv(in → out/4) → pixel-unshuffle, + channel-group-mean shortcut
+    (the paper's residual autoencoding downsample)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.out_channels // 4, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        y = _pixel_unshuffle(y, 2)
+        sc = _pixel_unshuffle(x, 2)
+        g = sc.shape[-1] // self.out_channels
+        sc = sc.reshape(*sc.shape[:-1], self.out_channels, g).mean(-1)
+        return y + sc
+
+
+class DCUpsample(nn.Module):
+    """conv(in → out*4) → pixel-shuffle, + channel-duplication shortcut."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.out_channels * 4, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        y = _pixel_shuffle(y, 2)
+        rep = (self.out_channels * 4) // x.shape[-1]
+        sc = jnp.repeat(x, rep, axis=-1)
+        return y + _pixel_shuffle(sc, 2)
 
 
 class DCAEEncoder(nn.Module):
@@ -297,18 +452,19 @@ class DCAEEncoder(nn.Module):
         c = self.cfg
         h = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv_in")(x)
+        n = len(c.block_out_channels)
         for i, ch in enumerate(c.block_out_channels):
             if i > 0:
-                # space-to-depth style downsample: strided conv
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
-                            dtype=self.dtype, name=f"down_{i}")(h)
-            for j in range(c.layers_per_block[i]):
+                h = DCDownsample(ch, dtype=self.dtype, name=f"down_{i}")(h)
+            for j in range(c.encoder_layers[i]):
                 if c.attention_stages[i]:
-                    h = LiteMLABlock(ch, dtype=self.dtype,
-                                     name=f"stage_{i}_block_{j}")(h)
+                    h = EfficientViTBlock(
+                        ch, head_dim=c.attention_head_dim,
+                        scales=c.qkv_multiscales, expand=c.glu_expand,
+                        dtype=self.dtype, name=f"stage_{i}_block_{j}")(h)
                 else:
-                    h = GLUConvBlock(ch, dtype=self.dtype,
-                                     name=f"stage_{i}_block_{j}")(h)
+                    h = DCResBlock(ch, dtype=self.dtype,
+                                   name=f"stage_{i}_block_{j}")(h)
         return nn.Conv(c.latent_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_out")(h)
 
@@ -321,28 +477,23 @@ class DCAEDecoder(nn.Module):
     def __call__(self, z):
         c = self.cfg
         rev_ch = tuple(reversed(c.block_out_channels))
-        rev_layers = tuple(reversed(c.layers_per_block))
+        rev_layers = tuple(reversed(c.decoder_layers))
         rev_attn = tuple(reversed(c.attention_stages))
         h = nn.Conv(rev_ch[0], (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv_in")(z)
         for i, ch in enumerate(rev_ch):
+            if i > 0:
+                h = DCUpsample(ch, dtype=self.dtype, name=f"up_{i}")(h)
             for j in range(rev_layers[i]):
                 if rev_attn[i]:
-                    h = LiteMLABlock(ch, dtype=self.dtype,
-                                     name=f"stage_{i}_block_{j}")(h)
+                    h = EfficientViTBlock(
+                        ch, head_dim=c.attention_head_dim,
+                        scales=c.qkv_multiscales, expand=c.glu_expand,
+                        dtype=self.dtype, name=f"stage_{i}_block_{j}")(h)
                 else:
-                    h = GLUConvBlock(ch, dtype=self.dtype,
-                                     name=f"stage_{i}_block_{j}")(h)
-            if i < len(rev_ch) - 1:
-                next_ch = rev_ch[i + 1]
-                # depth-to-space upsample
-                h = nn.Conv(next_ch * 4, (3, 3), padding="SAME",
-                            dtype=self.dtype, name=f"up_{i}")(h)
-                b, hh, ww, cc = h.shape
-                h = h.reshape(b, hh, ww, 2, 2, cc // 4)
-                h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
-                    b, hh * 2, ww * 2, cc // 4)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+                    h = DCResBlock(ch, dtype=self.dtype,
+                                   name=f"stage_{i}_block_{j}")(h)
+        h = ChannelRMSNorm(name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.in_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_out")(h)
@@ -377,5 +528,7 @@ KLVAE_TINY_TEST = KLVAEConfig(block_out_channels=(32, 32),
                               layers_per_block=1)
 DCAE_SANA = DCAEConfig()
 DCAE_TINY_TEST = DCAEConfig(block_out_channels=(32, 32, 64),
-                            layers_per_block=(1, 1, 1),
-                            attention_stages=(False, False, True))
+                            encoder_layers=(1, 1, 1),
+                            decoder_layers=(1, 1, 1),
+                            attention_stages=(False, False, True),
+                            attention_head_dim=16, glu_expand=1.0)

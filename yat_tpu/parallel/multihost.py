@@ -53,31 +53,48 @@ def broadcast_from_main(value: np.ndarray) -> np.ndarray:
 
 class WindowedBucketSync:
     """Amortized cross-host bucket reconciliation (sync_hook protocol of
-    FeatureBucketSampler).
+    FeatureBucketSampler) — replaces the reference's per-sample NCCL gather
+    (bucket_sampler.py:225-237) with one small allgather every ``window``
+    samples.
 
-    Every ``window`` ready-bucket events, allgather per-bucket counts once
-    and record the minimum across hosts; callers may use ``min_counts`` to
-    hold back draining a bucket until all hosts can fill it.  Single-process
+    Correctness across hosts rests on two invariants:
+
+    * the collective is driven by a **deterministic shared counter** — total
+      samples ingested on this host, which advances once per sync-hook call
+      — so every host enters its k-th allgather after exactly
+      ``k * window`` local samples (hosts may reach it at different times;
+      the collective blocks until all arrive, it never mismatches);
+    * the gathered vector has a **fixed length over a canonical global
+      bucket-key order** fixed at construction (the model's aspect-bin
+      table), so element-wise ``min`` compares like with like.
+
+    ``min_counts`` holds the last reconciled per-bucket minimum across all
+    hosts; the sampler holds back draining buckets other hosts cannot fill
+    and decrements the minimum as it drains between syncs.  Single-process
     runs never communicate.
     """
 
-    def __init__(self, window: int = 64):
-        self.window = window
-        self._events = 0
+    def __init__(self, bucket_keys, window: int = 256):
+        self.keys = [str(k) for k in bucket_keys]
+        self.window = max(1, int(window))
+        self._ingested = 0
         self.min_counts: Dict[str, int] = {}
 
-    def __call__(self, ready_counts: Dict[str, int]) -> None:
-        self._events += 1
+    def __call__(self, counts: Dict[str, int]) -> None:
+        self._ingested += 1
         if jax.process_count() == 1:
-            self.min_counts = dict(ready_counts)
+            self.min_counts = dict(counts)
             return
-        if self._events % self.window != 0:
+        if self._ingested % self.window != 0:
             return
         from jax.experimental import multihost_utils
-        keys = sorted(ready_counts)
-        local = np.asarray([ready_counts.get(k, 0) for k in keys],
-                           np.int32)
-        gathered = np.asarray(
-            multihost_utils.process_allgather(local))
-        mins = gathered.min(axis=0)
-        self.min_counts = {k: int(m) for k, m in zip(keys, mins)}
+        local = np.asarray([counts.get(k, 0) for k in self.keys], np.int32)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        mins = gathered.reshape(-1, len(self.keys)).min(axis=0)
+        self.min_counts = {k: int(m) for k, m in zip(self.keys, mins)}
+
+    def on_drain(self, key: str, n: int) -> None:
+        """Local drains between syncs decrement the reconciled minimum so
+        holdback stays conservative until the next allgather."""
+        if key in self.min_counts:
+            self.min_counts[key] = max(0, self.min_counts[key] - n)

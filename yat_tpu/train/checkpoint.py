@@ -23,9 +23,13 @@ def _ckpt_manager(directory: str):
 
 
 def save_train_state(directory: str, state, step: int) -> None:
+    """Collective: every process must enter (Orbax coordinates the
+    distributed write of sharded arrays; device_get would raise on
+    non-addressable shards in multi-host runs)."""
     import orbax.checkpoint as ocp
     mgr = _ckpt_manager(directory)
-    mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+    tree = state if jax.process_count() > 1 else jax.device_get(state)
+    mgr.save(step, args=ocp.args.StandardSave(tree))
     mgr.wait_until_finished()
 
 

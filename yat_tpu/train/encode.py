@@ -81,6 +81,11 @@ class OnTheFlyEncodingSampler:
         for batch in self.image_sampler:
             yield self._encode_batch(batch)
 
+    def stop(self):
+        stop = getattr(self.image_sampler, "stop", None)
+        if stop is not None:
+            stop()
+
 
 class FeatureCache:
     """Bounded producer/consumer cache of encoded batches (cache_size
@@ -91,30 +96,91 @@ class FeatureCache:
     device encode run ahead of training.
     """
 
+    _END = object()          # sampler exhausted normally
+
     def __init__(self, encoded_sampler: Iterable[Batch],
-                 cache_size: int = 1000):
+                 cache_size: int = 1000, save_to_disk: bool = False,
+                 cache_dir: str = "cache"):
         self.sampler = encoded_sampler
         # cache_size counts samples in the reference; here batches carry
         # batch_size samples each
-        self.q: "queue.Queue[Batch]" = queue.Queue(maxsize=max(1, cache_size))
+        self.q: "queue.Queue[object]" = queue.Queue(maxsize=max(1, cache_size))
         self._started = False
         self._stop = threading.Event()
+        # save_to_disk (reference common/cache.py:15-48 semantics): persist
+        # each encoded batch; once the source exhausts, later epochs replay
+        # from disk instead of re-encoding
+        self.save_to_disk = save_to_disk
+        self.cache_dir = cache_dir
+        self._disk_count = 0
+        self._disk_complete = False
+
+    def _disk_path(self, i: int) -> str:
+        import os
+        return os.path.join(self.cache_dir, f"batch_{i:06d}.npz")
+
+    def _save_batch(self, batch: Batch) -> None:
+        import os
+        os.makedirs(self.cache_dir, exist_ok=True)
+        arrays = {"ratio": np.asarray(str(batch.ratio)),
+                  "is_regularization": np.asarray(batch.is_regularization)}
+        for f in ("latents", "embeddings", "text_mask", "pooled_text",
+                  "repa_features"):
+            v = getattr(batch, f)
+            if v is not None:
+                arrays[f] = np.asarray(v)
+        if batch.repa_spatial_dims is not None:
+            arrays["repa_spatial_dims"] = np.asarray(batch.repa_spatial_dims)
+        np.savez(self._disk_path(self._disk_count), **arrays)
+        self._disk_count += 1
+
+    def _replay(self) -> Iterator[Batch]:
+        for i in range(self._disk_count):
+            with np.load(self._disk_path(i), allow_pickle=False) as z:
+                get = lambda k: z[k] if k in z.files else None
+                rsd = get("repa_spatial_dims")
+                yield Batch(
+                    ratio=str(z["ratio"]),
+                    latents=get("latents"), embeddings=get("embeddings"),
+                    text_mask=get("text_mask"),
+                    pooled_text=get("pooled_text"),
+                    repa_features=get("repa_features"),
+                    repa_spatial_dims=(tuple(int(x) for x in rsd)
+                                       if rsd is not None else None),
+                    is_regularization=bool(z["is_regularization"]))
 
     def _worker(self):
+        # On failure the exception object itself rides the queue so the
+        # consumer re-raises instead of blocking forever on q.get()
         try:
             for batch in self.sampler:
                 if self._stop.is_set():
                     return
+                if self.save_to_disk:
+                    self._save_batch(batch)
                 self.q.put(batch)
+            self._disk_complete = self.save_to_disk
+            self.q.put(self._END)
         except Exception as e:  # noqa: BLE001
-            print(f"[cache] encoding worker died: {e}")
+            self.q.put(e)
 
     def stop(self):
         self._stop.set()
+        stop = getattr(self.sampler, "stop", None)
+        if stop is not None:
+            stop()
 
     def __iter__(self) -> Iterator[Batch]:
+        if self._disk_complete:
+            yield from self._replay()
+            return
         if not self._started:
             threading.Thread(target=self._worker, daemon=True).start()
             self._started = True
         while not self._stop.is_set():
-            yield self.q.get()
+            item = self.q.get()
+            if item is self._END:
+                return
+            if isinstance(item, Exception):
+                raise RuntimeError("encoding worker failed") from item
+            yield item

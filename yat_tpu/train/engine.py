@@ -215,39 +215,62 @@ class Trainer:
     # ------------------------------------------------------------------
     def warmup_buckets(self, aspect_ratios, vae_compression: int,
                        latent_channels: int, caption_len: int,
-                       caption_dim: int) -> int:
-        """Pre-compile the train step for every aspect bucket so training
-        never stalls on a first-seen shape (SURVEY §7 hard part 1: dynamic
-        bucketing vs XLA static shapes).  Runs one zero batch per bucket on
-        a throwaway copy of the state; returns the number of programs
-        compiled."""
-        import numpy as np
+                       caption_dim: int, caption_rungs=None) -> int:
+        """Pre-compile the train step for every (aspect bucket, caption
+        rung) so training never stalls on a first-seen shape (SURVEY §7
+        hard part 1: dynamic bucketing vs XLA static shapes).  Runs one
+        zero batch per shape on a throwaway copy of the state; returns the
+        number of programs compiled."""
+        from yat_tpu.data.sampler import Batch as DataBatch
         if self.state is None:
             self.initialize()
         rng = jax.random.PRNGKey(0)
+        rungs = list(caption_rungs) if caption_rungs else [caption_len]
+        spec = getattr(self, "warmup_spec", None) or {}
+        pooled_dim = spec.get("pooled_dim")
+        bsz = self.params.batch_size
         n = 0
         for key, (ph, pw) in aspect_ratios.items():
             h, w = int(ph) // vae_compression, int(pw) // vae_compression
-            batch = {
-                "latents": jnp.zeros(
-                    (self.params.batch_size, h, w, latent_channels),
-                    jnp.bfloat16 if self.params.bfloat16 else jnp.float32),
-                "embeddings": jnp.zeros(
-                    (self.params.batch_size, caption_len, caption_dim),
-                    jnp.bfloat16 if self.params.bfloat16 else jnp.float32),
-                "text_mask": jnp.ones(
-                    (self.params.batch_size, caption_len), jnp.int32),
-            }
-            batch = jax.device_put(batch, batch_sharding(self.mesh))
-            # the step donates its input state — feed a real copy so the
-            # live training state's buffers survive the warmup
-            state_copy = jax.tree.map(jnp.copy, self.state)
-            state_copy, metrics = self._step_fn(state_copy, batch, rng)
-            float(metrics["loss"])
-            del state_copy
-            n += 1
+            for rung in rungs:
+                # route through _device_batch so the warmed program has
+                # exactly the production signature (empty embeddings,
+                # pooled text, batch_transform extras included)
+                batch = DataBatch(
+                    ratio=key,
+                    latents=np.zeros((bsz, h, w, latent_channels),
+                                     np.float32),
+                    embeddings=np.zeros((bsz, rung, caption_dim),
+                                        np.float32),
+                    text_mask=np.ones((bsz, rung), np.int32),
+                    pooled_text=(np.zeros((bsz, pooled_dim), np.float32)
+                                 if pooled_dim else None))
+                device_batch = self._device_batch(batch)
+                # the step donates its input state — feed a real copy so
+                # the live training state's buffers survive the warmup
+                state_copy = jax.tree.map(jnp.copy, self.state)
+                state_copy, metrics = self._step_fn(state_copy,
+                                                    device_batch, rng)
+                float(metrics["loss"])
+                del state_copy
+                n += 1
         print(f"[engine] warmed {n} bucket programs")
         return n
+
+    def _maybe_warmup(self) -> None:
+        """Run warmup_buckets from the production path when the config
+        asks for it and the frontend attached a warmup spec (round-1 gap:
+        only tests ever called warmup_buckets)."""
+        spec = getattr(self, "warmup_spec", None)
+        if not self.params.warmup_compile or spec is None:
+            return
+        rungs = None
+        if self.params.caption_length_bucketing:
+            from yat_tpu.data.sampler import caption_length_buckets
+            rungs = caption_length_buckets(spec["caption_len"])
+        self.warmup_buckets(spec["aspect_ratios"], spec["vae_compression"],
+                            spec["latent_channels"], spec["caption_len"],
+                            spec["caption_dim"], caption_rungs=rungs)
 
     # ------------------------------------------------------------------
     def run(self) -> None:
@@ -256,6 +279,8 @@ class Trainer:
             self.initialize()
         if self.sampler is None:
             raise ValueError("no sampler configured")
+
+        self._maybe_warmup()
 
         rng = jax.random.PRNGKey(params.dataset_seed + 1)
         accum = params.gradient_accumulation_steps
@@ -267,6 +292,19 @@ class Trainer:
         profiling = False
 
         sampler_iter = iter(self.sampler)
+        try:
+            self._run_loop(sampler_iter, rng, accum, micro, pending_metrics,
+                           t_start, t_last, profiling)
+        finally:
+            # drain background download/encode threads (round-1 leak: shard
+            # sources kept downloading after run() returned)
+            stop = getattr(self.sampler, "stop", None)
+            if stop is not None:
+                stop()
+
+    def _run_loop(self, sampler_iter, rng, accum, micro, pending_metrics,
+                  t_start, t_last, profiling) -> None:
+        params = self.params
         while self.global_step < params.steps:
             try:
                 batch = next(sampler_iter)
@@ -316,9 +354,9 @@ class Trainer:
         if pending_metrics is not None:
             self._log_metrics(pending_metrics)
         # final save: the reference only saves on the validation cadence
-        # (trainer.py:371,398), silently losing runs shorter than it
-        if jax.process_index() == 0 and \
-                self.global_step % params.num_steps_per_validation != 0:
+        # (trainer.py:371,398), silently losing runs shorter than it.
+        # Collective — every process enters (writes gate on 0 inside).
+        if self.global_step % params.num_steps_per_validation != 0:
             self.save_model()
         dt = time.monotonic() - t_start
         n_images = self.global_step * params.batch_size * accum
@@ -337,21 +375,21 @@ class Trainer:
                 "train/lr", float(self._lr_schedule(step)), step)
 
     def _validate_and_save(self) -> None:
-        if jax.process_index() != 0:
-            return
+        # Validation and save are COLLECTIVE in multi-host runs: every
+        # process runs the same jitted sampling over the global mesh and
+        # enters the same Orbax/allgather collectives; only file writes and
+        # image logging gate on process 0 (the round-1 early-return here
+        # deadlocked multi-host saves — ADVICE r1).
+        #
         # dual_gpu parity: validation disabled in the reference's pipelined
         # mode (trainer.py:392-394); here dual_gpu maps to the FeatureCache
         # encode-overlap thread, but the flag still gates validation
-        if self.params.dual_gpu:
-            self.save_model()
-            if self.params.checkpoint_dir:
-                self.save_checkpoint()
-            return
-        if self.validate_fn is not None:
+        if not self.params.dual_gpu and self.validate_fn is not None:
             try:
                 images = self.validate_fn(self)
-                for tag, img in (images or {}).items():
-                    self.logger.add_image(tag, img, self.global_step)
+                if jax.process_index() == 0:
+                    for tag, img in (images or {}).items():
+                        self.logger.add_image(tag, img, self.global_step)
             except Exception as e:  # noqa: BLE001
                 print(f"[Warning] validation failed: {e}")
         self.save_model()
@@ -359,21 +397,49 @@ class Trainer:
             self.save_checkpoint()
 
     # ------------------------------------------------------------------
+    def _host_tree(self, tree):
+        """Sharded device tree → full numpy tree on every host (collective
+        when multi-host: non-addressable shards are allgathered first)."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(tree, tiled=True)
+
     def save_model(self) -> None:
         """Weights-only export to ``{output_dir}/{step}``
         (trainer.py:295-296 parity).  Adapters → safetensors; full model →
-        orbax params-only."""
+        orbax params-only.  Collective: call from every process."""
         out = os.path.join(self.params.output_dir, str(self.global_step))
-        os.makedirs(out, exist_ok=True)
         if self.state.adapters is not None:
-            from yat_tpu.adapters.io import save_adapter_safetensors
-            save_adapter_safetensors(
-                os.path.join(out, "adapter_model.safetensors"),
-                jax.device_get(self.state.adapters),
-                jax.device_get(self.state.adapters_meta))
+            adapters = self._host_tree(self.state.adapters)
+            meta = jax.device_get(self.state.adapters_meta)
+            if jax.process_index() == 0:
+                os.makedirs(out, exist_ok=True)
+                from yat_tpu.adapters.io import save_adapter_safetensors
+                save_adapter_safetensors(
+                    os.path.join(out, "adapter_model.safetensors"),
+                    adapters, meta)
         else:
-            from yat_tpu.train.checkpoint import save_params_only
-            save_params_only(out, jax.device_get(self.state.params))
+            params_np = self._host_tree(self.state.params)
+            if jax.process_index() == 0:
+                os.makedirs(out, exist_ok=True)
+                from yat_tpu.train.checkpoint import save_params_only
+                save_params_only(out, params_np)
+        if self.params.output_repo and jax.process_index() == 0:
+            self._push_to_hub(out)
+
+    def _push_to_hub(self, folder: str) -> None:
+        """Upload the exported weights to the configured HF-hub repo
+        (output_repo, training_parameters_reader.py:24)."""
+        try:
+            from huggingface_hub import HfApi
+            api = HfApi()
+            api.upload_folder(folder_path=folder,
+                              repo_id=self.params.output_repo,
+                              path_in_repo=str(self.global_step))
+            print(f"[engine] pushed {folder} to {self.params.output_repo}")
+        except Exception as e:  # noqa: BLE001 — offline/unauthenticated runs
+            print(f"[Warning] output_repo upload failed: {e}")
 
     def save_checkpoint(self) -> None:
         from yat_tpu.train.checkpoint import save_train_state
