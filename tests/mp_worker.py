@@ -1,0 +1,182 @@
+"""Worker for the real multi-process tests (launched by
+tests/test_multiprocess.py): 2 OS processes x 4 virtual CPU devices each,
+coordinated through jax.distributed — the closest offline stand-in for a
+multi-host TPU pod.
+
+Scenarios:
+* ``bucket_sync``  — two hosts ingest DIFFERENT shard streams; the
+  WindowedBucketSync holdback must make their emitted bucket sequences
+  identical (the lockstep guarantee the reference bought with a per-sample
+  NCCL gather, bucket_sampler.py:225-237).
+* ``checkpoint``   — Orbax save of a GLOBALLY SHARDED train state entered
+  from every process (the round-1 bug: process-0-only save deadlocks or
+  drops shards), then restore and verify.
+* ``save_model``   — Trainer.save_model's allgather-then-write path.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    scenario, rank, nprocs, coord, tmp = sys.argv[1:6]
+    rank, nprocs = int(rank), int(nprocs)
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nprocs, process_id=rank)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs
+
+    if scenario == "bucket_sync":
+        run_bucket_sync(rank, tmp)
+    elif scenario == "checkpoint":
+        run_checkpoint(rank, tmp)
+    elif scenario == "save_model":
+        run_save_model(rank, tmp)
+    else:
+        raise SystemExit(f"unknown scenario {scenario}")
+    print(f"[worker {rank}] {scenario} OK", flush=True)
+
+
+def _write_feature_shard(path, keys_sequence):
+    import numpy as np
+
+    from yat_tpu.data.tar import TarShardWriter
+    rng = np.random.default_rng(0)
+    sizes = {"1.0": (8, 8), "0.5": (8, 16), "2.0": (16, 8)}
+    with TarShardWriter(path) as w:
+        for i, key in enumerate(keys_sequence):
+            hw = sizes[key]
+            w.write({"__key__": f"{i:06d}", "ratio": key,
+                     "latent.npy": rng.standard_normal(
+                         (*hw, 4), dtype=np.float32),
+                     "emb.npy": rng.standard_normal(
+                         (5, 16), dtype=np.float32)})
+    return path
+
+
+def run_bucket_sync(rank, tmp):
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from yat_tpu.data.sampler import FeatureBucketSampler, LocalShardSource
+    from yat_tpu.parallel.multihost import WindowedBucketSync
+
+    # heterogeneous streams: host 0 sees more "1.0", host 1 more "0.5";
+    # "2.0" appears only on host 0 so it must NEVER drain
+    if rank == 0:
+        keys = ["1.0", "1.0", "0.5", "1.0", "2.0", "1.0", "0.5", "1.0",
+                "2.0", "0.5", "1.0", "0.5"]
+    else:
+        keys = ["0.5", "0.5", "1.0", "0.5", "1.0", "0.5", "1.0", "0.5",
+                "1.0", "0.5", "1.0", "1.0"]
+    shard = _write_feature_shard(
+        os.path.join(tmp, f"shard-{rank}.tar"), keys)
+
+    sync = WindowedBucketSync(bucket_keys=("0.5", "1.0", "2.0"), window=2)
+    sampler = FeatureBucketSampler(
+        _OneShotSource([shard]), batch_size=2, max_caption_len=8,
+        shuffle_buffer=1, seed=0, sync_hook=sync)
+    emitted = [b.ratio for b in sampler]
+    assert "2.0" not in emitted, f"host-{rank} drained an unfillable bucket"
+    # lockstep check: both hosts must emit the same drain sequence
+    code = {"0.5": 0, "1.0": 1, "2.0": 2}
+    local = np.full(16, -1, np.int32)
+    local[:len(emitted)] = [code[k] for k in emitted]
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    gathered = gathered.reshape(2, 16)
+    assert (gathered[0] == gathered[1]).all(), \
+        f"bucket drain order diverged: {gathered}"
+    assert (gathered[0] >= 0).any(), "no batches emitted at all"
+
+
+class _OneShotSource:
+    """Iterate the shard list once (finite stream for the lockstep test)."""
+
+    def __init__(self, paths):
+        self.paths = paths
+
+    def __iter__(self):
+        return iter(self.paths)
+
+
+def _tiny_sharded_state(mesh):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yat_tpu.train.state import create_train_state
+
+    params = {"w": jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+              "b": jnp.zeros((4,), jnp.float32)}
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, use_ema=True)
+    shard_w = NamedSharding(mesh, P("dp", None))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim == 2 and x.shape[0] % 8 == 0:
+            return jax.device_put(x, shard_w)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, state)
+
+
+def run_checkpoint(rank, tmp):
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from yat_tpu.train.checkpoint import restore_train_state, save_train_state
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    state = _tiny_sharded_state(mesh)
+    ckpt_dir = os.path.join(tmp, "ckpt")
+    # collective save from ALL processes (the round-1 bug gated this on
+    # process 0, which deadlocks multi-host Orbax)
+    save_train_state(ckpt_dir, state, step=3)
+
+    restored, step = restore_train_state(ckpt_dir, state)
+    assert step == 3
+    from jax.experimental import multihost_utils
+    w = np.asarray(multihost_utils.process_allgather(
+        restored.params["w"], tiled=True))
+    np.testing.assert_allclose(
+        w, np.arange(32, dtype=np.float32).reshape(8, 4))
+
+
+def run_save_model(rank, tmp):
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.train.engine import Trainer
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    params = TrainingParameters.from_dict({
+        "batch_size": "1", "learning_rate": "1e-3", "steps": "1",
+        "num_steps_per_validation": "10",
+        "output_dir": os.path.join(tmp, "models")})
+    t = Trainer.__new__(Trainer)
+    t.params = params
+    t.global_step = 7
+    t.state = _tiny_sharded_state(mesh)
+    t.save_model()
+    if rank == 0:
+        out = os.path.join(tmp, "models", "7", "model.safetensors")
+        assert os.path.exists(out), "process 0 did not write the export"
+
+
+if __name__ == "__main__":
+    main()

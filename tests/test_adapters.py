@@ -159,3 +159,92 @@ def test_count(base):
         params, AdapterSpec("lora", rank=4, target_modules=["to_q"]),
         jax.random.PRNGKey(0))
     assert count_adapter_params(ad) == 12 * 4 + 4 * 16
+
+
+class TestPeftInterop:
+    def test_real_peft_naming_roundtrip(self, tmp_path):
+        """A PEFT checkpoint with torch/diffusers module paths
+        (down_blocks.0.attentions... — what common/trainer.py:239-240
+        resumes from) loads into our flax adapter tree."""
+        from safetensors.numpy import save_file
+
+        from yat_tpu.adapters.io import load_adapter_safetensors
+        from yat_tpu.adapters.peft_paths import (
+            flax_to_diffusers, num_levels_from_tree)
+        from yat_tpu.models.unet import UNET_TINY_TEST, UNet2DCondition
+
+        m = UNet2DCondition(cfg=UNET_TINY_TEST, dtype=jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)),
+                        jnp.zeros((1, 8, 16)), jnp.zeros((1,)),
+                        jnp.ones((1, 8), jnp.int32))
+        ad, meta = build_adapter_params(
+            params, AdapterSpec("lora", rank=2, alpha=2,
+                                target_modules=["to_q", "to_out",
+                                                "time_emb_proj"]),
+            jax.random.PRNGKey(1))
+
+        # synthesize the PEFT file in REAL diffusers naming
+        def flatten(t, p=()):
+            for k, v in t.items():
+                if isinstance(v, dict):
+                    yield from flatten(v, p + (k,))
+                else:
+                    yield p + (k,), v
+
+        paths = [p for p, _ in flatten(ad)]
+        n_levels = num_levels_from_tree(paths)
+        rng = np.random.default_rng(0)
+        tensors = {}
+        expected = {}
+        for path, leaf in flatten(ad):
+            *module, leaf_name = path
+            torch_path = flax_to_diffusers(module, n_levels)
+            assert torch_path is not None, module
+            suffix = {"lora_a": "lora_A.weight",
+                      "lora_b": "lora_B.weight"}[leaf_name]
+            val = rng.standard_normal(np.asarray(leaf).shape).astype(
+                np.float32)
+            tensors[f"base_model.model.{torch_path}.{suffix}"] = \
+                np.ascontiguousarray(val.T)
+            expected[path] = val
+        f = tmp_path / "adapter_model.safetensors"
+        save_file(tensors, str(f))
+
+        loaded = load_adapter_safetensors(str(f), like=ad)
+        for path, val in expected.items():
+            got = loaded
+            for k in path:
+                got = got[k]
+            np.testing.assert_allclose(np.asarray(got), val, atol=1e-6,
+                                       err_msg=str(path))
+
+    def test_comfyui_export_beyond_attention(self):
+        """The exporter covers resnets / time-embed / FF / samplers
+        (convert_sdxl_peft_to_comfyui.py:78-183 key space), not just
+        attention projections."""
+        from yat_tpu.adapters.comfyui import convert_sdxl_adapters_to_comfyui
+
+        r = np.zeros((4, 2), np.float32)
+        ad = {
+            "down_0_attn_0": {"transformer_blocks_0": {
+                "attn1": {"to_q": {"lora_a": r, "lora_b": r.T}},
+                "ff": {"proj": {"lora_a": r, "lora_b": r.T}}}},
+            "down_1_resnet_0": {"time_emb_proj": {"lora_a": r,
+                                                  "lora_b": r.T}},
+            "mid_resnet_1": {"time_emb_proj": {"lora_a": r, "lora_b": r.T}},
+            "up_0_resnet_1": {"time_emb_proj": {"lora_a": r, "lora_b": r.T}},
+            "time_linear_1": {"lora_a": r, "lora_b": r.T},
+        }
+        out = convert_sdxl_adapters_to_comfyui(ad, {}, lora_alpha=8.0,
+                                               num_levels=3)
+        keys = set(out)
+        assert ("lora_unet_input_blocks_1_1_transformer_blocks_0_attn1_to_q"
+                ".lora_down.weight") in keys
+        assert ("lora_unet_input_blocks_1_1_transformer_blocks_0_ff"
+                "_net_0_proj.lora_up.weight") in keys
+        assert "lora_unet_input_blocks_4_0_emb_layers_1.alpha" in keys
+        assert "lora_unet_middle_block_2_emb_layers_1.lora_down.weight" \
+            in keys
+        # up_0 is the HIGHEST-resolution level → output_blocks 6..8
+        assert "lora_unet_output_blocks_7_0_emb_layers_1.alpha" in keys
+        assert "lora_unet_time_embed_0.lora_down.weight" in keys

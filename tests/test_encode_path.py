@@ -189,7 +189,8 @@ def test_sd35_triple_encoders_direct():
     assert embs[0].shape[1] == 96
     assert embs[0].shape[0] > 16        # 16 clip rows + t5 rows
     pooled = enc_pool(["a photo of a cat"])
-    assert pooled.shape[0] == 1
+    # SD3 pooled = concat(CLIP-L pooled, CLIP-G pooled): tiny 32 + 32
+    assert pooled.shape == (1, 64)
 
 
 def test_flux_compute_features_trains(tmp_path):
@@ -240,3 +241,159 @@ def test_uncond_dropout_with_encoded_empty_embedding(tmp_path):
     assert getattr(t, "_empty_raw", None) is not None
     if hasattr(t.sampler, "stop"):
         t.sampler.stop()
+
+
+def test_sana_generic_repa_end_to_end(tmp_path):
+    """REPA from the REAL pipeline (round-1 gap: repa_features never
+    reached a production batch): raw images → tiny DINOv2 tokens ride the
+    batch → generic target-modules REPA loss trains the projection head."""
+    from yat_tpu.frontends.sana import make_trainer
+    shard = make_image_shard(tmp_path / "imgs.tar", hw=(256, 256))
+    p = params_for(tmp_path, shard, extra={
+        "use_repa": "1", "repa_lambda": "0.5",
+        "repa_target_modules": ["blocks_0"]})
+    t = make_trainer(p)
+    t.initialize()
+    head0 = np.asarray(
+        t.state.params["repa_head"]["fc1"]["kernel"]).copy()
+    # the pipeline really produces DINO tokens
+    batch = next(iter(t.sampler))
+    assert batch.repa_features is not None
+    from yat_tpu.frontends.common import dino_token_dim
+    assert batch.repa_features.shape[-1] == dino_token_dim(p)
+    t.run()
+    assert t.global_step == 2
+    head1 = np.asarray(t.state.params["repa_head"]["fc1"]["kernel"])
+    assert not np.allclose(head0, head1), \
+        "REPA head never received gradient — generic path inactive"
+    t.sampler.stop()
+
+
+def test_pixeldit_repa_from_pipeline(tmp_path):
+    """PixelDiT in-model REPA with pipeline-produced DINO features through
+    attach_compute_features (replaces the round-1 hand-injected test)."""
+    from yat_tpu.frontends.pixeldit import make_trainer
+    shard = make_image_shard(tmp_path / "imgs.tar", hw=(256, 256))
+    cfg = dict(
+        local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
+        steps="2", num_steps_per_validation="100", validation_prompts=[],
+        output_dir=str(tmp_path / "models"), mesh_shape={"dp": "1"},
+        compute_features="1", vae_max_batch_size="2",
+        text_encoder_max_batch_size="2", cache_size="8",
+        aspect_ratio="256", use_repa="1",
+        model_config_overrides={
+            "patch_size": "16", "pixel_patch": "4", "hidden_dim": "32",
+            "pixel_hidden_dim": "16", "num_layers": "1",
+            "num_pixel_layers": "1", "num_heads": "2",
+            "caption_channels": "32", "max_caption_len": "8",
+            "mlp_ratio": "1.0", "repa_depth": "0",
+            "repa_target_dim": "32",    # tiny DINO token width
+            "tiny_encoders": "1"},
+    )
+    p = TrainingParameters.from_dict(cfg)
+    t = make_trainer(p)
+    batch = next(iter(t.sampler))
+    assert batch.repa_features is not None
+    t.run()
+    assert t.global_step == 2
+    t.sampler.stop()
+
+
+def test_extract_uploads_and_reports_throughput(tmp_path):
+    """Async presigned-PUT uploads with backpressure and the cache-encode
+    imgs/sec metric (features_extractor.py:68-119; BASELINE.md second
+    north-star)."""
+    import http.server
+    import threading
+
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.frontends.sana import make_trainer
+    from yat_tpu.train.extract import FeatureExtractor
+
+    received = []
+
+    class PutHandler(http.server.BaseHTTPRequestHandler):
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            received.append((self.path, len(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), PutHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    shard = make_image_shard(tmp_path / "imgs.tar", n=6, hw=(256, 256))
+    p = params_for(tmp_path, shard)
+    t = make_trainer(p)
+    sampler = ImageBucketSampler(LocalShardSource([shard], seed=0), 2,
+                                 bin_for_resolution(256), seed=0)
+    out_dir = str(tmp_path / "features")
+    ex = FeatureExtractor(
+        sampler, t.encode_images, t.encode_captions, output_dir=out_dir,
+        shard_size=2, vae_max_batch_size=2, text_encoder_max_batch_size=2,
+        max_samples=6,
+        upload_url_fn=lambda path, i:
+            f"http://127.0.0.1:{port}/up/{os.path.basename(path)}")
+    n = ex.run()
+    srv.shutdown()
+    assert n == 6
+    assert ex.images_per_sec > 0
+    assert len(received) >= 2                      # shards uploaded
+    assert all(size > 0 for _, size in received)
+    # uploaded shards are removed locally after the PUT
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".tar")] or \
+        len(os.listdir(out_dir)) < 3
+
+
+def test_run_feature_extraction_r2_source(tmp_path, monkeypatch):
+    """run_feature_extraction wires an R2 shard source with per-host ranges
+    and r2_tar_files (the round-1 NotImplementedError branches)."""
+    import yat_tpu.data.r2 as r2mod
+    from yat_tpu.train.extract import run_feature_extraction
+    from yat_tpu.frontends.sana import make_trainer
+
+    # fake download: copy the local tar when asked for the remote shard
+    src = make_image_shard(tmp_path / "real.tar", n=4, hw=(256, 256))
+    calls = []
+
+    def fake_download(url, local_path, **kw):
+        calls.append(url)
+        if len(calls) > 1:
+            raise r2mod.DownloadTimeout("exhausted")    # end after 1 shard
+        import shutil
+        shutil.copy(src, local_path)
+
+    monkeypatch.setattr(r2mod, "download_tar", fake_download)
+
+    cfg = dict(
+        r2_endpoint="https://acct.r2.cloudflarestorage.com",
+        r2_access_key="AK", r2_secret_key="SK", r2_bucket_name="bkt",
+        r2_tar_files=["imgs-000.tar"],
+        batch_size="2", learning_rate="1e-3", steps="1",
+        num_steps_per_validation="100", validation_prompts=[],
+        extract_features="1", compute_features="1",
+        vae_max_batch_size="2", text_encoder_max_batch_size="2",
+        aspect_ratio="256", r2_upload_shard_size="4",
+        model_config_overrides=TINY,
+    )
+    p = TrainingParameters.from_dict(cfg)
+    t = make_trainer(p)
+    # bound the run: only one shard downloads, then the source errors out
+    # of further downloads; cap samples via the extractor
+    import yat_tpu.train.extract as ex_mod
+    orig_run = ex_mod.FeatureExtractor.run
+
+    def capped_run(self, shard_pattern="shard-%06d.tar"):
+        self.max_samples = 4
+        return orig_run(self, shard_pattern=shard_pattern)
+
+    monkeypatch.setattr(ex_mod.FeatureExtractor, "run", capped_run)
+    n = run_feature_extraction(t)
+    assert n == 4
+    assert calls and "imgs-000.tar" in calls[0]    # r2_tar_files honored

@@ -215,3 +215,28 @@ def test_warmup_buckets_compiles_all_shapes(setup, tmp_path):
     assert n == 2
     np.testing.assert_array_equal(
         before, np.asarray(jax.tree.leaves(t.state.params)[0]))
+
+
+def test_unfreeze_modules_masks_updates():
+    """unfreeze_modules (the unfreeze_sana_blocks capability,
+    patch_sana_attention_layers.py): only matching params receive updates,
+    the frozen complement's updates are zeroed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.train.state import make_optimizer
+
+    p = TrainingParameters.from_dict({
+        "batch_size": "1", "learning_rate": "1e-3", "steps": "1",
+        "num_steps_per_validation": "1", "urls": [],
+        "unfreeze_modules": ["blocks_1"]})
+    tx = make_optimizer(p)
+    tree = {"blocks_0": {"w": jnp.ones((2, 2))},
+            "blocks_1": {"w": jnp.ones((2, 2))}}
+    st = tx.init(tree)
+    g = jax.tree.map(jnp.ones_like, tree)
+    upd, _ = tx.update(g, st, tree)
+    assert np.allclose(np.asarray(upd["blocks_0"]["w"]), 0)
+    assert not np.allclose(np.asarray(upd["blocks_1"]["w"]), 0)

@@ -1,0 +1,138 @@
+"""Every frontend's validate_fn generates a decoded image on tiny configs —
+including feature-shard training paths where encoders are built on demand
+(round-1 gap: only SANA's compute_features path ever validated).
+
+Per-family sampler parity: SANA CFG 5.0 + complex-human-instruction prompt
+enhancement, PixArt PAG 2.0 + learned-sigma slice, SD15/SDXL/SD3.5 CFG 5.0
+(SDXL with pooled + time_ids micro-conditioning), Flux CFG 7.0 image-space,
+PixelDiT CFG 4.0 pixel-space.
+"""
+
+import numpy as np
+import pytest
+
+from yat_tpu.config import TrainingParameters
+from yat_tpu.data.tar import TarShardWriter
+
+from tests.test_frontends import TINY_DIT, write_shard
+
+
+def base(tmp_path, shard, **over):
+    cfg = dict(
+        local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
+        steps="1", num_steps_per_validation="100",
+        validation_prompts=["a tiny red fox"],
+        output_dir=str(tmp_path / "models"), mesh_shape={"dp": "1"},
+        aspect_ratio="256",
+    )
+    cfg.update(over)
+    return TrainingParameters.from_dict(cfg)
+
+
+def check_validates(trainer, channels=3):
+    trainer.initialize()
+    assert trainer.validate_fn is not None, "validate_fn not wired"
+    images = trainer.validate_fn(trainer)
+    assert images, "no validation images produced"
+    for tag, img in images.items():
+        assert tag.startswith("validation/0/")
+        assert img.ndim == 3 and img.shape[-1] == channels
+        assert np.isfinite(img).all()
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_sana_validates(tmp_path):
+    from yat_tpu.frontends.sana import make_trainer
+    # caption width matches tiny Gemma (32); latent channels match the
+    # tiny DC-AE (32) so validation can decode
+    shard = write_shard(tmp_path / "s.tar", (4, 4, 32), 32)
+    p = base(tmp_path, shard, model_config_overrides={
+        **TINY_DIT, "caption_channels": "32",
+        "num_cross_attention_heads": "2",
+        "cross_attention_head_dim": "16", "in_channels": "32",
+        "out_channels": "32", "sample_size": "4", "tiny_encoders": "1"})
+    t = make_trainer(p)
+    # SANA enhances prompts with the complex human instruction
+    assert t.validate_fn.prompt_transform is not None
+    assert "Enhanced prompt" in t.validate_fn.prompt_transform("x")
+    check_validates(t)
+
+
+def test_pixart_validates_with_pag(tmp_path):
+    from yat_tpu.frontends.pixart import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 32)
+    p = base(tmp_path, shard, aspect_ratio="256",
+             model_config_overrides={
+                 **TINY_DIT, "caption_channels": "32",
+                 "in_channels": "4", "out_channels": "8",
+                 "sample_size": "8", "vae_compression": "16",
+                 "tiny_encoders": "1"})
+    t = make_trainer(p)
+    assert t.validate_fn.pag_scale == 2.0      # train_pixart_sigma.py:123
+    assert t.validate_fn.pred_slice == 4       # learned-sigma slice
+    check_validates(t)
+
+
+def test_sd15_validates(tmp_path):
+    from yat_tpu.frontends.sd15 import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (16, 16, 4), 16)
+    p = base(tmp_path, shard, model_config_overrides={
+        "block_out_channels": ["32", "64"], "layers_per_block": "1",
+        "transformer_layers": ["1", "1"], "cross_attention_dim": "32",
+        "num_heads": "2", "tiny_encoders": "1"})
+    t = make_trainer(p)
+    check_validates(t)
+
+
+def test_sdxl_validates(tmp_path):
+    from yat_tpu.frontends.sdxl import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (16, 16, 4), 64, pooled_dim=32)
+    p = base(tmp_path, shard, model_config_overrides={
+        "block_out_channels": ["32", "64"], "layers_per_block": "1",
+        "transformer_layers": ["0", "1"], "cross_attention_dim": "64",
+        "num_heads": "2", "addition_embed_dim": "16", "pooled_dim": "32",
+        "tiny_encoders": "1"})
+    t = make_trainer(p)
+    # SDXL conditioning includes pooled text + micro-conditioning time_ids
+    cond = t.validate_fn.encode_prompts(["a cat"])
+    assert "pooled_text" in cond and "time_ids" in cond
+    assert cond["time_ids"].shape == (1, 6)
+    check_validates(t)
+
+
+def test_sd35_validates(tmp_path):
+    from yat_tpu.frontends.sd35 import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 16), 96, pooled_dim=64)
+    p = base(tmp_path, shard, model_config_overrides={
+        "hidden_dim": "32", "num_layers": "2", "num_heads": "2",
+        "caption_dim": "96", "pooled_dim": "64", "max_caption_len": "32",
+        "mlp_ratio": "1.0", "tiny_encoders": "1"})
+    t = make_trainer(p)
+    cond = t.validate_fn.encode_prompts(["a cat"])
+    assert "pooled_text" in cond
+    check_validates(t)
+
+
+def test_flux_validates(tmp_path):
+    from yat_tpu.frontends.flux import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 32)
+    p = base(tmp_path, shard, model_config_overrides={
+        "in_channels": "64", "hidden_dim": "32", "num_double_blocks": "1",
+        "num_single_blocks": "1", "num_heads": "2", "text_dim": "32",
+        "axes_dims": ["4", "6", "6"], "tiny_encoders": "1"})
+    t = make_trainer(p)
+    check_validates(t)
+
+
+def test_pixeldit_validates(tmp_path):
+    from yat_tpu.frontends.pixeldit import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (32, 32, 3), 32)
+    p = base(tmp_path, shard, aspect_ratio="256", model_config_overrides={
+        "patch_size": "16", "pixel_patch": "4", "hidden_dim": "32",
+        "pixel_hidden_dim": "16", "num_layers": "1",
+        "num_pixel_layers": "1", "num_heads": "2",
+        "caption_channels": "32", "max_caption_len": "8",
+        "mlp_ratio": "1.0", "tiny_encoders": "1"})
+    t = make_trainer(p)
+    assert t.validate_fn.guidance_scale == 4.0  # train_pixeldit.py:190
+    check_validates(t)

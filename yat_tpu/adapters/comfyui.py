@@ -25,8 +25,19 @@ import numpy as np
 
 _DOWN = re.compile(r"^down_(\d+)_attn_(\d+)$")
 _UP = re.compile(r"^up_(\d+)_attn_(\d+)$")
+_DOWN_RES = re.compile(r"^down_(\d+)_resnet_(\d+)$")
+_UP_RES = re.compile(r"^up_(\d+)_resnet_(\d+)$")
+_MID_RES = re.compile(r"^mid_resnet_(\d+)$")
+_DOWN_SAMPLE = re.compile(r"^down_(\d+)_downsample$")
+_UP_SAMPLE = re.compile(r"^up_(\d+)_upsample$")
 _LEAF_MAP = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
-             "to_out": "to_out_0"}
+             "to_out": "to_out_0",
+             # resnet / FF / conditioning leaves
+             # (convert_sdxl_peft_to_comfyui.py:78-183 key space)
+             "time_emb_proj": "emb_layers_1",
+             "conv1": "in_layers_2", "conv2": "out_layers_3",
+             "conv_shortcut": "skip_connection",
+             "proj": "net_0_proj", "out": "net_2"}
 
 
 def _ldm_block_name(head: str, num_levels: int) -> str:
@@ -40,7 +51,35 @@ def _ldm_block_name(head: str, num_levels: int) -> str:
     if m:
         level, j = int(m.group(1)), int(m.group(2))
         return f"output_blocks_{(num_levels - 1 - level) * 3 + j}_1"
-    raise KeyError(f"unrecognised attention block path head: {head}")
+    m = _DOWN_RES.match(head)
+    if m:
+        level, j = int(m.group(1)), int(m.group(2))
+        return f"input_blocks_{1 + level * 3 + j}_0"
+    m = _MID_RES.match(head)
+    if m:
+        return f"middle_block_{2 * int(m.group(1))}"
+    m = _UP_RES.match(head)
+    if m:
+        level, j = int(m.group(1)), int(m.group(2))
+        return f"output_blocks_{(num_levels - 1 - level) * 3 + j}_0"
+    m = _DOWN_SAMPLE.match(head)
+    if m:
+        level = int(m.group(1))
+        return f"input_blocks_{(level + 1) * 3}_0_op"
+    m = _UP_SAMPLE.match(head)
+    if m:
+        level = int(m.group(1))
+        u = num_levels - 1 - level
+        return f"output_blocks_{u * 3 + 2}_2_conv"
+    if head == "time_linear_1":
+        return "time_embed_0"
+    if head == "time_linear_2":
+        return "time_embed_2"
+    if head == "add_linear_1":
+        return "label_emb_0_0"
+    if head == "add_linear_2":
+        return "label_emb_0_2"
+    raise KeyError(f"unrecognised UNet block path head: {head}")
 
 
 def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
@@ -70,7 +109,7 @@ def convert_sdxl_adapters_to_comfyui(
                 p.replace("transformer_blocks_", "transformer_blocks_")
                 for p in module_path[1:]]
         tail = "_".join(_LEAF_MAP.get(p, p) for p in rest)
-        key_base = f"lora_unet_{ldm}_{tail}"
+        key_base = f"lora_unet_{ldm}" + (f"_{tail}" if tail else "")
         arr = np.asarray(leaf, np.float32)
         if leaf_name == "lora_a":
             # ours [in, r] → kohya lora_down [r, in]

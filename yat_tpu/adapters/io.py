@@ -68,12 +68,22 @@ def save_adapter_safetensors(path: str, adapters: Dict[str, Any],
 
 
 def load_adapter_safetensors(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
-    """Load adapter weights into the structure of ``like`` (same shapes)."""
+    """Load adapter weights into the structure of ``like`` (same shapes).
+
+    Accepts three namings: our export naming (flax paths under
+    ``base_model.model.``), bare flax paths, and REAL PEFT checkpoints with
+    torch/diffusers module paths (``down_blocks.0.attentions...``) — the
+    reference resumes straight from those (trainer.py:239-240)."""
     from safetensors.numpy import load_file
+
+    from yat_tpu.adapters.peft_paths import (
+        flax_to_diffusers, num_levels_from_tree)
     if os.path.isdir(path):
         path = os.path.join(path, "adapter_model.safetensors")
     tensors = load_file(path)
 
+    all_paths = [p for p, _ in _flatten(like)]
+    n_levels = num_levels_from_tree(all_paths)
     out = {}
     loaded = set()
     for path_keys, leaf in _flatten(like):
@@ -85,6 +95,12 @@ def load_adapter_safetensors(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
             f"{dotted}.{leaf_name}",
             f"{dotted}.{suffix}",
         ]
+        torch_path = flax_to_diffusers(module, n_levels)
+        if torch_path is not None:
+            candidates += [
+                f"base_model.model.{torch_path}.{suffix}",
+                f"{torch_path}.{suffix}",
+            ]
         arr = None
         for c in candidates:
             if c in tensors:

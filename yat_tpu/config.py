@@ -165,6 +165,9 @@ class TrainingParameters:
     use_repa: bool = False
     repa_lambda: float = 0.05
     repa_pretrained_model: Optional[str] = None
+    # generic-REPA tap modules for families without an in-model projector
+    # (common/repa.py RepaConfig.target_modules equivalent)
+    repa_target_modules: Optional[list] = None
 
     # --- output (reader :24) ---
     output_repo: Optional[str] = None
@@ -173,6 +176,9 @@ class TrainingParameters:
     # --- TPU-native extensions (no reference equivalent) ---
     caption_length_bucketing: bool = False  # pad captions to 128-multiples
     warmup_compile: bool = False            # pre-compile every bucket shape
+    # partial finetune: update only params whose path contains a pattern
+    # (unfreeze_sana_blocks capability, patch_sana_attention_layers.py)
+    unfreeze_modules: Optional[list] = None
     mesh_shape: Optional[dict] = None       # e.g. {'dp': 8} or {'dp': 2, 'fsdp': 4}
     checkpoint_dir: Optional[str] = None    # orbax full-state checkpoints
     resume: bool = False                    # resume full train state
@@ -307,6 +313,9 @@ class TrainingParameters:
         p.use_repa = "use_repa" in raw
         p.repa_lambda = _as_float(raw, "repa_lambda", 0.05)
         p.repa_pretrained_model = _as_str(raw, "repa_pretrained_model")
+        p.repa_target_modules = raw.get("repa_target_modules")
+        if isinstance(p.repa_target_modules, str):
+            p.repa_target_modules = [p.repa_target_modules]
 
         p.save_to_disk = "save_to_disk" in raw
         p.bucket_repeat = _as_int(raw, "bucket_repeat", 1)
@@ -329,6 +338,9 @@ class TrainingParameters:
         # TPU extensions
         p.caption_length_bucketing = "caption_length_bucketing" in raw
         p.warmup_compile = "warmup_compile" in raw
+        p.unfreeze_modules = raw.get("unfreeze_modules")
+        if isinstance(p.unfreeze_modules, str):
+            p.unfreeze_modules = [p.unfreeze_modules]
         if "mesh_shape" in raw:
             ms = raw["mesh_shape"]
             if not isinstance(ms, dict):

@@ -422,11 +422,63 @@ def build_t5_vae_encoders(params: TrainingParameters,
     return encode_images, encode_captions, decode
 
 
+def dino_token_dim(params: TrainingParameters) -> int:
+    """Width of the REPA alignment targets (DINOv2 ViT-B/14 = 768; the
+    tiny test encoder's own hidden width under tiny_encoders)."""
+    from yat_tpu.models.dinov2 import DINOV2_TINY_TEST, DINOV2_VITB14
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    return (DINOV2_TINY_TEST if tiny else DINOV2_VITB14).hidden_dim
+
+
+def build_dino_encoder(params: TrainingParameters):
+    """Frozen DINOv2 patch-token encoder for REPA targets
+    (bucket_sampler.py:130-136,363-388: 224 bicubic + ImageNet norm →
+    x_norm_patchtokens).  Loads ``repa_pretrained_model`` (torch.hub
+    dinov2_vitb14 state dict) when configured; random init otherwise
+    (tests).  The returned callable carries its token-grid shape in a
+    ``grid_hw`` attribute."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from yat_tpu.models.dinov2 import (
+        DINOV2_TINY_TEST, DINOV2_VITB14, DinoV2, convert_dinov2,
+        preprocess_for_dino)
+
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    cfg = DINOV2_TINY_TEST if tiny else DINOV2_VITB14
+    dino = DinoV2(cfg=cfg)
+    rng = jax.random.PRNGKey(params.dataset_seed + 11)
+    variables = dino.init(
+        rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))
+    if params.repa_pretrained_model and \
+            os.path.exists(params.repa_pretrained_model):
+        from yat_tpu.models.convert import load_torch_state_dict, merge_into
+        sd = load_torch_state_dict(params.repa_pretrained_model)
+        variables = {"params": merge_into(
+            variables["params"], convert_dinov2(sd, cfg.num_layers))}
+
+    @jax.jit
+    def run(images):
+        return dino.apply(variables, preprocess_for_dino(
+            images, size=cfg.image_size))
+
+    def encode_repa(images):
+        return np.asarray(run(jnp.asarray(images)))
+
+    grid = cfg.image_size // cfg.patch_size
+    encode_repa.grid_hw = (grid, grid)
+    return encode_repa
+
+
 def attach_compute_features(params: TrainingParameters, holder: dict,
                             encoders, max_caption_len: int,
                             resolution: int, encode_pooled=None):
     """Shared compute_features wiring: image sampler → on-the-fly encode →
-    FeatureCache.  ``encoders`` = (encode_images, encode_captions, decode)."""
+    FeatureCache.  ``encoders`` = (encode_images, encode_captions, decode).
+    With ``use_repa``, a frozen DINOv2 produces per-batch alignment tokens
+    (the round-1 gap: repa_features never reached any production batch)."""
     from yat_tpu.data.bins import bin_for_resolution
     from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
     from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
@@ -434,6 +486,8 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
     encode_images, encode_captions, decode = encoders
     holder.update(encode_images=encode_images,
                   encode_captions=encode_captions, decode_latents=decode)
+    if encode_pooled is not None:
+        holder["encode_pooled"] = encode_pooled
     bins = bin_for_resolution(params.aspect_ratios or resolution)
     images = ImageBucketSampler(
         LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
@@ -443,14 +497,38 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
     if params.caption_length_bucketing:
         from yat_tpu.data.sampler import caption_length_buckets
         cb = caption_length_buckets(max_caption_len)
+    encode_repa = build_dino_encoder(params) if params.use_repa else None
     encoded = OnTheFlyEncodingSampler(
         images, encode_images, encode_captions, max_caption_len,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_pooled=encode_pooled, caption_buckets=cb)
+        encode_pooled=encode_pooled, caption_buckets=cb,
+        encode_repa=encode_repa)
     return FeatureCache(encoded, cache_size=max(
         1, params.cache_size // params.batch_size),
         save_to_disk=params.save_to_disk)
+
+
+def make_prompt_encoder(encode_captions, max_len: int, encode_pooled=None,
+                        time_ids_hw=None):
+    """Prompt strings → the conditioning dict the denoiser consumes
+    (embeddings + mask, optionally pooled text and SDXL time_ids)."""
+
+    def encode(prompts):
+        from yat_tpu.data.sampler import pad_embeddings
+        embs = encode_captions(list(prompts))
+        padded, mask = pad_embeddings(embs, max_len)
+        out = {"embeddings": jnp.asarray(padded),
+               "text_mask": jnp.asarray(mask)}
+        if encode_pooled is not None:
+            out["pooled_text"] = jnp.asarray(encode_pooled(list(prompts)))
+        if time_ids_hw is not None:
+            h, w = time_ids_hw
+            out["time_ids"] = jnp.asarray(
+                [[h, w, 0, 0, h, w]] * len(prompts), jnp.float32)
+        return out
+
+    return encode
 
 
 def cli_main(make_trainer: Callable[[TrainingParameters], object],

@@ -19,14 +19,12 @@ from yat_tpu.train.tasks import make_flux_loss
 FLUX_CAPTION_LEN = 512
 
 
-def _build_flux_compute_features(params: TrainingParameters, holder: dict):
-    """Flux compute_features: 16-channel KL-VAE latents (the flow loss
-    patchifies + BN-standardizes them, train_flux_klein.py:42-54) and an
-    LLM caption encoder (Gemma-2-class decoder used as encoder)."""
+def _build_flux_encoders(params: TrainingParameters):
+    """16-channel KL-VAE + Gemma-2-class caption encoder (the Flux-2 Klein
+    pipeline components, train_flux_klein.py:42-63)."""
     import jax
     import numpy as np
 
-    from yat_tpu.frontends.common import attach_compute_features
     from yat_tpu.models.text_encoders import (
         GEMMA_TINY_TEST, GEMMA2_2B, Gemma2Encoder, compress_embeddings)
     from yat_tpu.models.vae import KLVAE_FLUX, KLVAE_TINY_TEST, AutoencoderKL
@@ -44,6 +42,23 @@ def _build_flux_compute_features(params: TrainingParameters, holder: dict):
     vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
     te_vars = te.init(rng, jnp.zeros((1, 8), jnp.int32),
                       jnp.ones((1, 8), jnp.int32))
+    if params.pretrained_pipe_path:
+        import os
+
+        from yat_tpu.models.convert import (
+            convert_gemma2, load_torch_state_dict, merge_into)
+        from yat_tpu.models.convert_unet import convert_vae_kl
+        te_dir = os.path.join(params.pretrained_pipe_path, "text_encoder")
+        if os.path.isdir(te_dir):
+            te_vars = {"params": merge_into(
+                te_vars["params"], convert_gemma2(
+                    load_torch_state_dict(te_dir), te.cfg.num_layers))}
+        vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
+        if os.path.isdir(vae_dir):
+            vae_vars = {"params": merge_into(
+                vae_vars["params"], convert_vae_kl(
+                    load_torch_state_dict(vae_dir),
+                    vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=FLUX_CAPTION_LEN)
@@ -60,8 +75,16 @@ def _build_flux_compute_features(params: TrainingParameters, holder: dict):
         hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
+    return encode_images, encode_captions, decode
+
+
+def _build_flux_compute_features(params: TrainingParameters, holder: dict):
+    """Flux compute_features: 16-channel KL-VAE latents (the flow loss
+    patchifies + BN-standardizes them, train_flux_klein.py:42-54) and an
+    LLM caption encoder (Gemma-2-class decoder used as encoder)."""
+    from yat_tpu.frontends.common import attach_compute_features
     return attach_compute_features(
-        params, holder, (encode_images, encode_captions, decode),
+        params, holder, _build_flux_encoders(params),
         FLUX_CAPTION_LEN, params.aspect_ratios or 1024)
 
 
@@ -113,7 +136,56 @@ def make_trainer(params: TrainingParameters, sampler=None,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
+    if params.validation_prompts:
+        if "encode_captions" not in holder:
+            ei, ec, dl = _build_flux_encoders(params)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
+        trainer.validate_fn = _make_flux_validate(params, cfg, model,
+                                                  schedule, holder)
     return trainer
+
+
+def _make_flux_validate(params, cfg, model, schedule, holder):
+    """Image-space Flux validation (train_flux_klein.py:89-99: CFG 7.0,
+    20 steps): token-space Euler sampling → unpack → 2x2 depth-to-space →
+    VAE decode."""
+    import numpy as np
+
+    from yat_tpu.data.sampler import pad_embeddings
+    from yat_tpu.models.flux import unpack_latents, unpatchify_latents
+    from yat_tpu.ops.sampling import sample_flux
+
+    def encode(prompts):
+        embs = holder["encode_captions"](list(prompts))
+        padded, _ = pad_embeddings(embs, FLUX_CAPTION_LEN)
+        return jnp.asarray(padded)
+
+    def validate_fn(trainer):
+        prompts = trainer.params.validation_prompts or []
+        if not prompts:
+            return {}
+        state = trainer.state
+        variables = state.variables(trainable=state.ema) \
+            if state.ema is not None else state.variables()
+        res = params.aspect_ratios or 1024
+        gh = gw = res // 16            # 8x VAE then 2x2 patchify
+        uncond = encode([""])
+        images = {}
+        for idx, prompt in enumerate(prompts):
+            emb = encode([prompt])
+            tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
+                                 uncond_emb=uncond,
+                                 guidance_scale=7.0, num_steps=20)
+            lat = unpatchify_latents(unpack_latents(tokens, (gh, gw)))
+            img = np.asarray(holder["decode_latents"](lat))[0]
+            images[f"validation/{idx}/{prompt}"] = np.clip((img + 1) / 2,
+                                                           0, 1)
+        return images
+
+    return validate_fn
 
 
 def main(argv: Optional[list] = None) -> None:

@@ -79,6 +79,29 @@ def make_trainer(params: TrainingParameters, sampler=None,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
+    if params.validation_prompts:
+        from yat_tpu.frontends.common import (
+            build_t5_vae_encoders, make_prompt_encoder)
+        from yat_tpu.train.validation import ValidationPipeline
+        if "encode_captions" not in holder:
+            ei, ec, dl = build_t5_vae_encoders(params, cfg.max_caption_len)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
+        res = params.aspect_ratios or cfg.resolution
+        lat = res // cfg.vae_compression
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule, latent_shape=(lat, lat, cfg.in_channels),
+            encode_prompts=make_prompt_encoder(holder["encode_captions"],
+                                               cfg.max_caption_len),
+            decode_latents=lambda z: holder["decode_latents"](z),
+            guidance_scale=5.0, num_steps=20,
+            pag_scale=2.0,                     # train_pixart_sigma.py:123
+            pred_slice=(cfg.in_channels
+                        if cfg.out_channels == 2 * cfg.in_channels
+                        else None),
+            active_timesteps=params.timesteps or None)
     return trainer
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
@@ -35,8 +36,6 @@ def make_trainer(params: TrainingParameters, sampler=None,
             params.local_shard_paths:
         # pixel-space: extract_latents is the identity
         # (train_pixeldit.py:172-173); captions go through Gemma-2
-        import numpy as np
-
         from yat_tpu.frontends.common import attach_compute_features
         from yat_tpu.frontends.sana import build_encoders
 
@@ -66,7 +65,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                      cfg.caption_channels), dtype),
             "text_mask": jnp.ones((1, cfg.max_caption_len), jnp.int32),
         }
-        if pretrained:
+        if pretrained or params.use_repa:
+            # init with return_repa so the in-model projector params exist
+            # when the loss taps them
             import jax
             init_variables = model.init(
                 jax.random.PRNGKey(params.dataset_seed),
@@ -90,6 +91,31 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "caption_len": cfg.max_caption_len,
         "caption_dim": cfg.caption_channels,
     }
+    for k, v in holder.items():
+        setattr(trainer, k, v)
+    if params.validation_prompts:
+        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.train.validation import ValidationPipeline
+        if "encode_captions" not in holder:
+            from yat_tpu.frontends.sana import build_encoders
+
+            class _IdCfg:
+                max_caption_len = cfg.max_caption_len
+                in_channels = 3
+            _, encode_captions, _ = build_encoders(params, _IdCfg)
+            holder["encode_captions"] = encode_captions
+            trainer.encode_captions = encode_captions
+        res = params.aspect_ratios or 1024     # train_pixeldit.py:188-189
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule,
+            latent_shape=(res, res, cfg.in_channels),  # pixel space
+            encode_prompts=make_prompt_encoder(holder["encode_captions"],
+                                               cfg.max_caption_len),
+            # pixel space: the 'latents' ARE the [-1,1] image
+            # (train_pixeldit.py:231 add(1).div(2).clamp)
+            decode_latents=lambda z: np.asarray(z),
+            guidance_scale=4.0, num_steps=20,  # train_pixeldit.py:190
+            active_timesteps=params.timesteps or None)
     return trainer
 
 

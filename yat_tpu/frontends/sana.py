@@ -58,6 +58,10 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
                 mlp_ratio=dj.get("mlp_ratio", cfg.mlp_ratio),
                 patch_size=dj.get("patch_size", cfg.patch_size),
                 sample_size=dj.get("sample_size", cfg.sample_size),
+                # patched-softmax block set persists in the config
+                # (patched_sana_transformer.py:40-167 re-applies on load)
+                softmax_self_attn_blocks=tuple(
+                    int(i) for i in dj.get("modified_blocks", ())),
             )
     if over:
         from yat_tpu.frontends.common import override_config
@@ -159,10 +163,15 @@ def build_compute_features_sampler(params: TrainingParameters,
     trainer_holder["encode_images"] = encode_images
     trainer_holder["encode_captions"] = encode_captions
     trainer_holder["decode_latents"] = decode_latents
+    encode_repa = None
+    if params.use_repa:
+        from yat_tpu.frontends.common import build_dino_encoder
+        encode_repa = build_dino_encoder(params)
     encoded = OnTheFlyEncodingSampler(
         images, encode_images, encode_captions, cfg.max_caption_len,
         vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+        encode_repa=encode_repa)
     return FeatureCache(encoded, cache_size=max(1, params.cache_size
                                                 // params.batch_size),
                         save_to_disk=params.save_to_disk)
@@ -192,10 +201,15 @@ def build_dreambooth_sampler(params: TrainingParameters, cfg: SanaConfig,
     trainer_holder["encode_images"] = encode_images
     trainer_holder["encode_captions"] = encode_captions
     trainer_holder["decode_latents"] = decode_latents
+    encode_repa = None
+    if params.use_repa:
+        from yat_tpu.frontends.common import build_dino_encoder
+        encode_repa = build_dino_encoder(params)
     return OnTheFlyEncodingSampler(
         images, encode_images, encode_captions, cfg.max_caption_len,
         vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+        encode_repa=encode_repa)
 
 
 def make_trainer(params: TrainingParameters,
@@ -205,8 +219,21 @@ def make_trainer(params: TrainingParameters,
     model = SanaTransformer2D(cfg=cfg, dtype=dtype,
                               gradient_checkpointing=params.low_vram)
     schedule = FlowMatchSchedule(shift=3.0)
+    # SANA has no in-model REPA tap; use_repa engages the generic
+    # target-modules path (common/repa.py capability) with a projection
+    # head trained alongside the adapters
+    repa_cfg = None
+    if params.use_repa:
+        from yat_tpu.ops.repa import RepaConfig
+        targets = tuple(params.repa_target_modules or
+                        (f"blocks_{max(0, cfg.num_layers // 4)}",))
+        from yat_tpu.frontends.common import dino_token_dim
+        repa_cfg = RepaConfig(target_modules=targets,
+                              target_shape=dino_token_dim(params))
     loss = make_flow_matching_loss(
-        model, schedule, timestep_list=params.timesteps or None)
+        model, schedule, timestep_list=params.timesteps or None,
+        repa_lambda=params.repa_lambda if params.use_repa else 0.0,
+        repa_cfg=repa_cfg)
     pres = make_preservation_loss(model, schedule, is_flow=True) \
         if params.use_preservation else None
 
@@ -250,6 +277,17 @@ def make_trainer(params: TrainingParameters,
         init_variables=init_variables, example_batch=example)
     trainer.sana_config = cfg
     trainer.schedule = schedule
+    if cfg.softmax_self_attn_blocks:
+        # exported checkpoints record the patched set so a reload
+        # re-applies it (patch_sana_attention_layers.py:117-137)
+        trainer.model_config_json = {
+            "modified_blocks": [int(i) for i in
+                                cfg.softmax_self_attn_blocks]}
+    if repa_cfg is not None:
+        from yat_tpu.ops.repa import init_repa_head
+        trainer.repa_head_init = init_repa_head(
+            repa_cfg, cfg.hidden_dim,
+            jax.random.PRNGKey(params.dataset_seed + 7))
     trainer.warmup_spec = {
         "aspect_ratios": bin_for_resolution(
             params.aspect_ratios or cfg.resolution),
@@ -260,8 +298,17 @@ def make_trainer(params: TrainingParameters,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
-    if holder and params.validation_prompts:
-        from yat_tpu.train.validation import ValidationPipeline
+    if params.validation_prompts:
+        from yat_tpu.train.validation import ValidationPipeline, enhance_prompt
+        if "encode_captions" not in holder:
+            # feature-shard training path: build the encoder/decoder pair
+            # on demand just for validation (round-1 gap: only the
+            # compute_features path ever validated)
+            ei, ec, dl = build_encoders(params, cfg)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
         lat = cfg.sample_size
         trainer.validate_fn = ValidationPipeline(
             model, schedule,
@@ -270,7 +317,8 @@ def make_trainer(params: TrainingParameters,
                 holder["encode_captions"], prompts, cfg),
             decode_latents=lambda z: holder["decode_latents"](z),
             guidance_scale=5.0, num_steps=20,   # train_sana.py:142-143
-            active_timesteps=params.timesteps or None)
+            active_timesteps=params.timesteps or None,
+            prompt_transform=enhance_prompt)    # train_sana.py:113-129
     return trainer
 
 

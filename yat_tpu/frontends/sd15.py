@@ -26,8 +26,18 @@ def make_trainer(params: TrainingParameters, sampler=None,
     model = UNet2DCondition(cfg=cfg, dtype=dtype,
                             gradient_checkpointing=params.low_vram)
     schedule = DDPMSchedule()
+    repa_cfg = None
+    if params.use_repa:
+        from yat_tpu.ops.repa import RepaConfig
+        from yat_tpu.frontends.common import dino_token_dim
+        repa_cfg = RepaConfig(
+            target_modules=tuple(params.repa_target_modules
+                                 or ("mid_attn",)),
+            target_shape=dino_token_dim(params))
     loss = make_epsilon_loss(model, schedule,
-                             timestep_list=params.timesteps or None)
+                             timestep_list=params.timesteps or None,
+                             repa_lambda=params.repa_lambda
+                             if params.use_repa else 0.0, repa_cfg=repa_cfg)
     pres = make_preservation_loss(model, schedule, is_flow=False) \
         if params.use_preservation else None
     holder: dict = {}
@@ -48,12 +58,18 @@ def make_trainer(params: TrainingParameters, sampler=None,
             LocalShardSource(params.local_shard_paths,
                              seed=params.dataset_seed),
             params.batch_size, bins, seed=params.dataset_seed)
+        encode_repa = None
+        if params.use_repa:
+            from yat_tpu.frontends.common import build_dino_encoder
+            encode_repa = build_dino_encoder(params)
         encoded = OnTheFlyEncodingSampler(
             images, enc_img, enc_cap, CLIP_MAX_LEN,
             vae_max_batch_size=params.vae_max_batch_size,
-            text_encoder_max_batch_size=params.text_encoder_max_batch_size)
+            text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+            encode_repa=encode_repa)
         sampler = FeatureCache(encoded, cache_size=max(
-            1, params.cache_size // params.batch_size))
+            1, params.cache_size // params.batch_size),
+            save_to_disk=params.save_to_disk)
     elif sampler is None:
         sampler = build_feature_sampler(params, CLIP_MAX_LEN)
 
@@ -84,6 +100,12 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       example_batch=example)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    if repa_cfg is not None:
+        import jax
+        from yat_tpu.ops.repa import init_repa_head
+        trainer.repa_head_init = init_repa_head(
+            repa_cfg, cfg.block_out_channels[-1],
+            jax.random.PRNGKey(params.dataset_seed + 7))
     from yat_tpu.data.bins import bin_for_resolution
     trainer.warmup_spec = {
         "aspect_ratios": bin_for_resolution(params.aspect_ratios or 512),
@@ -94,6 +116,25 @@ def make_trainer(params: TrainingParameters, sampler=None,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
+    if params.validation_prompts:
+        from yat_tpu.frontends.common import (
+            build_clip_vae_encoders, make_prompt_encoder)
+        from yat_tpu.train.validation import ValidationPipeline
+        if "encode_captions" not in holder:
+            ei, ec, _, dl = build_clip_vae_encoders(params, CLIP_MAX_LEN)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
+        res = params.aspect_ratios or 512
+        lat = res // 8
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule, latent_shape=(lat, lat, cfg.in_channels),
+            encode_prompts=make_prompt_encoder(holder["encode_captions"],
+                                               CLIP_MAX_LEN),
+            decode_latents=lambda z: holder["decode_latents"](z),
+            guidance_scale=5.0, num_steps=20,  # train_sd15.py:115-116
+            active_timesteps=params.timesteps or None)
     return trainer
 
 

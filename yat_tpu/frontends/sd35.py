@@ -31,8 +31,52 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
         T5_TINY_TEST, T5_XXL, T5Encoder, compress_embeddings)
     from yat_tpu.utils.tokenizer import load_tokenizer
 
-    # dual-CLIP machinery is identical to SDXL's
-    enc_img, enc_clip_cap, enc_pool, dec = build_sdxl_encoders(params)
+    # dual-CLIP machinery is identical to SDXL's; SD3's pooled conditioning
+    # is the CONCAT of CLIP-L and CLIP-G pooled outputs (the diffusers SD3
+    # pipeline's encode_prompt, train_sd35.py:79-92) where SDXL uses CLIP-G
+    # alone
+    import numpy as np
+
+    from yat_tpu.frontends.common import build_clip_vae_encoders
+    _, enc_clip_cap, enc_pool_g, _ = build_sdxl_encoders(params)
+    _, _, enc_pool_l, _ = build_clip_vae_encoders(
+        params, max_caption_len=77)
+
+    def enc_pool(captions):
+        return np.concatenate([enc_pool_l(list(captions)),
+                               enc_pool_g(list(captions))], axis=-1)
+
+    # SD3.5's VAE is the 16-channel KL-VAE (not SDXL's 4-channel one)
+    import dataclasses
+    import os
+
+    from yat_tpu.models.vae import KLVAE_SD35, KLVAE_TINY_TEST, AutoencoderKL
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    vae_cfg = dataclasses.replace(KLVAE_TINY_TEST, latent_channels=16,
+                                  scaling_factor=1.5305,
+                                  shift_factor=0.0609) if tiny else KLVAE_SD35
+    vae = AutoencoderKL(cfg=vae_cfg)
+    px = 16 if tiny else 256
+    vae_vars = vae.init(jax.random.PRNGKey(params.dataset_seed),
+                        jnp.zeros((1, px, px, 3)))
+    if params.pretrained_pipe_path:
+        from yat_tpu.models.convert import load_torch_state_dict, merge_into
+        from yat_tpu.models.convert_unet import convert_vae_kl
+        vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
+        if os.path.isdir(vae_dir):
+            vae_vars = {"params": merge_into(
+                vae_vars["params"], convert_vae_kl(
+                    load_torch_state_dict(vae_dir),
+                    vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
+    encode_img_fn = jax.jit(lambda x: vae.apply(vae_vars, x,
+                                                method=vae.encode_mode))
+    dec_fn = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+
+    def enc_img(images):
+        return np.asarray(encode_img_fn(jnp.asarray(images)))
+
+    def dec(z):
+        return np.asarray(dec_fn(jnp.asarray(z)))
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     t5 = T5Encoder(cfg=T5_TINY_TEST if tiny else T5_XXL, dtype=jnp.float32)
@@ -82,9 +126,19 @@ def make_trainer(params: TrainingParameters, sampler=None,
     model = MMDiT(cfg=cfg, dtype=dtype,
                   gradient_checkpointing=params.low_vram)
     schedule = FlowMatchSchedule(shift=3.0)
+    repa_cfg = None
+    if params.use_repa:
+        from yat_tpu.ops.repa import RepaConfig
+        from yat_tpu.frontends.common import dino_token_dim
+        repa_cfg = RepaConfig(
+            target_modules=tuple(params.repa_target_modules or
+                                 (f"blocks_{cfg.num_layers // 2}",)),
+            target_shape=dino_token_dim(params))
     loss = make_flow_matching_loss(
         model, schedule, timestep_list=params.timesteps or None,
-        extra_keys=("pooled_text",))
+        extra_keys=("pooled_text",),
+        repa_lambda=params.repa_lambda if params.use_repa else 0.0,
+        repa_cfg=repa_cfg)
     pres = make_preservation_loss(model, schedule, is_flow=True,
                                   extra_keys=("pooled_text",)) \
         if params.use_preservation else None
@@ -133,6 +187,12 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       batch_transform=batch_transform)
     trainer.mmdit_config = cfg
     trainer.schedule = schedule
+    if repa_cfg is not None:
+        import jax
+        from yat_tpu.ops.repa import init_repa_head
+        trainer.repa_head_init = init_repa_head(
+            repa_cfg, cfg.hidden_dim,
+            jax.random.PRNGKey(params.dataset_seed + 7))
     from yat_tpu.data.bins import bin_for_resolution
     trainer.warmup_spec = {
         "aspect_ratios": bin_for_resolution(params.aspect_ratios or 1024),
@@ -144,6 +204,25 @@ def make_trainer(params: TrainingParameters, sampler=None,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
+    if params.validation_prompts:
+        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.train.validation import ValidationPipeline
+        if "encode_captions" not in holder:
+            ei, ec, ep, dl = build_sd35_encoders(params, cfg)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          encode_pooled=ep, decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
+        res = params.aspect_ratios or 1024
+        lat = res // 8
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule, latent_shape=(lat, lat, cfg.in_channels),
+            encode_prompts=make_prompt_encoder(
+                holder["encode_captions"], cfg.max_caption_len,
+                encode_pooled=holder.get("encode_pooled")),
+            decode_latents=lambda z: holder["decode_latents"](z),
+            guidance_scale=5.0, num_steps=20,  # train_sd35.py:138-139
+            active_timesteps=params.timesteps or None)
     return trainer
 
 

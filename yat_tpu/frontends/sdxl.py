@@ -96,9 +96,19 @@ def make_trainer(params: TrainingParameters, sampler=None,
     model = UNet2DCondition(cfg=cfg, dtype=dtype,
                             gradient_checkpointing=params.low_vram)
     schedule = DDPMSchedule()
+    repa_cfg = None
+    if params.use_repa:
+        from yat_tpu.ops.repa import RepaConfig
+        from yat_tpu.frontends.common import dino_token_dim
+        repa_cfg = RepaConfig(
+            target_modules=tuple(params.repa_target_modules
+                                 or ("mid_attn",)),
+            target_shape=dino_token_dim(params))
     loss = make_epsilon_loss(
         model, schedule, timestep_list=params.timesteps or None,
-        extra_keys=("pooled_text", "time_ids"))
+        extra_keys=("pooled_text", "time_ids"),
+        repa_lambda=params.repa_lambda if params.use_repa else 0.0,
+        repa_cfg=repa_cfg)
     pres = make_preservation_loss(model, schedule, is_flow=False,
                                   extra_keys=("pooled_text", "time_ids")) \
         if params.use_preservation else None
@@ -157,6 +167,12 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       batch_transform=batch_transform)
     trainer.unet_config = cfg
     trainer.schedule = schedule
+    if repa_cfg is not None:
+        import jax
+        from yat_tpu.ops.repa import init_repa_head
+        trainer.repa_head_init = init_repa_head(
+            repa_cfg, cfg.block_out_channels[-1],
+            jax.random.PRNGKey(params.dataset_seed + 7))
     trainer.warmup_spec = {
         "aspect_ratios": bin_for_resolution(params.aspect_ratios or 1024),
         "vae_compression": 8,
@@ -167,6 +183,26 @@ def make_trainer(params: TrainingParameters, sampler=None,
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
+    if params.validation_prompts:
+        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.train.validation import ValidationPipeline
+        if "encode_captions" not in holder:
+            ei, ec, ep, dl = build_sdxl_encoders(params)
+            holder.update(encode_images=ei, encode_captions=ec,
+                          encode_pooled=ep, decode_latents=dl)
+            for k, v in holder.items():
+                setattr(trainer, k, v)
+        res = params.aspect_ratios or 1024
+        lat = res // 8
+        trainer.validate_fn = ValidationPipeline(
+            model, schedule, latent_shape=(lat, lat, cfg.in_channels),
+            encode_prompts=make_prompt_encoder(
+                holder["encode_captions"], CLIP_MAX_LEN,
+                encode_pooled=holder.get("encode_pooled"),
+                time_ids_hw=(res, res)),       # train_sdxl.py:148-161
+            decode_latents=lambda z: holder["decode_latents"](z),
+            guidance_scale=5.0, num_steps=20,  # train_sdxl.py:103-104
+            active_timesteps=params.timesteps or None)
     return trainer
 
 

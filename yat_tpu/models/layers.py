@@ -242,7 +242,8 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None, *,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 perturbed: bool = False) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
         out_features = self.out_features or x.shape[-1]
         kv = x if context is None else context
@@ -264,8 +265,13 @@ class Attention(nn.Module):
             q = RMSNorm(name="norm_q")(q)
             k = RMSNorm(name="norm_k")(k)
 
-        from yat_tpu.ops.attention import dot_product_attention
-        y = dot_product_attention(q, k, v, mask=mask)
+        if perturbed:
+            # Perturbed-Attention Guidance: identity attention map — each
+            # query attends only to its own position (requires self-attn)
+            y = v
+        else:
+            from yat_tpu.ops.attention import dot_product_attention
+            y = dot_product_attention(q, k, v, mask=mask)
         y = y.reshape(b, nq, inner)
         return AdapterDense(out_features, use_bias=self.out_bias, dtype=self.dtype,
                             name="to_out")(y, deterministic=deterministic)

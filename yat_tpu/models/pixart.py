@@ -49,6 +49,10 @@ class PixArtConfig:
     max_caption_len: int = 300       # train_pixart_sigma.py:161
     repa_depth: Optional[int] = None # tap index for REPA (default 4 upstream)
     repa_target_dim: int = 768
+    # blocks whose self-attention the PAG perturbed pass replaces with the
+    # identity map (train_pixart_sigma.py:117-128 validates with pag 2.0);
+    # None → the middle block
+    pag_applied_layers: Optional[Tuple[int, ...]] = None
     # experimental conv-residual expansion around self-attention
     # (utils/expand_pixart_sigma_transformer.py capability: 3x conv branch
     # scaled by a learnable alpha initialized at 0.1)
@@ -108,6 +112,7 @@ class PixArtBlock(nn.Module):
     cfg: PixArtConfig
     hw: Tuple[int, int] = (32, 32)   # token grid for the conv expansion
     deterministic: bool = True
+    pag_perturbed: bool = False      # identity self-attention (PAG pass)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -128,7 +133,8 @@ class PixArtBlock(nn.Module):
         h = h * (1 + scale_msa) + shift_msa
         h = Attention(num_heads=c.num_attention_heads,
                       head_dim=c.attention_head_dim, dtype=self.dtype,
-                      name="attn1")(h, deterministic=deterministic)
+                      name="attn1")(h, deterministic=deterministic,
+                                    perturbed=self.pag_perturbed)
         if c.resnet_expansion:
             h = ResidualConvBranch(c.hidden_dim, self.hw,
                                    alpha_init=c.resnet_alpha_init,
@@ -159,8 +165,12 @@ class PixArtTransformer2D(nn.Module):
                  timesteps: jnp.ndarray,
                  text_mask: Optional[jnp.ndarray] = None, *,
                  deterministic: bool = True,
-                 return_repa: bool = False):
+                 return_repa: bool = False,
+                 pag: bool = False):
         c = self.cfg
+        pag_layers = (set(c.pag_applied_layers)
+                      if c.pag_applied_layers is not None
+                      else {c.num_layers // 2}) if pag else set()
         b, h, w, _ = latents.shape
         p = c.patch_size
 
@@ -185,6 +195,7 @@ class PixArtTransformer2D(nn.Module):
         grid_hw = (h // p, w // p)
         for i in range(c.num_layers):
             x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
+                          pag_perturbed=i in pag_layers,
                           dtype=self.dtype, name=f"blocks_{i}")(
                 x, cond, ctx, text_mask)
             if c.repa_depth is not None and i == c.repa_depth and return_repa:

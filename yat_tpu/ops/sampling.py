@@ -196,6 +196,42 @@ def sample_flux(
     return x
 
 
+def make_pag_cfg_denoiser(
+    model_apply: Callable,
+    variables: Dict[str, Any],
+    cond_kwargs: Dict[str, Any],
+    uncond_kwargs: Dict[str, Any],
+    guidance_scale: float,
+    pag_scale: float,
+    adapter_meta_key: str = "adapters_meta",
+) -> Callable:
+    """Perturbed-Attention Guidance + CFG (train_pixart_sigma.py:117-128:
+    pag_scale 2.0 with guidance 5.0).  The perturbed branch runs the model
+    with ``pag=True`` (identity self-attention in the configured blocks):
+
+        pred = uncond + g*(cond - uncond) + pag*(cond - cond_perturbed)
+    """
+
+    def fn(x, t, gate):
+        vs = variables
+        if adapter_meta_key in variables and \
+                variables[adapter_meta_key] is not None:
+            vs = dict(variables)
+            vs[adapter_meta_key] = gate_adapter_meta(
+                variables[adapter_meta_key], gate)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        both = {k: jnp.concatenate([uncond_kwargs[k], cond_kwargs[k]], axis=0)
+                for k in cond_kwargs}
+        pred = model_apply(vs, x2, timesteps=t2, **both)
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        perturbed = model_apply(vs, x, timesteps=t, pag=True, **cond_kwargs)
+        return (uncond + guidance_scale * (cond - uncond)
+                + pag_scale * (cond - perturbed))
+
+    return fn
+
+
 def make_cfg_denoiser(
     model_apply: Callable,
     variables: Dict[str, Any],

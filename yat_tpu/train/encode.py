@@ -72,7 +72,10 @@ class OnTheFlyEncodingSampler:
                     is_regularization=batch.is_regularization)
         if self.encode_repa is not None:
             out.repa_features = np.asarray(self.encode_repa(images))
-            out.repa_spatial_dims = (16, 16)        # bucket_sampler.py:256
+            # 16x16 for DINOv2 ViT-B/14 at 224 (bucket_sampler.py:256);
+            # tiny test encoders expose their own grid
+            out.repa_spatial_dims = getattr(self.encode_repa, "grid_hw",
+                                            (16, 16))
         if self.encode_pooled is not None:
             out.pooled_text = np.asarray(self.encode_pooled(captions))
         return out

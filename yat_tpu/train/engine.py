@@ -134,6 +134,19 @@ class Trainer:
             print(f"trainable params: {n_train:,} || all params: "
                   f"{n_total:,} || trainable%: {100 * n_train / n_total:.4f}")
 
+        # generic-REPA projection head trains alongside the adapters (or the
+        # full params) under the reserved 'repa_head' key; set by frontends
+        # via trainer.repa_head_init (ops/repa.py path)
+        head_init = getattr(self, "repa_head_init", None)
+        if head_init is not None:
+            if adapters is not None:
+                adapters = dict(adapters)
+                adapters["repa_head"] = head_init
+            else:
+                variables = dict(variables)
+                variables["params"] = dict(variables["params"],
+                                           repa_head=head_init)
+
         base_params = variables["params"]
         quant_scales = None
         if spec is not None and (params.lora_base_model_8bit or
@@ -425,6 +438,12 @@ class Trainer:
                 os.makedirs(out, exist_ok=True)
                 from yat_tpu.train.checkpoint import save_params_only
                 save_params_only(out, params_np)
+        cfg_json = getattr(self, "model_config_json", None)
+        if cfg_json and jax.process_index() == 0:
+            import json
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "config.json"), "w") as f:
+                json.dump(cfg_json, f, indent=2)
         if self.params.output_repo and jax.process_index() == 0:
             self._push_to_hub(out)
 

@@ -88,11 +88,13 @@ class FeatureExtractor:
             embs.extend(self.encode_captions(captions[i:i + tb]))
         return latents, embs
 
-    def run(self) -> int:
+    def run(self, shard_pattern: str = "shard-%06d.tar") -> int:
+        import time
         os.makedirs(self.output_dir, exist_ok=True)
         written = 0
         key = 0
-        with ShardWriter(os.path.join(self.output_dir, "shard-%06d.tar"),
+        t0 = time.monotonic()
+        with ShardWriter(os.path.join(self.output_dir, shard_pattern),
                          maxcount=self.shard_size,
                          on_shard_complete=self._on_shard_complete) as w:
             for batch in self.sampler:
@@ -111,11 +113,66 @@ class FeatureExtractor:
                     break
         if self._pool is not None:
             self._pool.shutdown(wait=True)
+        dt = time.monotonic() - t0
+        # cache-encode imgs/sec — the second north-star metric
+        # (BASELINE.md): decode + bucket + VAE/TE encode + shard write
+        self.images_per_sec = written / dt if dt > 0 else 0.0
+        if written:
+            print(f"[extract] {written} samples, "
+                  f"{self.images_per_sec:.2f} imgs/s")
         return written
 
 
+def _build_extract_encoders(trainer):
+    """Encoders for the extract phase, built on demand per family when the
+    trainer has none attached (features_extractor.py uses the model's
+    extract_latents/extract_embeddings which always exist upstream)."""
+    params = trainer.params
+    if hasattr(trainer, "sana_config"):
+        from yat_tpu.frontends.sana import build_encoders
+        ei, ec, _ = build_encoders(params, trainer.sana_config)
+    elif hasattr(trainer, "pixart_config"):
+        from yat_tpu.frontends.common import build_t5_vae_encoders
+        ei, ec, _ = build_t5_vae_encoders(
+            params, trainer.pixart_config.max_caption_len)
+    elif hasattr(trainer, "mmdit_config"):
+        from yat_tpu.frontends.sd35 import build_sd35_encoders
+        ei, ec, _, _ = build_sd35_encoders(params, trainer.mmdit_config)
+    elif hasattr(trainer, "flux_config"):
+        from yat_tpu.frontends.flux import _build_flux_encoders
+        ei, ec, _ = _build_flux_encoders(params)
+    elif hasattr(trainer, "unet_config"):
+        cfg = trainer.unet_config
+        if cfg.addition_embed_dim:                     # SDXL
+            from yat_tpu.frontends.sdxl import build_sdxl_encoders
+            ei, ec, _, _ = build_sdxl_encoders(params)
+        else:
+            from yat_tpu.frontends.common import build_clip_vae_encoders
+            ei, ec, _, _ = build_clip_vae_encoders(params)
+    elif hasattr(trainer, "pixeldit_config"):
+        import numpy as np
+
+        from yat_tpu.frontends.sana import build_encoders
+        cfg = trainer.pixeldit_config
+
+        class _IdCfg:
+            max_caption_len = cfg.max_caption_len
+            in_channels = 3
+        _, ec, _ = build_encoders(params, _IdCfg)
+        ei = lambda images: np.asarray(images)         # pixel space
+    else:
+        raise ValueError("cannot infer the encoder pipeline for this "
+                         "trainer — attach encode_images/encode_captions")
+    return ei, ec
+
+
 def run_feature_extraction(trainer) -> int:
-    """CLI glue for 'extract_features' configs (train_sana.py:230-235)."""
+    """CLI glue for 'extract_features' configs (train_sana.py:230-235):
+    local or R2 shard source (per-host ranges), on-demand encoders, async
+    presigned-PUT uploads when R2 upload credentials are configured
+    (features_extractor.py:27-119)."""
+    import jax
+
     params = trainer.params
     from yat_tpu.data.bins import bin_for_resolution
     from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
@@ -126,21 +183,46 @@ def run_feature_extraction(trainer) -> int:
     if params.local_shard_paths:
         source = LocalShardSource(params.local_shard_paths,
                                   seed=params.dataset_seed)
+    elif params.r2_endpoint:
+        from yat_tpu.frontends.common import make_remote_source
+        source = make_remote_source(params)            # per-host shard range
     else:
-        raise NotImplementedError(
-            "R2-source extraction wiring lands with the encoder pipelines")
+        raise ValueError("extract_features needs local_shard_paths or R2 "
+                         "credentials")
     sampler = ImageBucketSampler(source, params.batch_size, bins,
                                  seed=params.dataset_seed)
     encode_images = getattr(trainer, "encode_images", None)
     encode_captions = getattr(trainer, "encode_captions", None)
     if encode_images is None or encode_captions is None:
-        raise NotImplementedError(
-            "this frontend has no encoder pipeline yet (VAE/TE land in the "
-            "encoders milestone)")
+        encode_images, encode_captions = _build_extract_encoders(trainer)
+
+    upload_url_fn = None
+    if params.r2_endpoint and params.r2_upload_key:
+        from yat_tpu.data.r2 import R2Client
+        client = R2Client(params.r2_access_key, params.r2_secret_key,
+                          params.r2_endpoint)
+        pi = jax.process_index()
+
+        def upload_url_fn(path, index):
+            name = os.path.basename(path)
+            return client.presign_put(
+                params.r2_bucket_name,
+                f"{params.r2_upload_key}/{name}")
+
+    # per-host shard naming keeps multi-host uploads collision-free
+    pattern = "shard-%06d.tar" if jax.process_count() == 1 \
+        else f"shard-p{jax.process_index()}-%06d.tar"
     ex = FeatureExtractor(
         sampler, encode_images, encode_captions,
-        output_dir=params.r2_dataset_folder or "features",
+        output_dir=("features" if params.r2_upload_key
+                    else params.r2_dataset_folder or "features"),
         shard_size=params.r2_upload_shard_size or 1000,
         vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size)
-    return ex.run()
+        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+        upload_url_fn=upload_url_fn)
+    try:
+        return ex.run(shard_pattern=pattern)
+    finally:
+        stop = getattr(source, "stop", None)
+        if stop is not None:
+            stop()

@@ -95,6 +95,27 @@ def make_optimizer(params: TrainingParameters) -> optax.GradientTransformation:
         optax.clip_by_global_norm(params.max_grad_norm),   # trainer.py:347
         inner,
     )
+    if params.unfreeze_modules:
+        # partial-finetune mask (utils/patch_sana_attention_layers.py
+        # unfreeze_sana_blocks capability): only params whose dotted path
+        # contains one of the patterns receive updates
+        patterns = tuple(params.unfreeze_modules)
+
+        def mask_fn(tree):
+            def walk(node, path=""):
+                if isinstance(node, dict):
+                    return {k: walk(v, f"{path}.{k}" if path else k)
+                            for k, v in node.items()}
+                return any(p in path for p in patterns)
+            return walk(tree)
+
+        def inv_mask_fn(tree):
+            return jax.tree.map(lambda m: not m, mask_fn(tree))
+
+        # masked() leaves unmasked updates untouched, so the frozen
+        # complement must be explicitly zeroed
+        tx = optax.chain(optax.masked(tx, mask_fn),
+                         optax.masked(optax.set_to_zero(), inv_mask_fn))
     if params.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, params.gradient_accumulation_steps)
     return tx

@@ -31,6 +31,49 @@ def _model_kwargs(batch, extra_keys: Sequence[str]):
     return {k: batch[k] for k in extra_keys if k in batch}
 
 
+def _repa_head_params(variables):
+    """The generic-REPA projection head rides the trainable tree under the
+    reserved ``repa_head`` key (adapters when adapter training, else
+    params) — see Trainer.initialize."""
+    if "adapters" in variables and "repa_head" in variables["adapters"]:
+        return variables["adapters"]["repa_head"]
+    return variables["params"].get("repa_head")
+
+
+def _generic_repa_apply(model, variables, repa_cfg, args, kwargs):
+    """Forward with capture_intermediates on the REPA target modules
+    (the flax answer to common/repa.py:59-80's forward hooks); returns
+    (output, [token features per captured module])."""
+    from yat_tpu.ops.repa import _module_filter
+    out, state = model.apply(
+        variables, *args,
+        capture_intermediates=_module_filter(repa_cfg.target_modules),
+        mutable=["intermediates"], **kwargs)
+    feats = []
+    for leaf in jax.tree.leaves(state.get("intermediates", {})):
+        if not hasattr(leaf, "ndim"):
+            continue
+        if leaf.ndim == 4:                      # NHWC conv features → tokens
+            b, h, w, c = leaf.shape
+            leaf = leaf.reshape(b, h * w, c)
+        if leaf.ndim == 3:
+            feats.append(leaf)
+    return out, feats
+
+
+def _generic_repa_loss(model, variables, repa_cfg, batch, args, kwargs):
+    from yat_tpu.ops.repa import RepaMLP
+    out, feats = _generic_repa_apply(model, variables, repa_cfg, args,
+                                     kwargs)
+    head = _repa_head_params(variables)
+    if head is None or not feats:
+        return out, jnp.zeros((), jnp.float32)
+    mlp = RepaMLP(repa_cfg)
+    losses = [repa_alignment_loss(mlp.apply({"params": head}, f),
+                                  batch["repa_features"]) for f in feats]
+    return out, jnp.mean(jnp.stack(losses))
+
+
 def repa_alignment_loss(proj: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean-token MSE between projected model features and DINO tokens
     (/root/reference/common/repa.py:137-154 semantics).  Token counts are
@@ -51,7 +94,12 @@ def make_flow_matching_loss(
     extra_keys: Sequence[str] = (),
     snr_weighting: bool = False,
     repa_lambda: float = 0.0,
+    repa_cfg=None,
 ):
+    """``repa_lambda`` + in-model tap (return_repa) = the PixArt/PixelDiT
+    style; ``repa_lambda`` + ``repa_cfg`` (ops/repa.RepaConfig) = the
+    generic target-modules path of common/repa.py for models without a
+    built-in projector."""
     timestep_list = tuple(timestep_list) if timestep_list else None
 
     def task_loss(variables, batch, rng, deterministic: bool = True):
@@ -64,24 +112,29 @@ def make_flow_matching_loss(
         x_t = schedule.add_noise(latents, noise, sigmas)
         rngs = None if deterministic else {"dropout": k_d}
         use_repa = repa_lambda > 0.0 and "repa_features" in batch
-        out = model.apply(
-            variables, x_t, batch["embeddings"], timesteps,
-            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
-            return_repa=True if use_repa else False,
-            **_model_kwargs(batch, extra_keys)) if use_repa else model.apply(
-            variables, x_t, batch["embeddings"], timesteps,
-            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
-            **_model_kwargs(batch, extra_keys))
-        pred, repa_proj = out if use_repa else (out, None)
+        args = (x_t, batch["embeddings"], timesteps, batch.get("text_mask"))
+        kwargs = dict(deterministic=deterministic, rngs=rngs,
+                      **_model_kwargs(batch, extra_keys))
+        repa_term = None
+        if use_repa and repa_cfg is not None:
+            pred, repa_term = _generic_repa_loss(model, variables, repa_cfg,
+                                                 batch, args, kwargs)
+        elif use_repa:
+            pred, repa_proj = model.apply(variables, *args,
+                                          return_repa=True, **kwargs)
+            if repa_proj is not None:
+                repa_term = repa_alignment_loss(repa_proj,
+                                                batch["repa_features"])
+        else:
+            pred = model.apply(variables, *args, **kwargs)
         target = schedule.velocity_target(latents, noise)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
         if snr_weighting:
             w = (sigmas ** -2.0).reshape(b, *([1] * (latents.ndim - 1)))
             err = err * w
         loss = jnp.mean(err)
-        if use_repa and repa_proj is not None:
-            loss = loss + repa_lambda * repa_alignment_loss(
-                repa_proj, batch["repa_features"])
+        if repa_term is not None:
+            loss = loss + repa_lambda * repa_term
         return loss
 
     return task_loss
@@ -94,10 +147,12 @@ def make_epsilon_loss(
     extra_keys: Sequence[str] = (),
     learned_sigma: bool = False,
     repa_lambda: float = 0.0,
+    repa_cfg=None,
 ):
     """``learned_sigma`` slices the first half of the channel dim off the
     prediction before the MSE — the PixArt learned-variance head
-    (/root/reference/train_pixart_sigma.py:173-184 ``chunk(2, 1)[0]``)."""
+    (/root/reference/train_pixart_sigma.py:173-184 ``chunk(2, 1)[0]``).
+    ``repa_cfg`` enables the generic target-modules REPA path."""
     timestep_list = tuple(timestep_list) if timestep_list else None
 
     def task_loss(variables, batch, rng, deterministic: bool = True):
@@ -109,22 +164,28 @@ def make_epsilon_loss(
         x_t = schedule.add_noise(latents, noise, timesteps)
         rngs = None if deterministic else {"dropout": k_d}
         use_repa = repa_lambda > 0.0 and "repa_features" in batch
-        kwargs = _model_kwargs(batch, extra_keys)
-        if use_repa:
-            kwargs["return_repa"] = True
-        out = model.apply(
-            variables, x_t, batch["embeddings"], timesteps,
-            batch.get("text_mask"), deterministic=deterministic, rngs=rngs,
-            **kwargs)
-        pred, repa_proj = out if use_repa else (out, None)
+        args = (x_t, batch["embeddings"], timesteps, batch.get("text_mask"))
+        kwargs = dict(deterministic=deterministic, rngs=rngs,
+                      **_model_kwargs(batch, extra_keys))
+        repa_term = None
+        if use_repa and repa_cfg is not None:
+            pred, repa_term = _generic_repa_loss(model, variables, repa_cfg,
+                                                 batch, args, kwargs)
+        elif use_repa:
+            pred, repa_proj = model.apply(variables, *args,
+                                          return_repa=True, **kwargs)
+            if repa_proj is not None:
+                repa_term = repa_alignment_loss(repa_proj,
+                                                batch["repa_features"])
+        else:
+            pred = model.apply(variables, *args, **kwargs)
         if learned_sigma:
             pred = pred[..., :latents.shape[-1]]
         target = schedule.target(latents, noise, timesteps)
         loss = jnp.mean(
             (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
-        if use_repa and repa_proj is not None:
-            loss = loss + repa_lambda * repa_alignment_loss(
-                repa_proj, batch["repa_features"])
+        if repa_term is not None:
+            loss = loss + repa_lambda * repa_term
         return loss
 
     return task_loss

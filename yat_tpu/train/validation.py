@@ -21,12 +21,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yat_tpu.ops.sampling import make_cfg_denoiser, sample_ddim, sample_flow_match
+from yat_tpu.ops.sampling import (
+    make_cfg_denoiser,
+    make_pag_cfg_denoiser,
+    sample_ddim,
+    sample_dpm_solver_2m,
+    sample_flow_match,
+)
 from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
 
 
 class ValidationPipeline:
-    """Bundles denoiser + schedule + encoders/decoder into validate_fn."""
+    """Bundles denoiser + schedule + encoders/decoder into validate_fn.
+
+    Covers the per-family validation variants the reference implements in
+    each train_*.py: CFG for all, PAG for PixArt (pag_scale 2.0,
+    train_pixart_sigma.py:117-128), DPM-Solver++(2M) for PixelDiT
+    (train_pixeldit.py:187-237, ``sampler='dpm'``), and prompt enhancement
+    (SANA's complex_human_instruction, ``prompt_transform``).
+    """
 
     def __init__(
         self,
@@ -40,6 +53,10 @@ class ValidationPipeline:
         seed: int = 42,                       # train_sana.py:109
         active_timesteps: Optional[Sequence[int]] = None,
         extra_cond: Optional[Dict[str, jnp.ndarray]] = None,
+        pag_scale: float = 0.0,
+        sampler: str = "auto",                # auto | dpm
+        prompt_transform: Optional[Callable[[str], str]] = None,
+        pred_slice: Optional[int] = None,     # learned-sigma channel slice
     ):
         self.model = model
         self.schedule = schedule
@@ -52,6 +69,10 @@ class ValidationPipeline:
         self.active_timesteps = tuple(active_timesteps) \
             if active_timesteps else None
         self.extra_cond = extra_cond or {}
+        self.pag_scale = pag_scale
+        self.sampler = sampler
+        self.prompt_transform = prompt_transform
+        self.pred_slice = pred_slice
 
     # ------------------------------------------------------------------
     def _variables_for(self, trainer) -> Dict[str, Any]:
@@ -66,12 +87,25 @@ class ValidationPipeline:
         shape = (1, *self.latent_shape)
 
         def apply_fn(vs, x, timesteps, **kw):
-            return self.model.apply(vs, x, kw.pop("embeddings"), timesteps,
-                                    kw.pop("text_mask", None),
-                                    deterministic=True, **kw)
+            out = self.model.apply(vs, x, kw.pop("embeddings"), timesteps,
+                                   kw.pop("text_mask", None),
+                                   deterministic=True, **kw)
+            if self.pred_slice is not None:
+                # learned-sigma models: keep the epsilon half
+                # (train_pixart_sigma.py:173-184 chunk(2,1)[0])
+                out = out[..., :self.pred_slice]
+            return out
 
-        denoise = make_cfg_denoiser(apply_fn, variables, cond, uncond,
-                                    self.guidance_scale)
+        if self.pag_scale > 0.0:
+            denoise = make_pag_cfg_denoiser(apply_fn, variables, cond,
+                                            uncond, self.guidance_scale,
+                                            self.pag_scale)
+        else:
+            denoise = make_cfg_denoiser(apply_fn, variables, cond, uncond,
+                                        self.guidance_scale)
+        if self.sampler == "dpm":
+            return sample_dpm_solver_2m(denoise, shape, self.schedule,
+                                        self.num_steps, self.seed)
         if isinstance(self.schedule, FlowMatchSchedule):
             return sample_flow_match(
                 denoise, shape, self.schedule, self.num_steps, self.seed,
@@ -88,7 +122,9 @@ class ValidationPipeline:
         images: Dict[str, np.ndarray] = {}
         uncond_all = self.encode_prompts([""] * 1)
         for idx, prompt in enumerate(prompts):
-            cond = self.encode_prompts([prompt])
+            enhanced = self.prompt_transform(prompt) \
+                if self.prompt_transform else prompt
+            cond = self.encode_prompts([enhanced])
             cond = {**cond, **self.extra_cond}
             uncond = {**uncond_all, **self.extra_cond}
             latents = self._sample_latents(variables, cond, uncond)
@@ -102,6 +138,37 @@ class ValidationPipeline:
             img = np.clip((img + 1) / 2 if img.min() < -0.01 else img, 0, 1)
             images[f"validation/{idx}/{prompt}"] = img
         return images
+
+
+# SANA validation prompt enhancement (train_sana.py:113-129): the
+# complex-human-instruction preamble prepended to each validation prompt
+# before Gemma encoding.
+COMPLEX_HUMAN_INSTRUCTION = "\n".join([
+    "Given a user prompt, generate an 'Enhanced prompt' that provides "
+    "detailed visual descriptions suitable for image generation. Evaluate "
+    "the level of detail in the user prompt:",
+    "- If the prompt is simple, focus on adding specifics about colors, "
+    "shapes, sizes, textures, and spatial relationships to create vivid "
+    "and concrete scenes.",
+    "- If the prompt is already detailed, refine and enhance the existing "
+    "details slightly without overcomplicating.",
+    "Here are examples of how to transform or refine prompts:",
+    "- User Prompt: A cat sleeping -> Enhanced: A small, fluffy white cat "
+    "curled up in a round shape, sleeping peacefully on a warm sunny "
+    "windowsill, surrounded by pots of blooming red flowers.",
+    "- User Prompt: A busy city street -> Enhanced: A bustling city street "
+    "scene at dusk, featuring glowing street lamps, a diverse crowd of "
+    "people in colorful clothing, and a double-decker bus passing by "
+    "towering glass skyscrapers.",
+    "Please generate only the enhanced description for the prompt below "
+    "and avoid including any additional commentary or evaluations:",
+    "User Prompt: ",
+])
+
+
+def enhance_prompt(prompt: str) -> str:
+    """complex_human_instruction + prompt (train_sana.py:113-129)."""
+    return COMPLEX_HUMAN_INSTRUCTION + prompt
 
 
 def make_latent_decoder(vae, vae_variables) -> Callable:

@@ -99,9 +99,13 @@ def _fallback_compress(caption: str) -> List[str]:
     return phrases
 
 
-def compress_caption(caption: str, max_words: int = 60) -> str:
+def compress_caption(caption: str, max_words: int = 60,
+                     class_label: str = None, id_label: str = None) -> str:
     """Compress a long caption into comma-joined content phrases
-    (utils/compress_caption.py:6-94 behavior)."""
+    (utils/compress_caption.py:6-94 behavior).  With both ``class_label``
+    and ``id_label`` given, every occurrence of the class word is prefixed
+    with the Dreambooth identifier — '<class>' → '<id> <class>'
+    (reference :88-89)."""
     if not caption:
         return caption
     nlp = _get_nlp()
@@ -121,4 +125,7 @@ def compress_caption(caption: str, max_words: int = 60) -> str:
             break
         out.append(p)
         n_words += w
+    if class_label is not None and id_label is not None:
+        out = [p.replace(class_label, f"{id_label} {class_label}")
+               for p in out]
     return ", ".join(out) if out else caption
