@@ -168,6 +168,10 @@ def main():
         "remat": remat,
         "n_chips": n_chips,
         "device": str(jax.devices()[0].device_kind),
+        # analytic MFU: ~0.95 TFLOP/img fwd+bwd for SANA-0.6B at 512px
+        # (BASELINE.md) over v5e peak 197 bf16 TFLOPs — an estimate, not a
+        # trace measurement
+        "mfu_analytic": round(per_chip * 0.95 / 197.0, 3),
     }
     if kernel_rung is not None:
         out["kernel_rung_2048px"] = kernel_rung

@@ -183,8 +183,8 @@ class TestComfyUIExport:
                 ".lora_down.weight") in keys
         assert ("lora_unet_middle_block_1_transformer_blocks_2_attn2_to_out_0"
                 ".lora_up.weight") in keys
-        assert ("lora_unet_output_blocks_7_1_transformer_blocks_0_ff_proj"
-                ".alpha") in keys
+        assert ("lora_unet_output_blocks_7_1_transformer_blocks_0_ff"
+                "_net_0_proj.alpha") in keys
         # kohya layout: lora_down [r, in]
         assert out["lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_"
                    "to_q.lora_down.weight"].shape == (4, 8)

@@ -234,3 +234,170 @@ def test_klvae_attn_matches_torch():
     out = AttnBlock(dtype=jnp.float32).apply({"params": params},
                                              jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full SANA transformer block (flagship family)
+# ---------------------------------------------------------------------------
+
+def _torch_rms_lastdim(t, weight, eps=1e-6):
+    x = t.float()
+    return (x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)) * weight
+
+
+def test_sana_block_matches_torch():
+    """SanaBlock forward vs an independent torch implementation of the
+    diffusers SanaTransformerBlock semantics: per-block AdaLN table, ReLU
+    linear self-attention, RMS-qk softmax cross-attention, GLUMBConv FF."""
+    import dataclasses
+
+    from yat_tpu.models.sana import SANA_TINY_TEST, SanaBlock
+
+    cfg = dataclasses.replace(SANA_TINY_TEST, mlp_ratio=2.0)
+    d = cfg.hidden_dim                      # 64
+    hw = (2, 4)
+    n = hw[0] * hw[1]
+    b, lc = 2, 5
+    block = SanaBlock(cfg=cfg, hw=hw, dtype=jnp.float32)
+    rngv = np.random.default_rng(7)
+    x = rngv.standard_normal((b, n, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, 6, d)).astype(np.float32)
+    ctx = rngv.standard_normal((b, lc, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(cond), jnp.asarray(ctx), None)
+    P = variables["params"]
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    with torch.no_grad():
+        tx = torch.tensor(x)
+        tcond = torch.tensor(cond)
+        tctx = torch.tensor(ctx)
+        table = lin("scale_shift_table")                   # [6, d]
+        mod = table[None] + tcond
+        sh1, sc1, g1, sh2, sc2, g2 = [mod[:, i][:, None, :]
+                                      for i in range(6)]
+
+        # 1) ReLU linear self-attention (num/den normalizer)
+        h = F.layer_norm(tx, (d,))
+        h = h * (1 + sc1) + sh1
+        heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
+        q = F.relu(h @ lin("attn1.to_q.kernel")).reshape(b, n, heads, hd)
+        k = F.relu(h @ lin("attn1.to_k.kernel")).reshape(b, n, heads, hd)
+        v = (h @ lin("attn1.to_v.kernel")).reshape(b, n, heads, hd)
+        kv = torch.einsum("bnhd,bnhe->bhde", k, v)
+        num = torch.einsum("bnhd,bhde->bnhe", q, kv)
+        den = torch.einsum("bnhd,bhd->bnh", q, k.sum(1))[..., None]
+        att = (num / (den + 1e-15)).reshape(b, n, heads * hd)
+        h = att @ lin("attn1.to_out.kernel") + lin("attn1.to_out.bias")
+        tx = tx + g1 * h
+
+        # 2) softmax cross-attention with per-head RMS q/k norm
+        ch, chd = cfg.num_cross_attention_heads, cfg.cross_attention_head_dim
+        q = (tx @ lin("attn2.to_q.kernel") + lin("attn2.to_q.bias")
+             ).reshape(b, n, ch, chd)
+        k = (tctx @ lin("attn2.to_k.kernel") + lin("attn2.to_k.bias")
+             ).reshape(b, lc, ch, chd)
+        v = (tctx @ lin("attn2.to_v.kernel") + lin("attn2.to_v.bias")
+             ).reshape(b, lc, ch, chd)
+        q = _torch_rms_lastdim(q, lin("attn2.norm_q.scale"))
+        k = _torch_rms_lastdim(k, lin("attn2.norm_k.scale"))
+        logits = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(chd)
+        attn = torch.softmax(logits, -1)
+        y = torch.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, ch * chd)
+        y = y @ lin("attn2.to_out.kernel") + lin("attn2.to_out.bias")
+        tx = tx + y
+
+        # 3) GLUMBConv over the token grid
+        h = F.layer_norm(tx, (d,))
+        h = h * (1 + sc2) + sh2
+        hidden = int(d * cfg.mlp_ratio)
+        h = h @ lin("ff.conv_inverted.kernel") + lin("ff.conv_inverted.bias")
+        h = F.silu(h)
+        grid = h.reshape(b, *hw, hidden * 2).permute(0, 3, 1, 2)
+        wd = lin("ff.conv_depth.kernel").permute(3, 2, 0, 1)  # [O,1,3,3]
+        grid = F.conv2d(grid, wd, lin("ff.conv_depth.bias"), padding=1,
+                        groups=hidden * 2)
+        h = grid.permute(0, 2, 3, 1).reshape(b, n, hidden * 2)
+        a, g = torch.chunk(h, 2, dim=-1)
+        h = a * F.silu(g)
+        h = h @ lin("ff.conv_point.kernel")
+        ref = (tx + g2 * h).numpy()
+
+    out = block.apply(variables, jnp.asarray(x), jnp.asarray(cond),
+                      jnp.asarray(ctx), None)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full PixArt transformer block
+# ---------------------------------------------------------------------------
+
+def test_pixart_block_matches_torch():
+    """PixArtBlock vs torch: per-block table, softmax self-attention,
+    plain cross-attention, gelu-tanh MLP (diffusers BasicTransformerBlock
+    with ada_norm_single)."""
+    import dataclasses
+
+    from yat_tpu.models.pixart import PIXART_TINY_TEST, PixArtBlock
+
+    cfg = dataclasses.replace(PIXART_TINY_TEST, mlp_ratio=2.0)
+    d = cfg.hidden_dim                      # 32
+    n, b, lc = 8, 2, 5
+    block = PixArtBlock(cfg=cfg, hw=(2, 4), dtype=jnp.float32)
+    rngv = np.random.default_rng(8)
+    x = rngv.standard_normal((b, n, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, 6, d)).astype(np.float32)
+    ctx = rngv.standard_normal((b, lc, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(cond), jnp.asarray(ctx), None)
+    P = variables["params"]
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
+
+    def softmax_attn(xq, xkv, prefix):
+        nq, nk = xq.shape[1], xkv.shape[1]
+        q = (xq @ lin(f"{prefix}.to_q.kernel") + lin(f"{prefix}.to_q.bias")
+             ).reshape(b, nq, heads, hd)
+        k = (xkv @ lin(f"{prefix}.to_k.kernel") + lin(f"{prefix}.to_k.bias")
+             ).reshape(b, nk, heads, hd)
+        v = (xkv @ lin(f"{prefix}.to_v.kernel") + lin(f"{prefix}.to_v.bias")
+             ).reshape(b, nk, heads, hd)
+        logits = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+        y = torch.einsum("bhnm,bmhd->bnhd",
+                         torch.softmax(logits, -1), v)
+        y = y.reshape(b, nq, heads * hd)
+        return y @ lin(f"{prefix}.to_out.kernel") + \
+            lin(f"{prefix}.to_out.bias")
+
+    with torch.no_grad():
+        tx = torch.tensor(x)
+        tcond = torch.tensor(cond)
+        tctx = torch.tensor(ctx)
+        mod = lin("scale_shift_table")[None] + tcond
+        sh1, sc1, g1, sh2, sc2, g2 = [mod[:, i][:, None, :]
+                                      for i in range(6)]
+        h = F.layer_norm(tx, (d,))
+        h = h * (1 + sc1) + sh1
+        tx = tx + g1 * softmax_attn(h, h, "attn1")
+        tx = tx + softmax_attn(tx, tctx, "attn2")
+        h = F.layer_norm(tx, (d,))
+        h = h * (1 + sc2) + sh2
+        h = h @ lin("ff.fc1.kernel") + lin("ff.fc1.bias")
+        h = F.gelu(h, approximate="tanh")
+        h = h @ lin("ff.fc2.kernel") + lin("ff.fc2.bias")
+        ref = (tx + g2 * h).numpy()
+
+    out = block.apply(variables, jnp.asarray(x), jnp.asarray(cond),
+                      jnp.asarray(ctx), None)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)

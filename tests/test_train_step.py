@@ -240,3 +240,34 @@ def test_unfreeze_modules_masks_updates():
     upd, _ = tx.update(g, st, tree)
     assert np.allclose(np.asarray(upd["blocks_0"]["w"]), 0)
     assert not np.allclose(np.asarray(upd["blocks_1"]["w"]), 0)
+
+
+def test_warmup_compile_runs_from_run(tmp_path, capsys):
+    """warmup_compile pre-compiles every (bucket, caption-rung) program
+    from the production run() path (round-1: warmup_buckets had no
+    production caller)."""
+    from tests.test_frontends import TINY_DIT, write_shard
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.sana import make_trainer
+
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 16)
+    p = TrainingParameters.from_dict(dict(
+        local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
+        steps="1", num_steps_per_validation="100", validation_prompts=[],
+        output_dir=str(tmp_path / "models"), mesh_shape={"dp": "1"},
+        warmup_compile="1",
+        model_config_overrides={
+            **TINY_DIT, "num_cross_attention_heads": "2",
+            "cross_attention_head_dim": "16", "in_channels": "4",
+            "out_channels": "4", "sample_size": "8"}))
+    t = make_trainer(p)
+    # a tiny 2-bucket spec so the test compiles 2 programs, not ~40
+    t.warmup_spec = {
+        "aspect_ratios": {"1.0": (32, 32), "0.5": (32, 64)},
+        "vae_compression": 4, "latent_channels": 4,
+        "caption_len": 8, "caption_dim": 16,
+    }
+    t.run()
+    out = capsys.readouterr().out
+    assert "warmed 2 bucket programs" in out
+    assert t.global_step == 1

@@ -330,6 +330,13 @@ class FeatureBucketSampler:
                 yield from self._ingest(*buf.pop())
         while buf:
             yield from self._ingest(*buf.pop())
+        # source exhausted: partial buckets cannot fill — say so instead of
+        # dropping silently (matters for small local datasets)
+        leftover = {k: len(v) for k, v in self.buckets.items() if v}
+        if leftover:
+            n = sum(leftover.values())
+            print(f"[sampler] source exhausted; dropping {n} samples in "
+                  f"partial buckets {leftover}")
 
     def _ingest(self, key: str, latent, emb, pooled=None,
                 from_pt: bool = False) -> Iterator[Batch]:

@@ -58,8 +58,14 @@ def make_remote_source(params: TrainingParameters, per_host: bool = True):
 def build_feature_sampler(params: TrainingParameters, max_caption_len: int,
                           resolution: int = 512):
     if params.local_shard_paths:
-        source = LocalShardSource(params.local_shard_paths,
-                                  seed=params.dataset_seed)
+        paths = list(params.local_shard_paths)
+        if jax.process_count() > 1 and len(paths) >= jax.process_count():
+            # per-host shard assignment (trainer.py:66-84) — without it
+            # every host would train identical local data
+            rng = shard_range_for_host(len(paths))
+            paths = [paths[i] for i in rng]
+        from yat_tpu.parallel.multihost import host_seed
+        source = LocalShardSource(paths, seed=host_seed(params.dataset_seed))
     elif params.urls:
         from yat_tpu.data.sampler import UrlShardSource
         source = UrlShardSource(params.urls, seed=params.dataset_seed,
