@@ -176,6 +176,10 @@ class PixArtTransformer2D(nn.Module):
 
         x = PatchEmbed(c.hidden_dim, patch_size=p, dtype=self.dtype,
                        name="pos_embed")(latents.astype(self.dtype))
+        # token-dim sequence sharding over the mesh 'sp' axis (no-op
+        # without one)
+        from yat_tpu.parallel.mesh import constrain_tokens
+        x = constrain_tokens(x)
 
         t_emb = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,
                                  name="time_embed")(timesteps)

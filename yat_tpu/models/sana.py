@@ -146,6 +146,11 @@ class SanaTransformer2D(nn.Module):
 
         x = PatchEmbed(c.hidden_dim, patch_size=p, dtype=self.dtype,
                        name="patch_embed")(latents.astype(self.dtype))
+        # sequence parallelism: token dim shards over the mesh 'sp' axis
+        # when one exists (no-op otherwise) — GSPMD carries the sharding
+        # through the blocks and inserts attention's collectives
+        from yat_tpu.parallel.mesh import constrain_tokens
+        x = constrain_tokens(x)
 
         # timestep conditioning → 6-way modulation shared by all blocks
         t_emb = TimestepEmbedder(c.hidden_dim, dtype=jnp.float32,

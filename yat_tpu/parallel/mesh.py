@@ -24,26 +24,58 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("dp", "fsdp", "tp")
+MESH_AXES = ("dp", "fsdp", "tp", "sp")
 DATA_AXES = ("dp", "fsdp")     # batch dimension shards over both
 
 
 def create_mesh(mesh_shape: Optional[Dict[str, int]] = None,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a mesh; default is all devices on 'dp'."""
+    """Build a mesh; default is all devices on 'dp'.  The optional 'sp'
+    axis shards the TOKEN dimension of activations (sequence parallelism —
+    see constrain_tokens)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if not mesh_shape:
         mesh_shape = {"dp": n}
     shape = {ax: int(mesh_shape.get(ax, 1)) for ax in MESH_AXES}
-    total = shape["dp"] * shape["fsdp"] * shape["tp"]
+    total = 1
+    for ax in MESH_AXES:
+        total *= shape[ax]
     if total > n:
         raise ValueError(
             f"mesh shape {mesh_shape} needs {total} devices, have {n}")
     # an explicit smaller mesh uses a device subset (debug / tests)
     arr = np.asarray(devices[:total]).reshape(
-        shape["dp"], shape["fsdp"], shape["tp"])
+        *(shape[ax] for ax in MESH_AXES))
     return Mesh(arr, MESH_AXES)
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism: token-dimension sharding inside the jitted step.
+# The model calls constrain_tokens on its [B, N, D] activations; GSPMD then
+# keeps the token dim sharded over 'sp' through every elementwise op and
+# inserts the collectives attention needs (all-gather of K/V for softmax,
+# partial-sum reduce for ReLU linear attention).  Set by the Trainer before
+# tracing; a no-op when the active mesh has no sp axis.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def constrain_tokens(x, axis: str = "sp"):
+    """Shard the token dim of [B, N, ...] activations over ``axis``."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.shape.get(axis, 1) <= 1:
+        return x
+    if x.ndim < 2 or x.shape[1] % mesh.shape[axis] != 0:
+        return x
+    spec = P(DATA_AXES, axis)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

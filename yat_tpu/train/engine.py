@@ -157,6 +157,11 @@ class Trainer:
                                                         bits=bits)
             print(f"base model quantized to int{bits}")
 
+        # expose the mesh to constrain_tokens (sequence parallelism) for
+        # every trace made from here on
+        from yat_tpu.parallel.mesh import set_active_mesh
+        set_active_mesh(self.mesh)
+
         self.tx = make_optimizer(params)
         state = create_train_state(
             base_params, self.tx, adapters=adapters,
