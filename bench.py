@@ -222,6 +222,10 @@ def measure_cache_encode(n_images: int = 64, batch: int = 8) -> float:
     })
     cfg = build_sana_config(params)
     encode_images, encode_captions, _ = build_encoders(params, cfg)
+    # warm the encoder compiles so the metric measures steady state, not
+    # the one-time (remote) compilation of DC-AE + Gemma
+    encode_images(np.zeros((batch, 512, 512, 3), np.float32))
+    encode_captions(["warmup caption"] * batch)
     sampler = ImageBucketSampler(
         LocalShardSource([shard], seed=0), batch,
         bin_for_resolution(512), seed=0)

@@ -397,3 +397,32 @@ def test_run_feature_extraction_r2_source(tmp_path, monkeypatch):
     n = run_feature_extraction(t)
     assert n == 4
     assert calls and "imgs-000.tar" in calls[0]    # r2_tar_files honored
+
+
+def test_feature_cache_save_to_disk_replays(tmp_path):
+    """save_to_disk (common/cache.py semantics): the first pass persists
+    encoded batches; after source exhaustion later epochs replay from disk
+    without re-encoding."""
+    from yat_tpu.data.sampler import Batch
+    from yat_tpu.train.encode import FeatureCache
+
+    encode_calls = []
+
+    def gen():
+        for i in range(3):
+            encode_calls.append(i)
+            yield Batch(ratio="1.0", latents=np.full((1, 2, 2, 1), i,
+                                                     np.float32),
+                        embeddings=np.zeros((1, 4, 8), np.float32),
+                        text_mask=np.ones((1, 4), np.int32))
+
+    cache = FeatureCache(gen(), cache_size=4, save_to_disk=True,
+                         cache_dir=str(tmp_path / "cache"))
+    first = [float(b.latents[0, 0, 0, 0]) for b in cache]
+    assert first == [0.0, 1.0, 2.0]
+    assert len(encode_calls) == 3
+    # second epoch: replay from disk, no new encode work
+    second = [float(b.latents[0, 0, 0, 0]) for b in cache]
+    assert second == first
+    assert len(encode_calls) == 3
+    assert second and cache._disk_complete

@@ -158,6 +158,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     params = TrainingParameters.read_yaml(args.config)
     sources = args.sources or params.urls or params.local_shard_paths or []
+    if not sources and params.r2_endpoint and params.r2_tar_files:
+        # presigned GET urls for the configured R2 tar list
+        # (generate_shards.py:27 / cloudflare.get_secured_urls parity)
+        from yat_tpu.data.r2 import get_secured_urls
+        sources = get_secured_urls(
+            params.r2_access_key, params.r2_secret_key, params.r2_endpoint,
+            params.r2_bucket_name, params.r2_tar_files)
     if not sources and params.huggingface_dataset_repo:
         sources = list_hf_dataset_urls(params.huggingface_dataset_repo)
     uploader = None

@@ -340,21 +340,23 @@ def build_clip_vae_encoders(params: TrainingParameters,
 
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size, max_length=ml)
-    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
-                                             method=vae.encode_mode))
-    encode_txt = jax.jit(lambda ids: te.apply(te_vars, ids))
-    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+    # weight trees travel as ARGUMENTS, not closures: closed-over trees
+    # lower as baked-in constants and blow up the axon remote-compile body
+    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
+                                                method=vae.encode_mode))
+    encode_txt = jax.jit(lambda v, ids: te.apply(v, ids))
+    decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
         import numpy as np
-        return np.asarray(encode_img(jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
 
     def encode_captions(captions):
         import numpy as np
         caps = [compress_caption(c) for c in captions] if compress \
             else list(captions)
         ids, mask = tokenize(caps, max_length=ml)
-        hidden, _ = encode_txt(jnp.asarray(ids))
+        hidden, _ = encode_txt(te_vars, jnp.asarray(ids))
         # CLIP consumes the full 77 tokens (no mask compression)
         return [np.asarray(hidden[i]) for i in range(hidden.shape[0])]
 
@@ -363,10 +365,13 @@ def build_clip_vae_encoders(params: TrainingParameters,
         caps = [compress_caption(c) for c in captions] if compress \
             else list(captions)
         ids, _ = tokenize(caps, max_length=ml)
-        _, pooled = encode_txt(jnp.asarray(ids))
+        _, pooled = encode_txt(te_vars, jnp.asarray(ids))
         return np.asarray(pooled)
 
-    return encode_images, encode_captions, encode_pooled, decode
+    def decode_latents(z):
+        return decode(vae_vars, z)
+
+    return encode_images, encode_captions, encode_pooled, decode_latents
 
 
 def build_t5_vae_encoders(params: TrainingParameters,
@@ -411,21 +416,25 @@ def build_t5_vae_encoders(params: TrainingParameters,
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=max_caption_len)
-    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
-                                             method=vae.encode_mode))
-    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
-    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+    # weight trees as arguments (see build_clip_vae_encoders note)
+    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
+                                                method=vae.encode_mode))
+    encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
+    decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
         import numpy as np
-        return np.asarray(encode_img(jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=max_caption_len)
-        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    return encode_images, encode_captions, decode
+    def decode_latents(z):
+        return decode(vae_vars, z)
+
+    return encode_images, encode_captions, decode_latents
 
 
 def dino_token_dim(params: TrainingParameters) -> int:
@@ -465,13 +474,11 @@ def build_dino_encoder(params: TrainingParameters):
         variables = {"params": merge_into(
             variables["params"], convert_dinov2(sd, cfg.num_layers))}
 
-    @jax.jit
-    def run(images):
-        return dino.apply(variables, preprocess_for_dino(
-            images, size=cfg.image_size))
+    run = jax.jit(lambda v, images: dino.apply(
+        v, preprocess_for_dino(images, size=cfg.image_size)))
 
     def encode_repa(images):
-        return np.asarray(run(jnp.asarray(images)))
+        return np.asarray(run(variables, jnp.asarray(images)))
 
     grid = cfg.image_size // cfg.patch_size
     encode_repa.grid_hw = (grid, grid)

@@ -62,20 +62,23 @@ def _build_flux_encoders(params: TrainingParameters):
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=FLUX_CAPTION_LEN)
-    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
-                                             method=vae.encode_mode))
-    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
-    decode = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
+                                                method=vae.encode_mode))
+    encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
+    decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
-        return np.asarray(encode_img(jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
-        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    return encode_images, encode_captions, decode
+    def decode_latents(z):
+        return decode(vae_vars, z)
+
+    return encode_images, encode_captions, decode_latents
 
 
 def _build_flux_compute_features(params: TrainingParameters, holder: dict):
@@ -163,6 +166,19 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
         padded, _ = pad_embeddings(embs, FLUX_CAPTION_LEN)
         return jnp.asarray(padded)
 
+    import jax
+
+    res = params.aspect_ratios or 1024
+    gh = gw = res // 16                # 8x VAE then 2x2 patchify
+
+    # variables/conditioning as jit ARGUMENTS (no baked-in weight trees)
+    @jax.jit
+    def _sample(variables, emb, uncond):
+        tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
+                             uncond_emb=uncond,
+                             guidance_scale=7.0, num_steps=20)
+        return unpatchify_latents(unpack_latents(tokens, (gh, gw)))
+
     def validate_fn(trainer):
         prompts = trainer.params.validation_prompts or []
         if not prompts:
@@ -170,16 +186,11 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
         state = trainer.state
         variables = state.variables(trainable=state.ema) \
             if state.ema is not None else state.variables()
-        res = params.aspect_ratios or 1024
-        gh = gw = res // 16            # 8x VAE then 2x2 patchify
         uncond = encode([""])
         images = {}
         for idx, prompt in enumerate(prompts):
             emb = encode([prompt])
-            tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
-                                 uncond_emb=uncond,
-                                 guidance_scale=7.0, num_steps=20)
-            lat = unpatchify_latents(unpack_latents(tokens, (gh, gw)))
+            lat = _sample(variables, emb, uncond)
             img = np.asarray(holder["decode_latents"](lat))[0]
             images[f"validation/{idx}/{prompt}"] = np.clip((img + 1) / 2,
                                                            0, 1)

@@ -123,21 +123,25 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=cfg.max_caption_len)
-    encode_img = jax.jit(lambda x: vae.apply(vae_vars, x,
-                                             method=vae.encode_mode))
-    encode_txt = jax.jit(lambda ids, mask: te.apply(te_vars, ids, mask))
+    # weight trees as arguments: closed-over trees lower as baked-in
+    # constants and blow up the axon remote-compile request body
+    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
+                                                method=vae.encode_mode))
+    encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
+    decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images: "np.ndarray"):
         import numpy as np
-        return np.asarray(encode_img(jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
-        hidden = encode_txt(jnp.asarray(ids), jnp.asarray(mask))
+        hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    decode_latents = jax.jit(lambda z: vae.apply(vae_vars, z,
-                                                 method=vae.decode))
+    def decode_latents(z):
+        return decode(vae_vars, z)
+
     return encode_images, encode_captions, decode_latents
 
 

@@ -68,15 +68,15 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
                 vae_vars["params"], convert_vae_kl(
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
-    encode_img_fn = jax.jit(lambda x: vae.apply(vae_vars, x,
-                                                method=vae.encode_mode))
-    dec_fn = jax.jit(lambda z: vae.apply(vae_vars, z, method=vae.decode))
+    encode_img_fn = jax.jit(lambda v, x: vae.apply(
+        v, x, method=vae.encode_mode))
+    dec_fn = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def enc_img(images):
-        return np.asarray(encode_img_fn(jnp.asarray(images)))
+        return np.asarray(encode_img_fn(vae_vars, jnp.asarray(images)))
 
     def dec(z):
-        return np.asarray(dec_fn(jnp.asarray(z)))
+        return np.asarray(dec_fn(vae_vars, jnp.asarray(z)))
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     t5 = T5Encoder(cfg=T5_TINY_TEST if tiny else T5_XXL, dtype=jnp.float32)
@@ -98,13 +98,13 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
                                  subfolder="tokenizer_3",
                                  vocab_size=t5.cfg.vocab_size,
                                  max_length=t5_len)
-    encode_t5 = jax.jit(lambda ids, mask: t5.apply(t5_vars, ids, mask))
+    encode_t5 = jax.jit(lambda v, ids, mask: t5.apply(v, ids, mask))
 
     def encode_captions(captions):
         import numpy as np
         clip = enc_clip_cap(captions)          # list [77, d_clip]
         ids, mask = tokenize_t5(list(captions), max_length=t5_len)
-        t5_hidden = encode_t5(jnp.asarray(ids), jnp.asarray(mask))
+        t5_hidden = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
         t5_list = compress_embeddings(t5_hidden, mask)
         out = []
         width = cfg.caption_dim

@@ -66,7 +66,7 @@ def build_sdxl_encoders(params: TrainingParameters):
     tokenize2 = load_tokenizer(params.pretrained_pipe_path,
                                subfolder="tokenizer_2",
                                vocab_size=te2_cfg.vocab_size, max_length=ml)
-    encode2 = jax.jit(lambda ids: te2.apply(te2_vars, ids))
+    encode2 = jax.jit(lambda v, ids: te2.apply(v, ids))
 
     from yat_tpu.utils.compress_caption import compress_caption
 
@@ -75,7 +75,7 @@ def build_sdxl_encoders(params: TrainingParameters):
         h1 = enc_cap1(captions)                           # list of [L, 768]
         caps = [compress_caption(c) for c in captions]
         ids, _ = tokenize2(caps, max_length=ml)
-        h2, _ = encode2(jnp.asarray(ids))                 # [B, L, 1280]
+        h2, _ = encode2(te2_vars, jnp.asarray(ids))       # [B, L, 1280]
         return [np.concatenate([np.asarray(h1[i]), np.asarray(h2[i])], -1)
                 for i in range(len(captions))]
 
@@ -83,7 +83,7 @@ def build_sdxl_encoders(params: TrainingParameters):
         import numpy as np
         caps = [compress_caption(c) for c in captions]
         ids, _ = tokenize2(caps, max_length=ml)
-        _, pooled = encode2(jnp.asarray(ids))
+        _, pooled = encode2(te2_vars, jnp.asarray(ids))
         return np.asarray(pooled)
 
     return enc_img, encode_captions, encode_pooled, dec

@@ -68,13 +68,17 @@ def set_active_mesh(mesh: Optional[Mesh]) -> None:
 
 
 def constrain_tokens(x, axis: str = "sp"):
-    """Shard the token dim of [B, N, ...] activations over ``axis``."""
+    """Shard the token dim of [B, N, ...] activations over ``axis``.
+
+    The batch dim stays UNCONSTRAINED so the same model code serves both
+    training (batch sharded over dp/fsdp) and validation (tiny CFG-doubled
+    batches that don't divide the data axes)."""
     mesh = _ACTIVE_MESH
     if mesh is None or mesh.shape.get(axis, 1) <= 1:
         return x
     if x.ndim < 2 or x.shape[1] % mesh.shape[axis] != 0:
         return x
-    spec = P(DATA_AXES, axis)
+    spec = P(P.UNCONSTRAINED, axis)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 

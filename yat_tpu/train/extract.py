@@ -201,7 +201,6 @@ def run_feature_extraction(trainer) -> int:
         from yat_tpu.data.r2 import R2Client
         client = R2Client(params.r2_access_key, params.r2_secret_key,
                           params.r2_endpoint)
-        pi = jax.process_index()
 
         def upload_url_fn(path, index):
             name = os.path.basename(path)

@@ -73,6 +73,10 @@ class ValidationPipeline:
         self.sampler = sampler
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
+        # one jitted program reused across prompts/steps; variables and
+        # conditioning are ARGUMENTS so big weight trees never lower as
+        # baked-in constants (the axon remote-compile body limit)
+        self._jit_sample = jax.jit(self._sample_impl)
 
     # ------------------------------------------------------------------
     def _variables_for(self, trainer) -> Dict[str, Any]:
@@ -84,6 +88,9 @@ class ValidationPipeline:
         return state.variables()
 
     def _sample_latents(self, variables, cond, uncond) -> jnp.ndarray:
+        return self._jit_sample(variables, cond, uncond)
+
+    def _sample_impl(self, variables, cond, uncond) -> jnp.ndarray:
         shape = (1, *self.latent_shape)
 
         def apply_fn(vs, x, timesteps, **kw):
@@ -172,10 +179,8 @@ def enhance_prompt(prompt: str) -> str:
 
 
 def make_latent_decoder(vae, vae_variables) -> Callable:
-    """VAE decode → [-1,1] images (train_sana.py:152-156)."""
-
-    @jax.jit
-    def decode(latents):
-        return vae.apply(vae_variables, latents, method=vae.decode)
-
-    return decode
+    """VAE decode → [-1,1] images (train_sana.py:152-156).  Variables ride
+    as a jit argument (no baked-in weight constants)."""
+    fn = jax.jit(lambda v, latents: vae.apply(v, latents,
+                                              method=vae.decode))
+    return lambda latents: fn(vae_variables, latents)
