@@ -401,3 +401,51 @@ def test_pixart_block_matches_torch():
     out = block.apply(variables, jnp.asarray(x), jnp.asarray(cond),
                       jnp.asarray(ctx), None)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# DC-AE resample blocks (pixel-(un)shuffle + residual shortcuts)
+# ---------------------------------------------------------------------------
+
+def test_dcae_downsample_matches_torch():
+    """conv → pixel_unshuffle + channel-group-averaged shortcut, matching
+    torch's channel-major pixel_unshuffle ordering (the efficientvit
+    PixelUnshuffleChannelAveragingDownSampleLayer semantics)."""
+    from yat_tpu.models.vae import DCDownsample
+    c_in, c_out = 4, 8
+    conv = tnn.Conv2d(c_in, c_out // 4, 3, padding=1)
+    x = np.random.default_rng(9).standard_normal((2, 8, 8, c_in)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        y = F.pixel_unshuffle(conv(t), 2)
+        sc = F.pixel_unshuffle(t, 2)                 # (B, 4*c_in, H/2, W/2)
+        g = sc.shape[1] // c_out
+        sc = sc.unflatten(1, (c_out, g)).mean(2)
+        ref = _nhwc(y + sc)
+
+    params = {"conv": {"kernel": _to_flax_conv(conv.weight),
+                       "bias": conv.bias.detach().numpy()}}
+    out = DCDownsample(c_out).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_dcae_upsample_matches_torch():
+    """conv → pixel_shuffle + channel-duplication shortcut
+    (repeat_interleave then torch pixel_shuffle)."""
+    from yat_tpu.models.vae import DCUpsample
+    c_in, c_out = 8, 4
+    conv = tnn.Conv2d(c_in, c_out * 4, 3, padding=1)
+    x = np.random.default_rng(10).standard_normal((2, 4, 4, c_in)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = _nchw(x)
+        y = F.pixel_shuffle(conv(t), 2)
+        rep = (c_out * 4) // c_in
+        sc = F.pixel_shuffle(t.repeat_interleave(rep, dim=1), 2)
+        ref = _nhwc(y + sc)
+
+    params = {"conv": {"kernel": _to_flax_conv(conv.weight),
+                       "bias": conv.bias.detach().numpy()}}
+    out = DCUpsample(c_out).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)

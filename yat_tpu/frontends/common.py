@@ -504,8 +504,7 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
     bins = bin_for_resolution(params.aspect_ratios or resolution)
     images = ImageBucketSampler(
         LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
-        params.batch_size, bins, seed=params.dataset_seed,
-        bucket_repeat=params.bucket_repeat)
+        params.batch_size, bins, seed=params.dataset_seed)
     cb = None
     if params.caption_length_bucketing:
         from yat_tpu.data.sampler import caption_length_buckets
@@ -516,7 +515,7 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
         encode_pooled=encode_pooled, caption_buckets=cb,
-        encode_repa=encode_repa)
+        encode_repa=encode_repa, repeat=params.bucket_repeat)
     return FeatureCache(encoded, cache_size=max(
         1, params.cache_size // params.batch_size),
         save_to_disk=params.save_to_disk)

@@ -160,8 +160,7 @@ def build_compute_features_sampler(params: TrainingParameters,
         from yat_tpu.frontends.common import make_remote_source
         source = make_remote_source(params)
     images = ImageBucketSampler(source, params.batch_size, bins,
-                                seed=params.dataset_seed,
-                                bucket_repeat=params.bucket_repeat)
+                                seed=params.dataset_seed)
     encode_images, encode_captions, decode_latents = \
         build_encoders(params, cfg)
     trainer_holder["encode_images"] = encode_images
@@ -175,7 +174,7 @@ def build_compute_features_sampler(params: TrainingParameters,
         images, encode_images, encode_captions, cfg.max_caption_len,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_repa=encode_repa)
+        encode_repa=encode_repa, repeat=params.bucket_repeat)
     return FeatureCache(encoded, cache_size=max(1, params.cache_size
                                                 // params.batch_size),
                         save_to_disk=params.save_to_disk)

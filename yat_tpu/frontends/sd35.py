@@ -37,10 +37,8 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     # alone
     import numpy as np
 
-    from yat_tpu.frontends.common import build_clip_vae_encoders
-    _, enc_clip_cap, enc_pool_g, _ = build_sdxl_encoders(params)
-    _, _, enc_pool_l, _ = build_clip_vae_encoders(
-        params, max_caption_len=77)
+    _, enc_clip_cap, enc_pool_g, _, enc_pool_l = build_sdxl_encoders(
+        params, return_pool_l=True)
 
     def enc_pool(captions):
         return np.concatenate([enc_pool_l(list(captions)),

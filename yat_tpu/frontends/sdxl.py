@@ -31,10 +31,12 @@ def make_time_ids(bucket_hw, batch_size: int) -> np.ndarray:
     return np.tile(row[None], (batch_size, 1))
 
 
-def build_sdxl_encoders(params: TrainingParameters):
+def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False):
     """Dual text encoders (CLIP-L hidden + CLIP-G penultimate, concatenated
     to 2048; pooled from CLIP-G) + KL-VAE — the SDXL prompt pipeline
-    (train_sdxl.py:60-73)."""
+    (train_sdxl.py:60-73).  ``return_pool_l`` appends the CLIP-L pooled
+    encoder (SD3.5 concatenates both pooled outputs) so callers don't have
+    to build a second CLIP-L stack."""
     import jax
 
     from yat_tpu.frontends.common import build_clip_vae_encoders
@@ -43,7 +45,8 @@ def build_sdxl_encoders(params: TrainingParameters):
     from yat_tpu.utils.tokenizer import load_tokenizer
 
     # TE1 (+VAE) rides the shared CLIP-L builder
-    enc_img, enc_cap1, _, dec = build_clip_vae_encoders(params, CLIP_MAX_LEN)
+    enc_img, enc_cap1, enc_pool_l, dec = build_clip_vae_encoders(
+        params, CLIP_MAX_LEN)
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     import dataclasses
@@ -86,6 +89,8 @@ def build_sdxl_encoders(params: TrainingParameters):
         _, pooled = encode2(te2_vars, jnp.asarray(ids))
         return np.asarray(pooled)
 
+    if return_pool_l:
+        return enc_img, encode_captions, encode_pooled, dec, enc_pool_l
     return enc_img, encode_captions, encode_pooled, dec
 
 

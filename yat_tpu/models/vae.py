@@ -396,17 +396,22 @@ class EfficientViTBlock(nn.Module):
 
 
 def _pixel_unshuffle(x, r=2):
+    """NHWC pixel-unshuffle with torch's CHANNEL-MAJOR output ordering
+    (out channel k = c*r^2 + i*r + j) so converted AutoencoderDC resample
+    convs see their training-time channel layout."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h // r, r, w // r, r, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r,
-                                                 r * r * c)
+    x = x.reshape(b, h // r, r, w // r, r, c)      # (b, H, i, W, j, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)              # (b, H, W, c, i, j)
+    return x.reshape(b, h // r, w // r, c * r * r)
 
 
 def _pixel_shuffle(x, r=2):
+    """Inverse of _pixel_unshuffle (torch channel-major ordering)."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h, w, r, r, c // (r * r))
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r,
-                                                 c // (r * r))
+    co = c // (r * r)
+    x = x.reshape(b, h, w, co, r, r)               # (b, h, w, c, i, j)
+    x = x.transpose(0, 1, 4, 2, 5, 3)              # (b, h, i, w, j, c)
+    return x.reshape(b, h * r, w * r, co)
 
 
 class DCDownsample(nn.Module):

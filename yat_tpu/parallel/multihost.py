@@ -72,6 +72,14 @@ class WindowedBucketSync:
     hosts; the sampler holds back draining buckets other hosts cannot fill
     and decrements the minimum as it drains between syncs.  Single-process
     runs never communicate.
+
+    Stream-length caveat: the k-th allgather rendezvous assumes every host
+    keeps ingesting.  In the training engine this holds — sources cycle (or
+    the run loop re-iterates finite samplers), so a host that exhausts one
+    pass re-enters ingestion and reaches the pending window.  Standalone
+    single-pass iteration over UNEQUAL finite streams can leave the longer
+    host blocked in its final allgather; give hosts equal-length streams
+    (per-host shard ranges do) or cycling sources for that usage.
     """
 
     def __init__(self, bucket_keys, window: int = 256):
@@ -85,6 +93,11 @@ class WindowedBucketSync:
         if jax.process_count() == 1:
             self.min_counts = dict(counts)
             return
+        if not self.min_counts:
+            # before the first allgather nothing is reconciled: hold back
+            # every canonical bucket (zeros) so hosts cannot drain-diverge
+            # during the first window
+            self.min_counts = {k: 0 for k in self.keys}
         if self._ingested % self.window != 0:
             return
         from jax.experimental import multihost_utils

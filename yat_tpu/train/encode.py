@@ -44,6 +44,7 @@ class OnTheFlyEncodingSampler:
         encode_repa: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         encode_pooled: Optional[Callable[[List[str]], np.ndarray]] = None,
         caption_buckets=None,
+        repeat: int = 1,
     ):
         self.image_sampler = image_sampler
         self.encode_images = encode_images
@@ -54,6 +55,10 @@ class OnTheFlyEncodingSampler:
         self.encode_repa = encode_repa
         self.encode_pooled = encode_pooled
         self.caption_buckets = caption_buckets
+        # bucket_repeat data reuse happens AFTER encoding (the reference
+        # re-serves cached feature batches, bucket_sampler_cache.py:115);
+        # repeating raw images upstream would re-run the VAE/TE N times
+        self.repeat = max(1, int(repeat))
 
     def _encode_batch(self, batch: Batch) -> Batch:
         images, captions = batch.images, batch.captions
@@ -82,7 +87,9 @@ class OnTheFlyEncodingSampler:
 
     def __iter__(self) -> Iterator[Batch]:
         for batch in self.image_sampler:
-            yield self._encode_batch(batch)
+            encoded = self._encode_batch(batch)
+            for _ in range(self.repeat):
+                yield encoded
 
     def stop(self):
         stop = getattr(self.image_sampler, "stop", None)
@@ -183,6 +190,9 @@ class FeatureCache:
         while not self._stop.is_set():
             item = self.q.get()
             if item is self._END:
+                # allow re-iteration (engine re-epochs finite sources):
+                # the next __iter__ starts a fresh worker pass
+                self._started = False
                 return
             if isinstance(item, Exception):
                 raise RuntimeError("encoding worker failed") from item

@@ -319,6 +319,10 @@ class Trainer:
             stop = getattr(self.sampler, "stop", None)
             if stop is not None:
                 stop()
+            # don't leak this trainer's mesh into later traces by other
+            # trainers in the same process
+            from yat_tpu.parallel.mesh import set_active_mesh
+            set_active_mesh(None)
 
     def _run_loop(self, sampler_iter, rng, accum, micro, pending_metrics,
                   t_start, t_last, profiling) -> None:

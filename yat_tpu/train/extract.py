@@ -88,6 +88,44 @@ class FeatureExtractor:
             embs.extend(self.encode_captions(captions[i:i + tb]))
         return latents, embs
 
+    def _prefetch(self, depth: int = 2):
+        """Host-side decode/bucketing of the NEXT batches overlaps the
+        device encode of the current one (the dual_gpu idea without a
+        second accelerator — bucket_sampler.py:560-627).  The worker stops
+        promptly when the consumer exits early (max_samples) instead of
+        decoding an infinite source forever behind a blocked q.put."""
+        import queue as _q
+        q: "_q.Queue[object]" = _q.Queue(maxsize=depth)
+        END = object()
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in self.sampler:
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except _q.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(END)
+            except Exception as e:  # noqa: BLE001
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     def run(self, shard_pattern: str = "shard-%06d.tar") -> int:
         import time
         os.makedirs(self.output_dir, exist_ok=True)
@@ -97,7 +135,7 @@ class FeatureExtractor:
         with ShardWriter(os.path.join(self.output_dir, shard_pattern),
                          maxcount=self.shard_size,
                          on_shard_complete=self._on_shard_complete) as w:
-            for batch in self.sampler:
+            for batch in self._prefetch():
                 latents, embs = self._encode_chunked(batch.images,
                                                      batch.captions)
                 for i in range(len(latents)):

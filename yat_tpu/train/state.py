@@ -102,11 +102,13 @@ def make_optimizer(params: TrainingParameters) -> optax.GradientTransformation:
         patterns = tuple(params.unfreeze_modules)
 
         def mask_fn(tree):
-            def walk(node, path=""):
+            # exact path-segment matching: 'blocks_1' unfreezes blocks_1
+            # only, never blocks_10..19 (substring matching did)
+            def walk(node, segs=()):
                 if isinstance(node, dict):
-                    return {k: walk(v, f"{path}.{k}" if path else k)
-                            for k, v in node.items()}
-                return any(p in path for p in patterns)
+                    return {k: walk(v, segs + (k,)) for k, v in node.items()}
+                dotted = ".".join(segs)
+                return any(p in segs or p == dotted for p in patterns)
             return walk(tree)
 
         def inv_mask_fn(tree):
