@@ -449,3 +449,381 @@ def test_dcae_upsample_matches_torch():
                        "bias": conv.bias.detach().numpy()}}
     out = DCUpsample(c_out).apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MMDiT joint block (SD3.5)
+# ---------------------------------------------------------------------------
+
+def _rms_heads(t, weight, eps=1e-6):
+    x = t.float()
+    return (x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)) * weight
+
+
+def test_mmdit_block_matches_torch():
+    """MMDiTBlock vs torch reference of the diffusers JointTransformerBlock:
+    AdaLN-zero per stream, joint attention over [context; image] with
+    per-head RMS qk norm, gelu-tanh FFs."""
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiTBlock
+
+    cfg = MMDIT_TINY_TEST
+    d = cfg.hidden_dim                  # 32
+    heads, hd = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    b, n_x, n_c = 2, 8, 5
+    block = MMDiTBlock(cfg=cfg, dtype=jnp.float32)
+    rngv = np.random.default_rng(11)
+    x = rngv.standard_normal((b, n_x, d)).astype(np.float32)
+    ctx = rngv.standard_normal((b, n_c, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(ctx), jnp.asarray(cond))
+    P = variables["params"]
+    # the zero-init modulation kernels make the block an identity; give
+    # them real values so the oracle exercises every term
+    rng2 = np.random.default_rng(12)
+
+    def randomize(tree):
+        return {k: randomize(v) if isinstance(v, dict) else
+                (0.2 * rng2.standard_normal(np.asarray(v).shape)
+                 ).astype(np.float32)
+                for k, v in tree.items()}
+
+    P = randomize(P)
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    def mods(tag, t_cond):
+        m = F.silu(t_cond) @ lin(f"{tag}.mod.kernel") + lin(f"{tag}.mod.bias")
+        return [p[:, None, :] for p in torch.chunk(m, 6, dim=-1)]
+
+    def qkv(h, tag, n):
+        q = (h @ lin(f"{tag}_to_q.kernel") + lin(f"{tag}_to_q.bias")
+             ).reshape(b, n, heads, hd)
+        k = (h @ lin(f"{tag}_to_k.kernel") + lin(f"{tag}_to_k.bias")
+             ).reshape(b, n, heads, hd)
+        v = (h @ lin(f"{tag}_to_v.kernel") + lin(f"{tag}_to_v.bias")
+             ).reshape(b, n, heads, hd)
+        q = _rms_heads(q, lin(f"{tag}_norm_q.scale"))
+        k = _rms_heads(k, lin(f"{tag}_norm_k.scale"))
+        return q, k, v
+
+    def ff(h, tag):
+        h = h @ lin(f"{tag}.fc1.kernel") + lin(f"{tag}.fc1.bias")
+        h = F.gelu(h, approximate="tanh")
+        return h @ lin(f"{tag}.fc2.kernel") + lin(f"{tag}.fc2.bias")
+
+    with torch.no_grad():
+        tx, tc = torch.tensor(x), torch.tensor(ctx)
+        tcond = torch.tensor(cond)
+        sx_sh, sx_sc, sx_g, mx_sh, mx_sc, mx_g = mods("x_mod", tcond)
+        sc_sh, sc_sc, sc_g, mc_sh, mc_sc, mc_g = mods("c_mod", tcond)
+        hx = F.layer_norm(tx, (d,)) * (1 + sx_sc) + sx_sh
+        hc = F.layer_norm(tc, (d,)) * (1 + sc_sc) + sc_sh
+        qx, kx, vx = qkv(hx, "x", n_x)
+        qc, kc, vc = qkv(hc, "c", n_c)
+        q = torch.cat([qc, qx], 1)
+        k = torch.cat([kc, kx], 1)
+        v = torch.cat([vc, vx], 1)
+        logits = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+        attn = torch.einsum("bhnm,bmhd->bnhd", torch.softmax(logits, -1), v)
+        attn = attn.reshape(b, n_c + n_x, d)
+        a_c, a_x = attn[:, :n_c], attn[:, n_c:]
+        tx = tx + sx_g * (a_x @ lin("x_to_out.kernel")
+                          + lin("x_to_out.bias"))
+        hx = F.layer_norm(tx, (d,)) * (1 + mx_sc) + mx_sh
+        tx = tx + mx_g * ff(hx, "x_ff")
+        tc = tc + sc_g * (a_c @ lin("c_to_out.kernel")
+                          + lin("c_to_out.bias"))
+        hc = F.layer_norm(tc, (d,)) * (1 + mc_sc) + mc_sh
+        tc = tc + mc_g * ff(hc, "c_ff")
+        ref_x, ref_c = tx.numpy(), tc.numpy()
+
+    out_x, out_c = block.apply({"params": P}, jnp.asarray(x),
+                               jnp.asarray(ctx), jnp.asarray(cond))
+    np.testing.assert_allclose(np.asarray(out_x), ref_x, rtol=2e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_c), ref_c, rtol=2e-4,
+                               atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# UNet resnet block with time embedding
+# ---------------------------------------------------------------------------
+
+def test_unet_time_resnet_matches_torch():
+    """TimeResnetBlock vs the diffusers ResnetBlock2D recipe: GroupNorm →
+    silu → conv1, + silu(temb) projection broadcast, GroupNorm → silu →
+    conv2, residual."""
+    from yat_tpu.models.unet import TimeResnetBlock
+    c, t_dim = 32, 16
+    norm1 = tnn.GroupNorm(32, c, eps=1e-5)
+    conv1 = tnn.Conv2d(c, c, 3, padding=1)
+    temb = tnn.Linear(t_dim, c)
+    norm2 = tnn.GroupNorm(32, c, eps=1e-5)
+    conv2 = tnn.Conv2d(c, c, 3, padding=1)
+    for m in (norm1, norm2):
+        tnn.init.normal_(m.weight)
+        tnn.init.normal_(m.bias)
+
+    x = np.random.default_rng(13).standard_normal((2, 6, 6, c)).astype(
+        np.float32)
+    t = np.random.default_rng(14).standard_normal((2, t_dim)).astype(
+        np.float32)
+    with torch.no_grad():
+        tt = _nchw(x)
+        h = conv1(F.silu(norm1(tt)))
+        h = h + temb(F.silu(torch.tensor(t)))[:, :, None, None]
+        h = conv2(F.silu(norm2(h)))
+        ref = _nhwc(tt + h)
+
+    params = {"norm1": {"scale": norm1.weight.detach().numpy(),
+                        "bias": norm1.bias.detach().numpy()},
+              "conv1": {"kernel": _to_flax_conv(conv1.weight),
+                        "bias": conv1.bias.detach().numpy()},
+              "time_emb_proj": {"kernel": _to_flax_lin(temb.weight),
+                                "bias": temb.bias.detach().numpy()},
+              "norm2": {"scale": norm2.weight.detach().numpy(),
+                        "bias": norm2.bias.detach().numpy()},
+              "conv2": {"kernel": _to_flax_conv(conv2.weight),
+                        "bias": conv2.bias.detach().numpy()}}
+    out = TimeResnetBlock(c, dtype=jnp.float32).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Flux double + single blocks
+# ---------------------------------------------------------------------------
+
+def _torch_rope_pairs(x, cos, sin):
+    """x [B, N, H, D] rotated pairwise (even/odd interleave), fp32."""
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = torch.stack([x1 * c - x2 * s, x1 * s + x2 * c], dim=-1)
+    return out.reshape(x.shape)
+
+
+def _sdpa(q, k, v, hd):
+    logits = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+    return torch.einsum("bhnm,bmhd->bnhd", torch.softmax(logits, -1), v)
+
+
+def test_flux_double_block_matches_torch():
+    """FluxDoubleBlock vs torch: dual-stream AdaLN, RMS qk norm, pairwise
+    RoPE over [text; image], joint attention, gelu-tanh FFs."""
+    import dataclasses
+
+    from yat_tpu.models.flux import (
+        FLUX_TINY_TEST, FluxDoubleBlock, latent_ids, rope_freqs, text_ids)
+
+    cfg = FLUX_TINY_TEST
+    d = cfg.hidden_dim
+    heads, hd = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    b, n_img, n_txt = 1, 16, 4
+    ids = jnp.concatenate([text_ids(n_txt), latent_ids(4, 4)], 0)
+    cos, sin = rope_freqs(ids, cfg.axes_dims, cfg.theta)
+    block = FluxDoubleBlock(cfg=cfg, dtype=jnp.float32)
+    rngv = np.random.default_rng(15)
+    img = rngv.standard_normal((b, n_img, d)).astype(np.float32)
+    txt = rngv.standard_normal((b, n_txt, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                           jnp.asarray(txt), jnp.asarray(cond), cos, sin)
+    rng2 = np.random.default_rng(16)
+
+    def randomize(tree):
+        return {k: randomize(v) if isinstance(v, dict) else
+                (0.2 * rng2.standard_normal(np.asarray(v).shape)
+                 ).astype(np.float32) for k, v in tree.items()}
+
+    P = randomize(variables["params"])
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    tcos = torch.tensor(np.asarray(cos))
+    tsin = torch.tensor(np.asarray(sin))
+
+    def mods(tag, t_cond, n=6):
+        m = F.silu(t_cond) @ lin(f"{tag}.lin.kernel") + lin(f"{tag}.lin.bias")
+        return [p[:, None, :] for p in torch.chunk(m, n, dim=-1)]
+
+    def qkv(h, tag, n):
+        q = (h @ lin(f"{tag}_to_q.kernel") + lin(f"{tag}_to_q.bias")
+             ).reshape(b, n, heads, hd)
+        k = (h @ lin(f"{tag}_to_k.kernel") + lin(f"{tag}_to_k.bias")
+             ).reshape(b, n, heads, hd)
+        v = (h @ lin(f"{tag}_to_v.kernel") + lin(f"{tag}_to_v.bias")
+             ).reshape(b, n, heads, hd)
+        q = _rms_heads(q, lin(f"{tag}_norm_q.scale"))
+        k = _rms_heads(k, lin(f"{tag}_norm_k.scale"))
+        return q, k, v
+
+    def ff(h, tag):
+        h = h @ lin(f"{tag}_1.kernel") + lin(f"{tag}_1.bias")
+        h = F.gelu(h, approximate="tanh")
+        return h @ lin(f"{tag}_2.kernel") + lin(f"{tag}_2.bias")
+
+    with torch.no_grad():
+        ti, tt = torch.tensor(img), torch.tensor(txt)
+        tcond = torch.tensor(cond)
+        i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = mods("img_mod", tcond)
+        t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = mods("txt_mod", tcond)
+        hi = F.layer_norm(ti, (d,)) * (1 + i_sc1) + i_sh1
+        ht = F.layer_norm(tt, (d,)) * (1 + t_sc1) + t_sh1
+        qi, ki, vi = qkv(hi, "img", n_img)
+        qt, kt, vt = qkv(ht, "txt", n_txt)
+        q = _torch_rope_pairs(torch.cat([qt, qi], 1), tcos, tsin)
+        k = _torch_rope_pairs(torch.cat([kt, ki], 1), tcos, tsin)
+        v = torch.cat([vt, vi], 1)
+        attn = _sdpa(q, k, v, hd).reshape(b, n_txt + n_img, d)
+        a_t, a_i = attn[:, :n_txt], attn[:, n_txt:]
+        ti = ti + i_g1 * (a_i @ lin("img_to_out.kernel")
+                          + lin("img_to_out.bias"))
+        hi = F.layer_norm(ti, (d,)) * (1 + i_sc2) + i_sh2
+        ti = ti + i_g2 * ff(hi, "img_ff")
+        tt = tt + t_g1 * (a_t @ lin("txt_to_out.kernel")
+                          + lin("txt_to_out.bias"))
+        ht = F.layer_norm(tt, (d,)) * (1 + t_sc2) + t_sh2
+        tt = tt + t_g2 * ff(ht, "txt_ff")
+        ref_i, ref_t = ti.numpy(), tt.numpy()
+
+    out_i, out_t = block.apply({"params": P}, jnp.asarray(img),
+                               jnp.asarray(txt), jnp.asarray(cond), cos, sin)
+    np.testing.assert_allclose(np.asarray(out_i), ref_i, rtol=3e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_t), ref_t, rtol=3e-4,
+                               atol=1e-3)
+
+
+def test_flux_single_block_matches_torch():
+    """FluxSingleBlock vs torch: fused qkv+mlp projection, parallel
+    attention + gelu MLP, fused output projection."""
+    from yat_tpu.models.flux import (
+        FLUX_TINY_TEST, FluxSingleBlock, latent_ids, rope_freqs)
+
+    cfg = FLUX_TINY_TEST
+    d = cfg.hidden_dim
+    heads, hd = cfg.num_heads, d // cfg.num_heads
+    mlp_dim = int(d * cfg.mlp_ratio)
+    b, n = 1, 16
+    cos, sin = rope_freqs(latent_ids(4, 4), cfg.axes_dims, cfg.theta)
+    block = FluxSingleBlock(cfg=cfg, dtype=jnp.float32)
+    rngv = np.random.default_rng(17)
+    x = rngv.standard_normal((b, n, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(cond), cos, sin)
+    rng2 = np.random.default_rng(18)
+
+    def randomize(tree):
+        return {k: randomize(v) if isinstance(v, dict) else
+                (0.2 * rng2.standard_normal(np.asarray(v).shape)
+                 ).astype(np.float32) for k, v in tree.items()}
+
+    P = randomize(variables["params"])
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    tcos = torch.tensor(np.asarray(cos))
+    tsin = torch.tensor(np.asarray(sin))
+    with torch.no_grad():
+        tx = torch.tensor(x)
+        tcond = torch.tensor(cond)
+        m = F.silu(tcond) @ lin("mod.lin.kernel") + lin("mod.lin.bias")
+        sh, sc, gate = [p[:, None, :] for p in torch.chunk(m, 3, -1)]
+        h = F.layer_norm(tx, (d,)) * (1 + sc) + sh
+        fused = h @ lin("linear1.kernel") + lin("linear1.bias")
+        q, k, v, mlp = torch.split(fused, [d, d, d, mlp_dim], -1)
+        q = _rms_heads(q.reshape(b, n, heads, hd), lin("norm_q.scale"))
+        k = _rms_heads(k.reshape(b, n, heads, hd), lin("norm_k.scale"))
+        v = v.reshape(b, n, heads, hd)
+        q = _torch_rope_pairs(q, tcos, tsin)
+        k = _torch_rope_pairs(k, tcos, tsin)
+        attn = _sdpa(q, k, v, hd).reshape(b, n, d)
+        out = torch.cat([attn, F.gelu(mlp, approximate="tanh")], -1)
+        out = out @ lin("linear2.kernel") + lin("linear2.bias")
+        ref = (tx + gate * out).numpy()
+
+    out = block.apply({"params": P}, jnp.asarray(x), jnp.asarray(cond),
+                      cos, sin)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# PixelDiT block
+# ---------------------------------------------------------------------------
+
+def test_pixeldit_block_matches_torch():
+    """PixelDiT DiTBlock vs torch: adaLN-zero modulation from the timestep
+    embedding, softmax self + cross attention, gelu-tanh MLP."""
+    from yat_tpu.models.pixeldit import DiTBlock
+
+    d, heads = 32, 2
+    hd = d // heads
+    b, n, lc = 2, 8, 5
+    block = DiTBlock(hidden_dim=d, num_heads=heads, mlp_ratio=2.0,
+                     dtype=jnp.float32)
+    rngv = np.random.default_rng(19)
+    x = rngv.standard_normal((b, n, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, d)).astype(np.float32)
+    ctx = rngv.standard_normal((b, lc, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(cond), jnp.asarray(ctx), None)
+    rng2 = np.random.default_rng(20)
+
+    def randomize(tree):
+        return {k: randomize(v) if isinstance(v, dict) else
+                (0.2 * rng2.standard_normal(np.asarray(v).shape)
+                 ).astype(np.float32) for k, v in tree.items()}
+
+    P = randomize(variables["params"])
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    def softmax_attn(xq, xkv, prefix, nq, nk):
+        q = (xq @ lin(f"{prefix}.to_q.kernel") + lin(f"{prefix}.to_q.bias")
+             ).reshape(b, nq, heads, hd)
+        k = (xkv @ lin(f"{prefix}.to_k.kernel") + lin(f"{prefix}.to_k.bias")
+             ).reshape(b, nk, heads, hd)
+        v = (xkv @ lin(f"{prefix}.to_v.kernel") + lin(f"{prefix}.to_v.bias")
+             ).reshape(b, nk, heads, hd)
+        y = _sdpa(q, k, v, hd).reshape(b, nq, d)
+        return y @ lin(f"{prefix}.to_out.kernel") + \
+            lin(f"{prefix}.to_out.bias")
+
+    with torch.no_grad():
+        tx = torch.tensor(x)
+        tcond = torch.tensor(cond)
+        tctx = torch.tensor(ctx)
+        m = F.silu(tcond) @ lin("mod.kernel") + lin("mod.bias")
+        sh1, sc1, g1, sh2, sc2, g2 = [p[:, None, :]
+                                      for p in torch.chunk(m, 6, -1)]
+        h = F.layer_norm(tx, (d,)) * (1 + sc1) + sh1
+        tx = tx + g1 * softmax_attn(h, h, "attn", n, n)
+        tx = tx + softmax_attn(tx, tctx, "cross_attn", n, lc)
+        h = F.layer_norm(tx, (d,)) * (1 + sc2) + sh2
+        h = h @ lin("ff.fc1.kernel") + lin("ff.fc1.bias")
+        h = F.gelu(h, approximate="tanh")
+        h = h @ lin("ff.fc2.kernel") + lin("ff.fc2.bias")
+        ref = (tx + g2 * h).numpy()
+
+    out = block.apply({"params": P}, jnp.asarray(x), jnp.asarray(cond),
+                      jnp.asarray(ctx), None)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=1e-3)
