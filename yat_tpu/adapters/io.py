@@ -95,12 +95,16 @@ def load_adapter_safetensors(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
             f"{dotted}.{leaf_name}",
             f"{dotted}.{suffix}",
         ]
-        torch_path = flax_to_diffusers(module, n_levels)
-        if torch_path is not None:
-            candidates += [
-                f"base_model.model.{torch_path}.{suffix}",
-                f"{torch_path}.{suffix}",
-            ]
+        # probe two level counts: the tree undercounts UNet levels when
+        # the deepest level has no adapted modules (SD1.5's attention-free
+        # level 3), which would flip the up-block index
+        for nl in (n_levels, n_levels + 1):
+            torch_path = flax_to_diffusers(module, nl)
+            if torch_path is not None:
+                candidates += [
+                    f"base_model.model.{torch_path}.{suffix}",
+                    f"{torch_path}.{suffix}",
+                ]
         arr = None
         for c in candidates:
             if c in tensors:

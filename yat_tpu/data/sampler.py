@@ -293,6 +293,7 @@ class FeatureBucketSampler:
         # each drained batch re-yielded N times (training_parameters_reader
         # .py:214-216 / bucket_sampler_cache.py:115 data-reuse semantics)
         self.bucket_repeat = max(1, int(bucket_repeat))
+        self._warned_keys: set = set()
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
@@ -330,13 +331,14 @@ class FeatureBucketSampler:
                 yield from self._ingest(*buf.pop())
         while buf:
             yield from self._ingest(*buf.pop())
-        # source exhausted: partial buckets cannot fill — say so instead of
-        # dropping silently (matters for small local datasets)
+        # source exhausted: partial buckets cannot fill this pass; they
+        # stay queued and emit once the next epoch tops them up (say so —
+        # matters when debugging coverage on small local datasets)
         leftover = {k: len(v) for k, v in self.buckets.items() if v}
         if leftover:
             n = sum(leftover.values())
-            print(f"[sampler] source exhausted; dropping {n} samples in "
-                  f"partial buckets {leftover}")
+            print(f"[sampler] source exhausted; holding {n} samples in "
+                  f"partial buckets {leftover} for the next pass")
 
     def _ingest(self, key: str, latent, emb, pooled=None,
                 from_pt: bool = False) -> Iterator[Batch]:
@@ -350,12 +352,25 @@ class FeatureBucketSampler:
                        if len(v) >= self.batch_size)
         if self.sync_hook is not None and ready:
             # multi-host holdback: only drain buckets every host can fill
-            # (WindowedBucketSync exposes the min counts across hosts);
-            # keys the sync has no verdict on yet drain locally
+            # (WindowedBucketSync exposes the min counts across hosts).
+            # Keys OUTSIDE the canonical set are never drained under sync —
+            # draining them locally would silently break the lockstep
+            # invariant; warn once so a bin-table/shard mismatch is visible
             mins = getattr(self.sync_hook, "min_counts", None)
+            canon = getattr(self.sync_hook, "keys", None)
             if mins:
-                ready = [k for k in ready
-                         if k not in mins or mins[k] >= self.batch_size]
+                kept = []
+                for k in ready:
+                    if canon is not None and k not in canon:
+                        if k not in self._warned_keys:
+                            self._warned_keys.add(k)
+                            print(f"[sampler] bucket key {k!r} is not in "
+                                  "the canonical sync table — holding it "
+                                  "(shard ratio keys vs bin table mismatch?)")
+                        continue
+                    if mins.get(k, 0) >= self.batch_size:
+                        kept.append(k)
+                ready = kept
         for k in ready:
             batch = self._emit(k)
             on_drain = getattr(self.sync_hook, "on_drain", None)

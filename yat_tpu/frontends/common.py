@@ -55,17 +55,22 @@ def make_remote_source(params: TrainingParameters, per_host: bool = True):
         seed=params.dataset_seed, process_index=jax.process_index())
 
 
+def make_local_source(params: TrainingParameters):
+    """Per-host local shard source: split the path list across hosts
+    (trainer.py:66-84) and decorrelate the per-host shuffle — without this
+    every host trains identical local data."""
+    paths = list(params.local_shard_paths)
+    if jax.process_count() > 1 and len(paths) >= jax.process_count():
+        rng = shard_range_for_host(len(paths))
+        paths = [paths[i] for i in rng]
+    from yat_tpu.parallel.multihost import host_seed
+    return LocalShardSource(paths, seed=host_seed(params.dataset_seed))
+
+
 def build_feature_sampler(params: TrainingParameters, max_caption_len: int,
                           resolution: int = 512):
     if params.local_shard_paths:
-        paths = list(params.local_shard_paths)
-        if jax.process_count() > 1 and len(paths) >= jax.process_count():
-            # per-host shard assignment (trainer.py:66-84) — without it
-            # every host would train identical local data
-            rng = shard_range_for_host(len(paths))
-            paths = [paths[i] for i in rng]
-        from yat_tpu.parallel.multihost import host_seed
-        source = LocalShardSource(paths, seed=host_seed(params.dataset_seed))
+        source = make_local_source(params)
     elif params.urls:
         from yat_tpu.data.sampler import UrlShardSource
         source = UrlShardSource(params.urls, seed=params.dataset_seed,
@@ -279,7 +284,8 @@ def override_config(cfg, overrides: dict):
 
 def build_clip_vae_encoders(params: TrainingParameters,
                             max_caption_len: int = 77,
-                            compress: bool = True):
+                            compress: bool = True,
+                            include_vae: bool = True):
     """CLIP-L + KL-VAE encoder callables for the SD1.5/SDXL frontends
     (extract_latents / extract_embeddings parity, train_sd15.py:52-78,
     incl. caption compression to fit CLIP-77 :66-78).
@@ -297,13 +303,15 @@ def build_clip_vae_encoders(params: TrainingParameters,
     from yat_tpu.utils.tokenizer import load_tokenizer
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
-    vae = AutoencoderKL(cfg=KLVAE_TINY_TEST if tiny else KLVAE_SD15)
+    vae = AutoencoderKL(cfg=KLVAE_TINY_TEST if tiny else KLVAE_SD15) \
+        if include_vae else None
     te = CLIPTextModel(cfg=CLIP_TINY_TEST if tiny else CLIP_L_14,
                        dtype=jnp.float32)
     rng = jax.random.PRNGKey(params.dataset_seed)
     px = 16 if tiny else 256
     ml = min(max_caption_len, te.cfg.max_length)
-    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3)))
+    vae_vars = vae.init(rng, jnp.zeros((1, px, px, 3))) if include_vae \
+        else None
     te_vars = te.init(rng, jnp.zeros((1, ml), jnp.int32))
 
     import os
@@ -320,7 +328,7 @@ def build_clip_vae_encoders(params: TrainingParameters,
             te_vars = {"params": merge_into(
                 te_vars["params"],
                 convert_clip_text(parts["clip"], te.cfg.num_layers))}
-        if parts["vae"]:
+        if parts["vae"] and include_vae:
             vae_vars = {"params": merge_into(
                 vae_vars["params"], convert_vae_compvis(
                     parts["vae"], vae.cfg.block_out_channels,
@@ -332,7 +340,7 @@ def build_clip_vae_encoders(params: TrainingParameters,
                 te_vars["params"], convert_clip_text(
                     load_torch_state_dict(te_dir), te.cfg.num_layers))}
         vae_dir = os.path.join(params.pretrained_pipe_path, "vae")
-        if os.path.isdir(vae_dir):
+        if os.path.isdir(vae_dir) and include_vae:
             vae_vars = {"params": merge_into(
                 vae_vars["params"], convert_vae_kl(
                     load_torch_state_dict(vae_dir),
@@ -342,10 +350,11 @@ def build_clip_vae_encoders(params: TrainingParameters,
                               vocab_size=te.cfg.vocab_size, max_length=ml)
     # weight trees travel as ARGUMENTS, not closures: closed-over trees
     # lower as baked-in constants and blow up the axon remote-compile body
-    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
-                                                method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids: te.apply(v, ids))
-    decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
+    if include_vae:
+        encode_img = jax.jit(lambda v, x: vae.apply(v, x,
+                                                    method=vae.encode_mode))
+        decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
         import numpy as np
@@ -367,6 +376,9 @@ def build_clip_vae_encoders(params: TrainingParameters,
         ids, _ = tokenize(caps, max_length=ml)
         _, pooled = encode_txt(te_vars, jnp.asarray(ids))
         return np.asarray(pooled)
+
+    if not include_vae:
+        return None, encode_captions, encode_pooled, None
 
     def decode_latents(z):
         return decode(vae_vars, z)
@@ -445,6 +457,23 @@ def dino_token_dim(params: TrainingParameters) -> int:
     return (DINOV2_TINY_TEST if tiny else DINOV2_VITB14).hidden_dim
 
 
+def dino_num_tokens(params: TrainingParameters) -> int:
+    """Patch-token count of the REPA encoder (256 for ViT-B/14 at 224)."""
+    from yat_tpu.models.dinov2 import DINOV2_TINY_TEST, DINOV2_VITB14
+    tiny = bool(params.model_config_overrides.get("tiny_encoders"))
+    cfg = DINOV2_TINY_TEST if tiny else DINOV2_VITB14
+    return (cfg.image_size // cfg.patch_size) ** 2
+
+
+def repa_warmup_fields(params: TrainingParameters) -> dict:
+    """warmup_spec additions so warmed programs include the REPA term
+    (without them the first real batch re-compiles every bucket)."""
+    if not params.use_repa:
+        return {}
+    return {"repa_tokens": dino_num_tokens(params),
+            "repa_dim": dino_token_dim(params)}
+
+
 def build_dino_encoder(params: TrainingParameters):
     """Frozen DINOv2 patch-token encoder for REPA targets
     (bucket_sampler.py:130-136,363-388: 224 bicubic + ImageNet norm →
@@ -503,7 +532,7 @@ def attach_compute_features(params: TrainingParameters, holder: dict,
         holder["encode_pooled"] = encode_pooled
     bins = bin_for_resolution(params.aspect_ratios or resolution)
     images = ImageBucketSampler(
-        LocalShardSource(params.local_shard_paths, seed=params.dataset_seed),
+        make_local_source(params),
         params.batch_size, bins, seed=params.dataset_seed)
     cb = None
     if params.caption_length_bucketing:

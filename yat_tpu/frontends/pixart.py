@@ -11,6 +11,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.pixart import PIXART_SIGMA_XL2, PixArtTransformer2D
 from yat_tpu.ops.schedulers import DDPMSchedule
@@ -76,6 +77,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "latent_channels": cfg.in_channels,
         "caption_len": cfg.max_caption_len,
         "caption_dim": cfg.caption_channels,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.pixeldit import PIXELDIT_BASE, PixelDiT
 from yat_tpu.ops.schedulers import FlowMatchSchedule
@@ -90,6 +91,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "latent_channels": cfg.in_channels,
         "caption_len": cfg.max_caption_len,
         "caption_dim": cfg.caption_channels,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)
@@ -115,6 +117,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
             # (train_pixeldit.py:231 add(1).div(2).clamp)
             decode_latents=lambda z: np.asarray(z),
             guidance_scale=4.0, num_steps=20,  # train_pixeldit.py:190
+            sampler="dpm",                     # DPM-Solver++ loop :198-228
             active_timesteps=params.timesteps or None)
     return trainer
 

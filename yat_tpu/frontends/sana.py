@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.data.bins import bin_for_resolution
 from yat_tpu.data.sampler import LocalShardSource, RemoteShardSource
 from yat_tpu.models.sana import SANA_600M, SANA_1600M, SanaConfig, SanaTransformer2D
@@ -154,8 +155,8 @@ def build_compute_features_sampler(params: TrainingParameters,
 
     bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
     if params.local_shard_paths:
-        source = LocalShardSource(params.local_shard_paths,
-                                  seed=params.dataset_seed)
+        from yat_tpu.frontends.common import make_local_source
+        source = make_local_source(params)
     else:
         from yat_tpu.frontends.common import make_remote_source
         source = make_remote_source(params)
@@ -298,6 +299,7 @@ def make_trainer(params: TrainingParameters,
         "latent_channels": cfg.in_channels,
         "caption_len": cfg.max_caption_len,
         "caption_dim": cfg.caption_channels,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)

@@ -10,6 +10,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.unet import SD15_UNET, UNet2DCondition
 from yat_tpu.ops.schedulers import DDPMSchedule
@@ -54,9 +55,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       decode_latents=dec)
         bins = bin_for_resolution(params.aspect_ratios or 512)  # 512 bins,
         # train_sd15.py:36
+        from yat_tpu.frontends.common import make_local_source
         images = ImageBucketSampler(
-            LocalShardSource(params.local_shard_paths,
-                             seed=params.dataset_seed),
+            make_local_source(params),
             params.batch_size, bins, seed=params.dataset_seed)
         encode_repa = None
         if params.use_repa:
@@ -113,6 +114,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "latent_channels": cfg.in_channels,
         "caption_len": CLIP_MAX_LEN,
         "caption_dim": cfg.cross_attention_dim,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.mmdit import SD35_MEDIUM, MMDiT
 from yat_tpu.ops.schedulers import FlowMatchSchedule
@@ -38,7 +39,7 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     import numpy as np
 
     _, enc_clip_cap, enc_pool_g, _, enc_pool_l = build_sdxl_encoders(
-        params, return_pool_l=True)
+        params, return_pool_l=True, include_vae=False)
 
     def enc_pool(captions):
         return np.concatenate([enc_pool_l(list(captions)),
@@ -199,6 +200,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "caption_len": cfg.max_caption_len,
         "caption_dim": cfg.caption_dim,
         "pooled_dim": cfg.pooled_dim,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)

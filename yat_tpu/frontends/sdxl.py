@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yat_tpu.config import TrainingParameters
+from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.data.bins import bin_for_resolution
 from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
 from yat_tpu.models.unet import SDXL_UNET, UNet2DCondition
@@ -31,7 +32,8 @@ def make_time_ids(bucket_hw, batch_size: int) -> np.ndarray:
     return np.tile(row[None], (batch_size, 1))
 
 
-def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False):
+def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False,
+                        include_vae=True):
     """Dual text encoders (CLIP-L hidden + CLIP-G penultimate, concatenated
     to 2048; pooled from CLIP-G) + KL-VAE — the SDXL prompt pipeline
     (train_sdxl.py:60-73).  ``return_pool_l`` appends the CLIP-L pooled
@@ -46,7 +48,7 @@ def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False):
 
     # TE1 (+VAE) rides the shared CLIP-L builder
     enc_img, enc_cap1, enc_pool_l, dec = build_clip_vae_encoders(
-        params, CLIP_MAX_LEN)
+        params, CLIP_MAX_LEN, include_vae=include_vae)
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     import dataclasses
@@ -185,6 +187,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
         "caption_len": CLIP_MAX_LEN,
         "caption_dim": cfg.cross_attention_dim,
         "pooled_dim": pooled_dim,
+        **_repa_warmup(params),
     }
     for k, v in holder.items():
         setattr(trainer, k, v)

@@ -29,7 +29,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load .safetensors or .pt/.bin/.ckpt into numpy arrays."""
     if os.path.isdir(path):
         for name in ("diffusion_pytorch_model.safetensors",
-                     "model.safetensors", "pytorch_model.bin"):
+                     "model.safetensors", "pytorch_model.bin",
+                     "diffusion_pytorch_model.bin"):
             cand = os.path.join(path, name)
             if os.path.exists(cand):
                 path = cand

@@ -64,6 +64,33 @@ def init_repa_head(cfg: RepaConfig, feature_dim: int,
     return head.init(rng, jnp.zeros((1, 4, feature_dim)))["params"]
 
 
+def capture_features(model, variables, cfg: RepaConfig, args=(),
+                     kwargs=None) -> Tuple[Any, List[jnp.ndarray]]:
+    """Run the model capturing target-module outputs as token features.
+
+    Returns (model_output, [features per captured module, each [B, N, C]]).
+    2-dim leaves gain a batch dim; 4-dim NHWC conv features flatten to
+    tokens.  This is the single capture implementation shared by the
+    training loss (train/tasks.py) and the projection helpers below.
+    """
+    out, state = model.apply(
+        variables, *args,
+        capture_intermediates=_module_filter(cfg.target_modules),
+        mutable=["intermediates"], **(kwargs or {}))
+    feats = []
+    for leaf in jax.tree.leaves(state.get("intermediates", {})):
+        if not hasattr(leaf, "ndim"):
+            continue
+        if leaf.ndim == 2:
+            leaf = leaf[None]
+        elif leaf.ndim == 4:                  # NHWC conv features → tokens
+            b, h, w, c = leaf.shape
+            leaf = leaf.reshape(b, h * w, c)
+        if leaf.ndim == 3:
+            feats.append(leaf)
+    return out, feats
+
+
 def capture_and_project(model, variables, cfg: RepaConfig,
                         repa_params: Dict[str, Any], *args,
                         **kwargs) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -71,19 +98,9 @@ def capture_and_project(model, variables, cfg: RepaConfig,
 
     Returns (model_output, [projected tokens per captured module]).
     """
-    out, state = model.apply(
-        variables, *args,
-        capture_intermediates=_module_filter(cfg.target_modules),
-        mutable=["intermediates"], **kwargs)
+    out, feats = capture_features(model, variables, cfg, args, kwargs)
     head = RepaMLP(cfg)
-    projections = []
-    for leaf in jax.tree.leaves(state.get("intermediates", {})):
-        feat = leaf
-        if feat.ndim == 2:
-            feat = feat[None]
-        if feat.ndim == 3:
-            projections.append(head.apply({"params": repa_params}, feat))
-    return out, projections
+    return out, [head.apply({"params": repa_params}, f) for f in feats]
 
 
 def generic_repa_loss(model, variables, cfg: RepaConfig,

@@ -150,6 +150,54 @@ def sample_dpm_solver_2m(
     return x
 
 
+def sample_dpm_solver_2m_flow(
+    denoise_fn: Callable,            # (x, t, gate) -> velocity (eps - x0)
+    latent_shape: Tuple[int, ...],
+    schedule: FlowMatchSchedule,
+    num_steps: int = 20,
+    seed: int = 42,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) for FLOW-MATCHING models (PixelDiT's inference
+    scheduler is a DPM solver over its flow objective,
+    train_pixeldit.py:198-228).  With x_t = (1-s) x0 + s eps and the model
+    predicting v = eps - x0: x0 = x - s v, alpha = 1-s, sigma = s,
+    lambda = log(alpha/sigma); the multistep data-prediction update is
+    x <- (s_next/s) x - (1-s_next) expm1(-h) x0_eff."""
+    sigmas = schedule.inference_sigmas(num_steps)       # 1 → 0 ladder
+    eps_s = 1e-6
+    x_init = jax.random.normal(jax.random.PRNGKey(seed), latent_shape,
+                               jnp.float32)
+
+    def lam(s):
+        s = jnp.clip(s, eps_s, 1.0 - eps_s)
+        return jnp.log((1.0 - s) / s)
+
+    def body(carry, i):
+        x, prev_x0, has_prev = carry
+        s, s_next = sigmas[i], sigmas[i + 1]
+        t = s * schedule.num_train_timesteps
+        v = denoise_fn(x, jnp.full((latent_shape[0],), t), jnp.float32(1.0))
+        x0 = x - s * v.astype(x.dtype)
+        l_t, l_next = lam(s), lam(s_next)
+        h = l_next - l_t
+
+        def second_order():
+            l_prev = lam(sigmas[jnp.maximum(i - 1, 0)])
+            r = (l_t - l_prev) / jnp.maximum(h, 1e-8)
+            return (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * x0 - \
+                (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_x0
+
+        x0_eff = jax.lax.cond(has_prev, second_order, lambda: x0)
+        x_next = (s_next / jnp.maximum(s, eps_s)) * x - \
+            (1.0 - s_next) * jnp.expm1(-h) * x0_eff
+        return (x_next, x0, jnp.bool_(True)), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x_init, jnp.zeros_like(x_init), jnp.bool_(False)),
+        jnp.arange(num_steps))
+    return x
+
+
 def sample_flux(
     model, variables, schedule: FlowMatchSchedule,
     grid_hw: Tuple[int, int], text_emb: jnp.ndarray,

@@ -254,6 +254,7 @@ class Trainer:
                 # route through _device_batch so the warmed program has
                 # exactly the production signature (empty embeddings,
                 # pooled text, batch_transform extras included)
+                repa_dim = spec.get("repa_dim")
                 batch = DataBatch(
                     ratio=key,
                     latents=np.zeros((bsz, h, w, latent_channels),
@@ -262,7 +263,13 @@ class Trainer:
                                         np.float32),
                     text_mask=np.ones((bsz, rung), np.int32),
                     pooled_text=(np.zeros((bsz, pooled_dim), np.float32)
-                                 if pooled_dim else None))
+                                 if pooled_dim else None),
+                    # with REPA the loss signature includes the alignment
+                    # term — warm the program that training will actually
+                    # run, not the repa-free variant
+                    repa_features=(np.zeros(
+                        (bsz, spec.get("repa_tokens", 256), repa_dim),
+                        np.float32) if repa_dim else None))
                 device_batch = self._device_batch(batch)
                 # the step donates its input state — feed a real copy so
                 # the live training state's buffers survive the warmup

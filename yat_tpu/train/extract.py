@@ -99,20 +99,23 @@ class FeatureExtractor:
         END = object()
         stop = threading.Event()
 
+        def put_or_stop(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _q.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in self.sampler:
-                    while not stop.is_set():
-                        try:
-                            q.put(b, timeout=0.2)
-                            break
-                        except _q.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(b):
                         return
-                q.put(END)
+                put_or_stop(END)
             except Exception as e:  # noqa: BLE001
-                q.put(e)
+                put_or_stop(e)
 
         threading.Thread(target=worker, daemon=True).start()
         try:

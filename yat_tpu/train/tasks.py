@@ -40,31 +40,11 @@ def _repa_head_params(variables):
     return variables["params"].get("repa_head")
 
 
-def _generic_repa_apply(model, variables, repa_cfg, args, kwargs):
-    """Forward with capture_intermediates on the REPA target modules
-    (the flax answer to common/repa.py:59-80's forward hooks); returns
-    (output, [token features per captured module])."""
-    from yat_tpu.ops.repa import _module_filter
-    out, state = model.apply(
-        variables, *args,
-        capture_intermediates=_module_filter(repa_cfg.target_modules),
-        mutable=["intermediates"], **kwargs)
-    feats = []
-    for leaf in jax.tree.leaves(state.get("intermediates", {})):
-        if not hasattr(leaf, "ndim"):
-            continue
-        if leaf.ndim == 4:                      # NHWC conv features → tokens
-            b, h, w, c = leaf.shape
-            leaf = leaf.reshape(b, h * w, c)
-        if leaf.ndim == 3:
-            feats.append(leaf)
-    return out, feats
-
-
 def _generic_repa_loss(model, variables, repa_cfg, batch, args, kwargs):
-    from yat_tpu.ops.repa import RepaMLP
-    out, feats = _generic_repa_apply(model, variables, repa_cfg, args,
-                                     kwargs)
+    """Forward with capture on the REPA target modules (the flax answer to
+    common/repa.py:59-80's forward hooks) + the alignment term."""
+    from yat_tpu.ops.repa import RepaMLP, capture_features
+    out, feats = capture_features(model, variables, repa_cfg, args, kwargs)
     head = _repa_head_params(variables)
     if head is None or not feats:
         return out, jnp.zeros((), jnp.float32)

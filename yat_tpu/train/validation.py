@@ -26,6 +26,7 @@ from yat_tpu.ops.sampling import (
     make_pag_cfg_denoiser,
     sample_ddim,
     sample_dpm_solver_2m,
+    sample_dpm_solver_2m_flow,
     sample_flow_match,
 )
 from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
@@ -111,6 +112,10 @@ class ValidationPipeline:
             denoise = make_cfg_denoiser(apply_fn, variables, cond, uncond,
                                         self.guidance_scale)
         if self.sampler == "dpm":
+            if isinstance(self.schedule, FlowMatchSchedule):
+                return sample_dpm_solver_2m_flow(
+                    denoise, shape, self.schedule, self.num_steps,
+                    self.seed)
             return sample_dpm_solver_2m(denoise, shape, self.schedule,
                                         self.num_steps, self.seed)
         if isinstance(self.schedule, FlowMatchSchedule):
