@@ -71,8 +71,13 @@ def ring_attention(q, k_local, v_local, axis_name: str,
     l = jnp.zeros((b, h, nq), jnp.float32)
     o = jnp.zeros((b, nq, h, d), jnp.float32)
     # under shard_map the accumulators must carry the axis's device-varying
-    # type from the start (they mix with the rotating KV inside the scan)
-    m, l, o = (jax.lax.pvary(x, axis_name) for x in (m, l, o))
+    # type from the start (they mix with the rotating KV inside the scan);
+    # pcast replaces the deprecated pvary spelling but older jax lacks it
+    if hasattr(jax.lax, "pcast"):
+        m, l, o = (jax.lax.pcast(x, axis_name, to="varying")
+                   for x in (m, l, o))
+    else:
+        m, l, o = (jax.lax.pvary(x, axis_name) for x in (m, l, o))
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def step(carry, _):
