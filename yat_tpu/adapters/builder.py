@@ -140,8 +140,14 @@ def build_adapter_params(
                 leaves["dora_m"] = col_norm
             meta_leaves = {
                 "lora_scale": jnp.asarray(spec.scale, jnp.float32),
-                "lora_dropout": jnp.asarray(spec.dropout, jnp.float32),
             }
+            if spec.dropout > 0.0:
+                # only materialize the leaf when active: its mere presence
+                # makes every adapted Dense draw a full-activation-sized
+                # bernoulli mask per step (224 threefry generations of ~5M
+                # values each on SANA-0.6B — measured ~30 ms/step fwd)
+                meta_leaves["lora_dropout"] = jnp.asarray(spec.dropout,
+                                                          jnp.float32)
         elif spec.algo == "loha":
             leaves = {
                 "hada_w1_a": jax.random.normal(k1, (d_in, spec.rank)) * 0.1,
