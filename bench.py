@@ -132,19 +132,24 @@ def main():
     imgs_per_sec, batch_size, remat = result
     per_chip = imgs_per_sec / n_chips
 
-    # secondary rung: 2048px (4096 tokens) — the shape where the Pallas
-    # fused linear-attention kernel engages (ops/attention.py dispatch),
-    # so kernel perf is regression-tested at a shape it actually owns
+    # secondary rung: 1024px (1024 image tokens) — flash self-attention and
+    # the VMEM cross-attention kernel both engage, so Pallas perf is
+    # regression-tested at shapes the kernels own.  (The 2048px/4096-token
+    # train graph, where the fused linear-attention kernel engages, does
+    # not compile through the axon remote-compile helper — its op-level
+    # 11x measurement is recorded in BASELINE.md.)
     kernel_rung = None
-    for b2, r2 in ((4, True), (2, True)):
+    # 2048px first (fused linear-attention territory) for direct-attached
+    # chips; 1024px is the known-good fallback through the tunnel
+    for res, ss, b2, r2 in ((2048, 64, 4, True), (1024, 32, 8, True)):
         try:
-            v = measure(b2, r2, warmup=2, iters=6, sample_size=64)
+            v = measure(b2, r2, warmup=2, iters=8, sample_size=ss)
             kernel_rung = {"value": round(v / n_chips, 3),
-                           "resolution": 2048, "batch_size": b2,
+                           "resolution": res, "batch_size": b2,
                            "remat": r2}
             break
         except Exception as e:  # noqa: BLE001
-            print(f"# 2048px rung b={b2} failed: {str(e)[:200]}")
+            print(f"# {res}px rung b={b2} failed: {str(e)[:200]}")
 
     # second north-star metric: cache-encode imgs/sec (BASELINE.md) —
     # JPEG decode + bucket + DC-AE encode + caption encode + shard write
