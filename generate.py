@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Generation CLI: ``python generate.py --family sana --config config.yaml
+--prompt "..." [--prompt "..."] [--steps N] [--guidance-scale S] [--out dir]``.
+
+Standalone counterpart of the reference's in-training validation sampling
+(/root/reference/common/trainer.py:371-401) — see yat_tpu/generate.py."""
+
+from yat_tpu.generate import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Standalone generation CLI (yat_tpu/generate.py): checkpoint → PNGs.
+
+The reference only samples inside training validation; generate() is the
+standalone counterpart reusing the same per-family ValidationPipeline."""
+
+import os
+
+import numpy as np
+
+from yat_tpu.config import TrainingParameters
+
+from tests.test_frontends import TINY_DIT, write_shard
+
+
+def test_generate_sana_writes_images(tmp_path):
+    from yat_tpu.generate import generate
+    shard = write_shard(tmp_path / "s.tar", (4, 4, 32), 32)
+    params = TrainingParameters.from_dict(dict(
+        local_shard_paths=[str(shard)], batch_size="2",
+        learning_rate="1e-3", steps="1", num_steps_per_validation="100",
+        validation_prompts=[], output_dir=str(tmp_path / "models"),
+        mesh_shape={"dp": "1"}, aspect_ratio="256",
+        model_config_overrides={
+            **TINY_DIT, "caption_channels": "32",
+            "num_cross_attention_heads": "2",
+            "cross_attention_head_dim": "16", "in_channels": "32",
+            "out_channels": "32", "sample_size": "4",
+            "tiny_encoders": "1"}))
+    out = str(tmp_path / "gen")
+    written = generate(params, "sana", ["a tiny red fox", "a blue bird"],
+                       steps=2, guidance_scale=3.0, seed=7,
+                       output_dir=out)
+    assert len(written) == 2
+    for path, prompt in written.items():
+        assert os.path.exists(path)
+        assert prompt in ("a tiny red fox", "a blue bird")
+    assert os.path.exists(os.path.join(out, "prompts.txt"))
+
+
+def test_write_png_roundtrip(tmp_path):
+    from yat_tpu.generate import write_png
+    img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    path = write_png(str(tmp_path / "x.png"), img)
+    assert os.path.exists(path)
+    if path.endswith(".png"):
+        try:
+            import cv2
+            back = cv2.imread(path)[..., ::-1]
+            np.testing.assert_allclose(
+                back.astype(np.float32) / 255.0, img, atol=0.01)
+        except ImportError:
+            pass

@@ -1,0 +1,123 @@
+"""Standalone generation CLI: load a trained checkpoint/adapter, sample
+images for a prompt list, write PNGs.
+
+The reference only generates inside training (validation cadence,
+/root/reference/common/trainer.py:371-401 + each train_*.py validate());
+this CLI is the standalone counterpart a production user needs — it reuses
+the exact per-family ``ValidationPipeline`` (CFG/PAG/DPM samplers, prompt
+enhancement, EMA swap) so generated output matches what validation logs.
+
+    python generate.py --family sana --config config.yaml \
+        --prompt "a red fox in snow" --prompt "a lighthouse at dusk" \
+        --steps 20 --guidance-scale 5.0 --out generated/
+
+The YAML is the same training config: ``pretrained_model_path`` /
+``lora_pretrained`` / ``checkpoint_dir`` + ``resume`` decide what weights
+load, exactly as for training.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+from typing import Optional
+
+import numpy as np
+
+FAMILIES = {
+    "sana": "yat_tpu.frontends.sana",
+    "pixart": "yat_tpu.frontends.pixart",
+    "sd15": "yat_tpu.frontends.sd15",
+    "sdxl": "yat_tpu.frontends.sdxl",
+    "sd35": "yat_tpu.frontends.sd35",
+    "flux": "yat_tpu.frontends.flux",
+    "pixeldit": "yat_tpu.frontends.pixeldit",
+}
+
+
+def write_png(path: str, img: np.ndarray) -> str:
+    """img: [H, W, 3] float in [0, 1].  cv2 → PIL → .npy fallback chain."""
+    arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    try:
+        import cv2
+        cv2.imwrite(path, arr[..., ::-1])        # RGB → BGR
+        return path
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from PIL import Image
+        Image.fromarray(arr).save(path)
+        return path
+    except Exception:  # noqa: BLE001
+        alt = os.path.splitext(path)[0] + ".npy"
+        np.save(alt, arr)
+        return alt
+
+
+def generate(params, family: str, prompts: list,
+             steps: Optional[int] = None,
+             guidance_scale: Optional[float] = None,
+             seed: Optional[int] = None,
+             output_dir: str = "generated") -> dict:
+    """Build the family trainer, load weights, sample, write files.
+    Returns {written_path: prompt}."""
+    mod = importlib.import_module(FAMILIES[family])
+    params.validation_prompts = list(prompts)   # wires validate_fn
+    trainer = mod.make_trainer(params)
+    if getattr(trainer, "validate_fn", None) is None:
+        raise RuntimeError(f"{family} frontend did not wire a validation "
+                           "pipeline — cannot generate")
+    trainer.initialize()
+
+    vp = trainer.validate_fn
+    if steps is not None:
+        vp.num_steps = int(steps)
+    if guidance_scale is not None:
+        vp.guidance_scale = float(guidance_scale)
+    if seed is not None:
+        vp.seed = int(seed)
+
+    images = vp(trainer)                         # {key: [H, W, 3] float}
+    os.makedirs(output_dir, exist_ok=True)
+    written = {}
+    for idx, (key, img) in enumerate(images.items()):
+        prompt = key.split("/", 2)[-1]
+        path = write_png(os.path.join(output_dir, f"{idx:03d}.png"),
+                         np.asarray(img))
+        written[path] = prompt
+    with open(os.path.join(output_dir, "prompts.txt"), "w") as f:
+        for path, prompt in written.items():
+            f.write(f"{os.path.basename(path)}\t{prompt}\n")
+    return written
+
+
+def main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--family", default="sana", choices=sorted(FAMILIES))
+    p.add_argument("--prompt", action="append", required=True,
+                   help="repeatable")
+    p.add_argument("--steps", type=int, default=None,
+                   help="sampling steps (default: family's validation "
+                        "setting, 20)")
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--out", default="generated", dest="out")
+    args = p.parse_args(argv)
+
+    params = TrainingParameters.read_yaml(args.config)
+    written = generate(params, args.family, args.prompt, steps=args.steps,
+                       guidance_scale=args.guidance_scale, seed=args.seed,
+                       output_dir=args.out)
+    for path, prompt in written.items():
+        print(f"{path}  <-  {prompt}")
+
+
+if __name__ == "__main__":
+    main()
