@@ -16,21 +16,49 @@ import jax
 import numpy as np
 
 
+# one live manager per directory — reusing it is what makes saves ASYNC
+# (a throwaway manager must wait_until_finished before it is dropped)
+_MANAGERS: dict = {}
+
+
 def _ckpt_manager(directory: str):
     import orbax.checkpoint as ocp
-    options = ocp.CheckpointManagerOptions(max_to_keep=3, create=True)
-    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+    directory = os.path.abspath(directory)
+    mgr = _MANAGERS.get(directory)
+    if mgr is None:
+        options = ocp.CheckpointManagerOptions(max_to_keep=3, create=True)
+        mgr = ocp.CheckpointManager(directory, options=options)
+        _MANAGERS[directory] = mgr
+    return mgr
 
 
-def save_train_state(directory: str, state, step: int) -> None:
+def save_train_state(directory: str, state, step: int,
+                     wait: bool = False) -> None:
     """Collective: every process must enter (Orbax coordinates the
     distributed write of sharded arrays; device_get would raise on
-    non-addressable shards in multi-host runs)."""
+    non-addressable shards in multi-host runs).
+
+    Async by default: Orbax performs the device→host copy synchronously
+    (safe against the train step's buffer donation) and writes to disk in
+    the background; training continues during the write.  ``wait=True``
+    blocks (final save / pre-restore)."""
     import orbax.checkpoint as ocp
     mgr = _ckpt_manager(directory)
     tree = state if jax.process_count() > 1 else jax.device_get(state)
     mgr.save(step, args=ocp.args.StandardSave(tree))
-    mgr.wait_until_finished()
+    if wait:
+        mgr.wait_until_finished()
+
+
+def wait_for_checkpoints(directory: Optional[str] = None) -> None:
+    """Block until pending async checkpoint writes land (run end)."""
+    if directory is not None:
+        mgr = _MANAGERS.get(os.path.abspath(directory))
+        mgrs = [mgr] if mgr is not None else []
+    else:
+        mgrs = list(_MANAGERS.values())
+    for mgr in mgrs:
+        mgr.wait_until_finished()
 
 
 def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]:
@@ -38,6 +66,7 @@ def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]
     if not os.path.isdir(directory):
         return None, 0
     mgr = _ckpt_manager(directory)
+    mgr.wait_until_finished()      # a pending async save must land first
     step = mgr.latest_step()
     if step is None:
         return None, 0

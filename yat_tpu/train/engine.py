@@ -387,6 +387,10 @@ class Trainer:
         # Collective — every process enters (writes gate on 0 inside).
         if self.global_step % params.num_steps_per_validation != 0:
             self.save_model()
+        if params.checkpoint_dir:
+            # async Orbax writes must land before the process exits
+            from yat_tpu.train.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints(params.checkpoint_dir)
         dt = time.monotonic() - t_start
         n_images = self.global_step * params.batch_size * accum
         if dt > 0:
