@@ -179,7 +179,7 @@ def main():
         "mfu_analytic": round(per_chip * 0.95 / 197.0, 3),
     }
     if kernel_rung is not None:
-        out["kernel_rung_2048px"] = kernel_rung
+        out["kernel_rung"] = kernel_rung   # "resolution" names the rung
     if cache_encode is not None:
         out["cache_encode_imgs_per_sec"] = cache_encode
     print(json.dumps(out))
