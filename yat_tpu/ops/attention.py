@@ -54,8 +54,9 @@ def _use_vmem_attn(q, k, v) -> bool:
     b, n_q, h, d = q.shape
     n_k = k.shape[1]
     n_kp = -(-n_k // 128) * 128
-    return (n_q % 8 == 0 and d <= 128 and n_q * n_kp <= 512 * 1024
-            and n_q < 1024)   # >=1024 is the flash kernel's domain
+    # the product gate bounds the fp32 score tile (2 MB) and the backward's
+    # transposes; beyond it the (tuned-BlockSizes) flash kernel takes over
+    return n_q % 8 == 0 and d <= 128 and n_q * n_kp <= 512 * 1024
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -74,7 +75,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        flash_attention, SegmentIds)
+        BlockSizes, flash_attention, SegmentIds)
     # kernel layout is [B, H, N, D]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -86,8 +87,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kv_seg = key_mask.astype(jnp.int32)
         seg = SegmentIds(q=q_seg, kv=kv_seg)
     sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    # the kernel's DEFAULT block sizes are pathological at DiT shapes
+    # (N=1024, D=32: 9.1 ms fwd vs 1.1 ms with 1024-blocks, measured on
+    # v5e) — use the largest block that keeps the fp32 score tile <=4 MB
+    bq = min(q.shape[1], 1024)
+    bk = min(k.shape[1], 1024)
+    blocks = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
     out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
-                          sm_scale=sm_scale)
+                          sm_scale=sm_scale, block_sizes=blocks)
     return out.transpose(0, 2, 1, 3)
 
 
