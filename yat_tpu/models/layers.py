@@ -11,8 +11,10 @@ Design notes (TPU-first, not a port):
   merged deltas, which is also how PEFT computes them).  When absent, the
   module is a plain Dense — zero overhead, zero surgery.
 * Layouts are NHWC / [B, N, D] tokens throughout (TPU-native), bf16 compute
-  with fp32 parameter masters handled by the optimizer, fp32 islands where
-  numerics demand (norms, attention softmax accumulation).
+  with fp32 parameter masters handled by the optimizer; fp32 where numerics
+  demand it — norm STATISTICS and attention softmax/matmul accumulation —
+  while bulk tensor data stays in the compute dtype (full-tensor fp32
+  islands measured ~10% of the SANA step, BASELINE.md).
 """
 
 from __future__ import annotations
