@@ -37,6 +37,27 @@ def test_generate_sana_writes_images(tmp_path):
     assert os.path.exists(os.path.join(out, "prompts.txt"))
 
 
+def test_generate_pixart_pag_path(tmp_path):
+    """Second family: exercises PAG + epsilon schedule + learned-sigma
+    slice through the standalone CLI path."""
+    from yat_tpu.generate import generate
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 32)
+    params = TrainingParameters.from_dict(dict(
+        local_shard_paths=[str(shard)], batch_size="2",
+        learning_rate="1e-3", steps="1", num_steps_per_validation="100",
+        validation_prompts=[], output_dir=str(tmp_path / "models"),
+        mesh_shape={"dp": "1"}, aspect_ratio="256",
+        model_config_overrides={
+            **TINY_DIT, "caption_channels": "32", "in_channels": "4",
+            "out_channels": "8", "sample_size": "8",
+            "vae_compression": "16", "tiny_encoders": "1"}))
+    out = str(tmp_path / "gen")
+    written = generate(params, "pixart", ["a tiny red fox"], steps=2,
+                       output_dir=out)
+    assert len(written) == 1
+    assert all(os.path.exists(p) for p in written)
+
+
 def test_write_png_roundtrip(tmp_path):
     from yat_tpu.generate import write_png
     img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
