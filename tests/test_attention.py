@@ -45,6 +45,20 @@ class TestSoftmaxAttention:
                                    atol=2e-5)
 
 
+def test_flash_block_divides_sequence():
+    """Aspect buckets yield token counts that are %128 but not %1024
+    (e.g. 3712 = 29*128); the block chooser must return a divisor or the
+    flash kernel asserts at compile time."""
+    from yat_tpu.ops.attention import _flash_block
+    for n in (1024, 2048, 3712, 3840, 4096, 1152, 1280, 896, 128):
+        b = _flash_block(n)
+        assert n % b == 0, (n, b)
+        assert b <= 1024
+    assert _flash_block(4096) == 1024
+    assert _flash_block(3712) == 128
+    assert _flash_block(3840) == 256
+
+
 class TestVmemAttention:
     """The short-sequence VMEM-resident softmax kernel (interpreted on CPU)."""
 

@@ -118,6 +118,16 @@ class TestCompressCaption:
         from yat_tpu.utils.compress_caption import remove_word
         assert remove_word("a cat and a catalog", "cat") == "a  and a catalog"
 
+    def test_class_label_injection_word_boundary(self):
+        """The id-label prefix must not rewrite words that merely CONTAIN
+        the class label ('cat' inside 'scattered')."""
+        from yat_tpu.utils.compress_caption import compress_caption
+        out = compress_caption("a cat on scattered leaves",
+                               class_label="cat", id_label="sks")
+        assert "sks cat" in out
+        assert "scattered" in out
+        assert "ssks" not in out
+
 
 class TestGenericRepa:
     def test_capture_and_align(self):

@@ -121,6 +121,11 @@ def test_flux_validates(tmp_path):
         "num_single_blocks": "1", "num_heads": "2", "text_dim": "32",
         "axes_dims": ["4", "6", "6"], "tiny_encoders": "1"})
     t = make_trainer(p)
+    # flux's validate_fn must honor the ValidationPipeline tunables
+    # (generate.py sets them; a plain closure would silently ignore them)
+    assert t.validate_fn.num_steps == 20
+    assert t.validate_fn.guidance_scale == 7.0   # train_flux_klein.py:96
+    t.validate_fn.num_steps = 2                  # keep the test fast too
     check_validates(t)
 
 

@@ -105,21 +105,34 @@ def load_adapter_safetensors(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
                     f"base_model.model.{torch_path}.{suffix}",
                     f"{torch_path}.{suffix}",
                 ]
+        # acceptance needs key presence AND shape agreement: with the
+        # level-count probe, the wrong-level candidate can exist in the
+        # file (pointing at a different block) — a key-only match would
+        # raise (or silently load wrong weights when widths coincide)
+        # instead of falling through to the right level
+        want_shape = tuple(np.asarray(leaf).shape)
         arr = None
+        mismatch = None
         for c in candidates:
-            if c in tensors:
-                arr = tensors[c]
-                if transpose and arr.ndim == 2:
-                    arr = arr.T
-                loaded.add(c)
-                break
+            if c not in tensors:
+                continue
+            cand = tensors[c]
+            if transpose and cand.ndim == 2:
+                cand = cand.T
+            if tuple(cand.shape) != want_shape:
+                mismatch = (c, cand.shape)
+                continue
+            arr = cand
+            loaded.add(c)
+            break
         if arr is None:
+            if mismatch is not None:
+                raise ValueError(
+                    f"shape mismatch for {dotted}.{leaf_name}: file "
+                    f"{mismatch[0]} has {mismatch[1]} vs expected "
+                    f"{want_shape} (no other candidate matched)")
             raise KeyError(
                 f"adapter file {path} missing weight for {dotted}.{leaf_name}")
-        if tuple(arr.shape) != tuple(np.asarray(leaf).shape):
-            raise ValueError(
-                f"shape mismatch for {dotted}.{leaf_name}: file "
-                f"{arr.shape} vs expected {np.asarray(leaf).shape}")
         node = out
         for k in path_keys[:-1]:
             node = node.setdefault(k, {})

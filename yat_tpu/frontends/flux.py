@@ -166,37 +166,58 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
         padded, _ = pad_embeddings(embs, FLUX_CAPTION_LEN)
         return jnp.asarray(padded)
 
+    import functools
+
     import jax
 
     res = params.aspect_ratios or 1024
     gh = gw = res // 16                # 8x VAE then 2x2 patchify
 
-    # variables/conditioning as jit ARGUMENTS (no baked-in weight trees)
-    @jax.jit
-    def _sample(variables, emb, uncond):
-        tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
-                             uncond_emb=uncond,
-                             guidance_scale=7.0, num_steps=20)
-        return unpatchify_latents(unpack_latents(tokens, (gh, gw)))
+    class FluxValidate:
+        """Callable with the same tunable surface as ValidationPipeline
+        (num_steps/guidance_scale/seed honored — generate.py sets them)."""
 
-    def validate_fn(trainer):
-        prompts = trainer.params.validation_prompts or []
-        if not prompts:
-            return {}
-        state = trainer.state
-        variables = state.variables(trainable=state.ema) \
-            if state.ema is not None else state.variables()
-        uncond = encode([""])
-        images = {}
-        for idx, prompt in enumerate(prompts):
-            emb = encode([prompt])
-            lat = _sample(variables, emb, uncond)
-            img = np.asarray(holder["decode_latents"](lat))[0]
-            images[f"validation/{idx}/{prompt}"] = np.clip((img + 1) / 2,
-                                                           0, 1)
-        return images
+        def __init__(self):
+            self.num_steps = 20            # train_flux_klein.py:89-99
+            self.guidance_scale = 7.0      # train_flux_klein.py:96
+            self.seed = 42
 
-    return validate_fn
+        # variables/conditioning as jit ARGUMENTS (no baked-in weight
+        # trees); sampling settings are static — one compile per setting
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def _sample(self, variables, emb, uncond):
+            tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
+                                 uncond_emb=uncond,
+                                 guidance_scale=self.guidance_scale,
+                                 num_steps=self.num_steps, seed=self.seed)
+            return unpatchify_latents(unpack_latents(tokens, (gh, gw)))
+
+        def __hash__(self):
+            return hash((self.num_steps, self.guidance_scale, self.seed))
+
+        def __eq__(self, other):
+            return (isinstance(other, FluxValidate) and
+                    (self.num_steps, self.guidance_scale, self.seed) ==
+                    (other.num_steps, other.guidance_scale, other.seed))
+
+        def __call__(self, trainer):
+            prompts = trainer.params.validation_prompts or []
+            if not prompts:
+                return {}
+            state = trainer.state
+            variables = state.variables(trainable=state.ema) \
+                if state.ema is not None else state.variables()
+            uncond = encode([""])
+            images = {}
+            for idx, prompt in enumerate(prompts):
+                emb = encode([prompt])
+                lat = self._sample(variables, emb, uncond)
+                img = np.asarray(holder["decode_latents"](lat))[0]
+                images[f"validation/{idx}/{prompt}"] = np.clip(
+                    (img + 1) / 2, 0, 1)
+            return images
+
+    return FluxValidate()
 
 
 def main(argv: Optional[list] = None) -> None:

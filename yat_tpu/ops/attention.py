@@ -59,6 +59,18 @@ def _use_vmem_attn(q, k, v) -> bool:
     return n_q % 8 == 0 and d <= 128 and n_q * n_kp <= 512 * 1024
 
 
+def _flash_block(n: int) -> int:
+    """Largest flash-attention block that DIVIDES the sequence, <=1024.
+
+    The kernel asserts divisibility, and aspect buckets produce counts
+    like 3712 = 29*128 that are %128 but not %1024; the dispatch's %128
+    gate guarantees 128 always qualifies."""
+    for b in (1024, 512, 256, 128):
+        if n % b == 0:
+            return b
+    return min(n, 128)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           implementation: str = "auto") -> jnp.ndarray:
@@ -90,8 +102,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # the kernel's DEFAULT block sizes are pathological at DiT shapes
     # (N=1024, D=32: 9.1 ms fwd vs 1.1 ms with 1024-blocks, measured on
     # v5e) — use the largest block that keeps the fp32 score tile <=4 MB
-    bq = min(q.shape[1], 1024)
-    bk = min(k.shape[1], 1024)
+    bq = _flash_block(q.shape[1])
+    bk = _flash_block(k.shape[1])
     blocks = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,

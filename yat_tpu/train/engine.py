@@ -418,13 +418,24 @@ class Trainer:
         # mode (trainer.py:392-394); here dual_gpu maps to the FeatureCache
         # encode-overlap thread, but the flag still gates validation
         if not self.params.dual_gpu and self.validate_fn is not None:
-            try:
+            if jax.process_count() > 1:
+                # validation runs collective programs over the global mesh:
+                # a host-local failure swallowed here would leave the other
+                # hosts blocked inside the collective (sequence mismatch →
+                # deadlock), so multi-host failures must propagate and take
+                # the run down symmetrically
                 images = self.validate_fn(self)
                 if jax.process_index() == 0:
                     for tag, img in (images or {}).items():
                         self.logger.add_image(tag, img, self.global_step)
-            except Exception as e:  # noqa: BLE001
-                print(f"[Warning] validation failed: {e}")
+            else:
+                try:
+                    images = self.validate_fn(self)
+                    for tag, img in (images or {}).items():
+                        self.logger.add_image(tag, img, self.global_step)
+                except Exception as e:  # noqa: BLE001 — single-host only:
+                    # reference behavior, training continues (trainer.py:368)
+                    print(f"[Warning] validation failed: {e}")
         self.save_model()
         if self.params.checkpoint_dir:
             self.save_checkpoint()

@@ -126,6 +126,8 @@ def compress_caption(caption: str, max_words: int = 60,
         out.append(p)
         n_words += w
     if class_label is not None and id_label is not None:
-        out = [p.replace(class_label, f"{id_label} {class_label}")
-               for p in out]
+        # word-boundary match: a plain substring replace corrupts words
+        # that merely contain the class label ("cat" in "scattered")
+        pat = re.compile(r"\b" + re.escape(class_label) + r"\b")
+        out = [pat.sub(f"{id_label} {class_label}", p) for p in out]
     return ", ".join(out) if out else caption
