@@ -24,16 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     scenario, rank, nprocs, coord, tmp = sys.argv[1:6]
     rank, nprocs = int(rank), int(nprocs)
+    dev_per_proc = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4")
+        + f" --xla_force_host_platform_device_count={dev_per_proc}")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=nprocs, process_id=rank)
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == 4 * nprocs
+    assert len(jax.devices()) == dev_per_proc * nprocs
 
     if scenario == "bucket_sync":
         run_bucket_sync(rank, tmp)
@@ -41,6 +42,8 @@ def main():
         run_checkpoint(rank, tmp)
     elif scenario == "save_model":
         run_save_model(rank, tmp)
+    elif scenario == "validate_save":
+        run_validate_save(rank, tmp)
     else:
         raise SystemExit(f"unknown scenario {scenario}")
     print(f"[worker {rank}] {scenario} OK", flush=True)
@@ -70,14 +73,14 @@ def run_bucket_sync(rank, tmp):
     from yat_tpu.data.sampler import FeatureBucketSampler, LocalShardSource
     from yat_tpu.parallel.multihost import WindowedBucketSync
 
-    # heterogeneous streams: host 0 sees more "1.0", host 1 more "0.5";
-    # "2.0" appears only on host 0 so it must NEVER drain
+    # heterogeneous streams: each host draws a different seeded mix of
+    # "1.0"/"0.5"; "2.0" appears only on host 0 so it must NEVER drain
+    import jax
+    nprocs = jax.process_count()
+    host_rng = np.random.default_rng(100 + rank)
+    keys = [("1.0", "0.5")[int(host_rng.integers(2))] for _ in range(12)]
     if rank == 0:
-        keys = ["1.0", "1.0", "0.5", "1.0", "2.0", "1.0", "0.5", "1.0",
-                "2.0", "0.5", "1.0", "0.5"]
-    else:
-        keys = ["0.5", "0.5", "1.0", "0.5", "1.0", "0.5", "1.0", "0.5",
-                "1.0", "0.5", "1.0", "1.0"]
+        keys[4] = keys[8] = "2.0"
     shard = _write_feature_shard(
         os.path.join(tmp, f"shard-{rank}.tar"), keys)
 
@@ -92,8 +95,8 @@ def run_bucket_sync(rank, tmp):
     local = np.full(16, -1, np.int32)
     local[:len(emitted)] = [code[k] for k in emitted]
     gathered = np.asarray(multihost_utils.process_allgather(local))
-    gathered = gathered.reshape(2, 16)
-    assert (gathered[0] == gathered[1]).all(), \
+    gathered = gathered.reshape(nprocs, 16)
+    assert (gathered == gathered[0]).all(), \
         f"bucket drain order diverged: {gathered}"
     assert (gathered[0] >= 0).any(), "no batches emitted at all"
 
@@ -139,7 +142,8 @@ def run_checkpoint(rank, tmp):
 
     from yat_tpu.train.checkpoint import restore_train_state, save_train_state
 
-    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(len(jax.devices())),
+                ("dp",))
     state = _tiny_sharded_state(mesh)
     ckpt_dir = os.path.join(tmp, "ckpt")
     # collective save from ALL processes (the round-1 bug gated this on
@@ -163,7 +167,8 @@ def run_save_model(rank, tmp):
     from yat_tpu.config import TrainingParameters
     from yat_tpu.train.engine import Trainer
 
-    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(len(jax.devices())),
+                ("dp",))
     params = TrainingParameters.from_dict({
         "batch_size": "1", "learning_rate": "1e-3", "steps": "1",
         "num_steps_per_validation": "10",
@@ -175,6 +180,52 @@ def run_save_model(rank, tmp):
     t.save_model()
     if rank == 0:
         out = os.path.join(tmp, "models", "7", "model.safetensors")
+        assert os.path.exists(out), "process 0 did not write the export"
+
+
+def run_validate_save(rank, tmp):
+    """Trainer._validate_and_save under process_count > 1: the validate_fn
+    runs a COLLECTIVE jitted program over the global mesh on every host,
+    image logging and file writes gate on process 0, then save_model's
+    allgather and the Orbax checkpoint save run collectively — the
+    deadlock class ADVICE r1 found (train/engine.py:410-441)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.train.engine import Trainer
+    from yat_tpu.utils.logging import MetricLogger
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(len(jax.devices())),
+                ("dp",))
+    params = TrainingParameters.from_dict({
+        "batch_size": "1", "learning_rate": "1e-3", "steps": "1",
+        "num_steps_per_validation": "10",
+        "output_dir": os.path.join(tmp, "models"),
+        "checkpoint_dir": os.path.join(tmp, "ckpt")})
+    t = Trainer.__new__(Trainer)
+    t.params = params
+    t.global_step = 5
+    t.state = _tiny_sharded_state(mesh)
+    t.logger = MetricLogger(logdir=os.path.join(tmp, "runs"),
+                            enabled=jax.process_index() == 0)
+    calls = []
+
+    def validate_fn(trainer):
+        # a compiled reduction over the globally sharded weight: every
+        # host must enter this collective or the run deadlocks
+        total = float(jax.jit(lambda x: x.sum())(trainer.state.params["w"]))
+        calls.append(total)
+        return {"validation/0/mp": np.zeros((4, 4, 3), np.float32)}
+
+    t.validate_fn = validate_fn
+    t._validate_and_save()
+    assert calls and np.isfinite(calls[0])
+    from yat_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints(params.checkpoint_dir)
+    if rank == 0:
+        out = os.path.join(tmp, "models", "5", "model.safetensors")
         assert os.path.exists(out), "process 0 did not write the export"
 
 

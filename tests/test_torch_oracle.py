@@ -253,7 +253,9 @@ def test_sana_block_matches_torch():
 
     from yat_tpu.models.sana import SANA_TINY_TEST, SanaBlock
 
-    cfg = dataclasses.replace(SANA_TINY_TEST, mlp_ratio=2.0)
+    # qk_norm opt-in: the published 0.6B has none (default None,
+    # test_checkpoint_inventory.py); the oracle exercises the rms path
+    cfg = dataclasses.replace(SANA_TINY_TEST, mlp_ratio=2.0, qk_norm="rms")
     d = cfg.hidden_dim                      # 64
     hw = (2, 4)
     n = hw[0] * hw[1]

@@ -294,6 +294,8 @@ class FeatureBucketSampler:
         # .py:214-216 / bucket_sampler_cache.py:115 data-reuse semantics)
         self.bucket_repeat = max(1, int(bucket_repeat))
         self._warned_keys: set = set()
+        self._raw_image_drops = 0
+        self._ingested_any = False
 
     def _emit(self, key: str) -> Batch:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
@@ -314,14 +316,31 @@ class FeatureBucketSampler:
         buf: List[Tuple[str, Any, Any]] = []
         for shard_path in self.source:
             for elem in iter_tar_samples(shard_path):
-                if "ratio" not in elem:
-                    continue
                 from_pt = "latent.pt" in elem
                 latent = elem.get("latent.npy", elem.get("latent.pt"))
                 emb = elem.get("emb.npy", elem.get("emb.pt"))
                 pooled = elem.get("pooled.npy", elem.get("pooled.pt"))
-                if latent is None or emb is None:
+                if "ratio" not in elem or latent is None or emb is None:
+                    # Raw-image shards on the feature path starve silently
+                    # in the reference (every sample dropped here); fail
+                    # loudly instead — the config wants compute_features
+                    if any(e in elem for e in IMAGE_EXTS):
+                        self._raw_image_drops += 1
+                        if (self._raw_image_drops >= 64
+                                and not self._ingested_any):
+                            raise ValueError(
+                                f"shard {shard_path} contains raw image "
+                                "samples but this run is on the "
+                                "pre-extracted-feature path — every sample "
+                                "would be dropped and the run would starve. "
+                                "Set 'compute_features' (with "
+                                "vae_max_batch_size/"
+                                "text_encoder_max_batch_size) to encode "
+                                "raw {jpg, txt} shards on the fly, or "
+                                "point at {ratio, latent, emb} feature "
+                                "shards")
                     continue
+                self._ingested_any = True
                 # bounded shuffle (reference .shuffle(1000), :218)
                 buf.append((str(elem["ratio"]), latent, emb, pooled, from_pt))
                 if len(buf) < self.shuffle_buffer:

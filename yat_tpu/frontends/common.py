@@ -197,6 +197,13 @@ def load_pretrained_backbone(params: TrainingParameters, family: str,
     allowed = ("repa_projector", "resnet_branch")
     hard_missing = [m for m in missing
                     if not any(a in m for a in allowed)]
+    # a bias the checkpoint does not carry (torch Linear(bias=False))
+    # stays at its zero init — functionally identical, not a load failure
+    soft_bias = [m for m in hard_missing if m.endswith(".bias")]
+    if soft_bias:
+        print(f"[{family}] {len(soft_bias)} bias params absent from the "
+              "checkpoint kept at zero (torch bias=False equivalence)")
+    hard_missing = [m for m in hard_missing if not m.endswith(".bias")]
     if hard_missing:
         raise ValueError(
             f"{family} checkpoint at "
@@ -369,6 +376,23 @@ def build_clip_vae_encoders(params: TrainingParameters,
         # CLIP consumes the full 77 tokens (no mask compression)
         return [np.asarray(hidden[i]) for i in range(hidden.shape[0])]
 
+    # async dispatch hooks (train/extract.py pipelining)
+    if include_vae:
+        def _img_dispatch(images):
+            import numpy as np
+            dev = encode_img(vae_vars, jnp.asarray(images))
+            return lambda: np.asarray(dev)
+        encode_images.dispatch = _img_dispatch
+
+    def _cap_dispatch(captions):
+        import numpy as np
+        caps = [compress_caption(c) for c in captions] if compress \
+            else list(captions)
+        ids, _ = tokenize(caps, max_length=ml)
+        dev, _pool = encode_txt(te_vars, jnp.asarray(ids))
+        return lambda: [np.asarray(dev[i]) for i in range(dev.shape[0])]
+    encode_captions.dispatch = _cap_dispatch
+
     def encode_pooled(captions):
         import numpy as np
         caps = [compress_caption(c) for c in captions] if compress \
@@ -380,8 +404,8 @@ def build_clip_vae_encoders(params: TrainingParameters,
     if not include_vae:
         return None, encode_captions, encode_pooled, None
 
-    def decode_latents(z):
-        return decode(vae_vars, z)
+    decode_latents = make_tiling_decoder(vae, vae_vars, decode,
+                                         params.low_vram)
 
     return encode_images, encode_captions, encode_pooled, decode_latents
 
@@ -443,8 +467,22 @@ def build_t5_vae_encoders(params: TrainingParameters,
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    def decode_latents(z):
-        return decode(vae_vars, z)
+    # async dispatch hooks (train/extract.py pipelining)
+    def _img_dispatch(images):
+        import numpy as np
+        dev = encode_img(vae_vars, jnp.asarray(images))
+        return lambda: np.asarray(dev)
+
+    def _cap_dispatch(captions):
+        ids, mask = tokenize(list(captions), max_length=max_caption_len)
+        dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
+        return lambda: compress_embeddings(dev, mask)
+
+    encode_images.dispatch = _img_dispatch
+    encode_captions.dispatch = _cap_dispatch
+
+    decode_latents = make_tiling_decoder(vae, vae_vars, decode,
+                                         params.low_vram)
 
     return encode_images, encode_captions, decode_latents
 
@@ -514,40 +552,150 @@ def build_dino_encoder(params: TrainingParameters):
     return encode_repa
 
 
-def attach_compute_features(params: TrainingParameters, holder: dict,
-                            encoders, max_caption_len: int,
-                            resolution: int, encode_pooled=None):
-    """Shared compute_features wiring: image sampler → on-the-fly encode →
-    FeatureCache.  ``encoders`` = (encode_images, encode_captions, decode).
-    With ``use_repa``, a frozen DINOv2 produces per-batch alignment tokens
-    (the round-1 gap: repa_features never reached any production batch)."""
+@dataclasses.dataclass
+class FamilySpec:
+    """What a model family contributes to the SHARED sampler selection:
+    its caption budget, its default resolution class, and how to build its
+    encoder pipeline.  Everything else — Dreambooth vs compute_features vs
+    feature shards, source selection (local/urls/R2), caching, REPA taps —
+    is owned by ``build_family_sampler`` so every family gets every data
+    path (the reference does this selection once in the shared base class,
+    /root/reference/common/trainer.py:145-199; round 2 re-implemented it
+    per frontend and two families drifted)."""
+
+    family: str
+    max_caption_len: int
+    default_resolution: int
+    # build_encoders(params) -> dict with encode_images, encode_captions,
+    # decode_latents and optionally encode_pooled (None values dropped)
+    build_encoders: Callable[[TrainingParameters], dict]
+
+
+def ensure_encoders(params: TrainingParameters, spec: FamilySpec,
+                    holder: dict, trainer=None) -> dict:
+    """Build the family's encoder callables once and cache them in
+    ``holder`` (shared by sampler construction, validation, and the
+    extract phase).  With ``trainer`` given, mirror them onto it."""
+    if "encode_captions" not in holder:
+        built = spec.build_encoders(params)
+        holder.update({k: v for k, v in built.items() if v is not None})
+    if trainer is not None:
+        for k, v in holder.items():
+            setattr(trainer, k, v)
+    return holder
+
+
+def make_image_source(params: TrainingParameters):
+    """Raw-image shard source for compute_features / Dreambooth
+    regularization: local paths OR plain urls OR R2 presigned streaming.
+    The reference's main live path streams raw {jpg, txt} shards from R2
+    for ANY model family (bucket_sampler.py:92-126,276-398); round 2
+    hardwired local-only for the non-SANA families."""
+    if params.local_shard_paths:
+        return make_local_source(params)
+    if params.urls:
+        from yat_tpu.data.sampler import UrlShardSource
+        return UrlShardSource(params.urls, seed=params.dataset_seed,
+                              probs=params.url_probs,
+                              process_index=jax.process_index())
+    if params.r2_endpoint:
+        return make_remote_source(params)
+    raise ValueError(
+        "a raw-image shard source is required (compute_features / "
+        "extract_features): configure local_shard_paths, urls, or R2 "
+        "credentials")
+
+
+def build_family_sampler(params: TrainingParameters, spec: FamilySpec,
+                         holder: dict):
+    """The reference's sampler selection (common/trainer.py:145-199)
+    hoisted so EVERY family gets all three data paths:
+
+    1. ``dreambooth_dataset_folder`` → DreamboothSampler (instance/
+       regularization alternation) encoded on the fly;
+    2. ``compute_features`` → ImageBucketSampler over any raw source →
+       OnTheFlyEncodingSampler → FeatureCache (cache_size semantics);
+    3. otherwise → FeatureBucketSampler over pre-extracted feature shards.
+
+    Returns None when no data source is configured at all (generate/
+    validation-only usage); raises when a path is requested but its inputs
+    are missing (silent starvation is the failure mode this kills)."""
     from yat_tpu.data.bins import bin_for_resolution
-    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.data.sampler import DreamboothSampler, ImageBucketSampler
     from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
 
-    encode_images, encode_captions, decode = encoders
-    holder.update(encode_images=encode_images,
-                  encode_captions=encode_captions, decode_latents=decode)
-    if encode_pooled is not None:
-        holder["encode_pooled"] = encode_pooled
-    bins = bin_for_resolution(params.aspect_ratios or resolution)
-    images = ImageBucketSampler(
-        make_local_source(params),
-        params.batch_size, bins, seed=params.dataset_seed)
-    cb = None
-    if params.caption_length_bucketing:
-        from yat_tpu.data.sampler import caption_length_buckets
-        cb = caption_length_buckets(max_caption_len)
-    encode_repa = build_dino_encoder(params) if params.use_repa else None
-    encoded = OnTheFlyEncodingSampler(
-        images, encode_images, encode_captions, max_caption_len,
-        vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_pooled=encode_pooled, caption_buckets=cb,
-        encode_repa=encode_repa, repeat=params.bucket_repeat)
-    return FeatureCache(encoded, cache_size=max(
-        1, params.cache_size // params.batch_size),
-        save_to_disk=params.save_to_disk)
+    resolution = params.aspect_ratios or spec.default_resolution
+    bins = bin_for_resolution(resolution)
+
+    def on_the_fly(images, repeat=1, cache=False):
+        h = ensure_encoders(params, spec, holder)
+        cb = None
+        if params.caption_length_bucketing:
+            from yat_tpu.data.sampler import caption_length_buckets
+            cb = caption_length_buckets(spec.max_caption_len)
+        encode_repa = build_dino_encoder(params) if params.use_repa else None
+        encoded = OnTheFlyEncodingSampler(
+            images, h["encode_images"], h["encode_captions"],
+            spec.max_caption_len,
+            vae_max_batch_size=params.vae_max_batch_size,
+            text_encoder_max_batch_size=params.text_encoder_max_batch_size,
+            encode_pooled=h.get("encode_pooled"), caption_buckets=cb,
+            encode_repa=encode_repa, repeat=repeat)
+        if not cache:
+            return encoded
+        return FeatureCache(
+            encoded,
+            cache_size=max(1, params.cache_size // params.batch_size),
+            save_to_disk=params.save_to_disk)
+
+    if params.dreambooth_dataset_folder:
+        # trainer.py:145-167: Dreambooth wins over every other path
+        reg_source = None
+        if params.r2_endpoint and (params.num_shards or params.r2_tar_files):
+            reg_source = make_remote_source(params, per_host=False)
+        images = DreamboothSampler(
+            params.dreambooth_dataset_folder,
+            params.dreambooth_regularization_folder,
+            params.dreambooth_instance, params.dreambooth_class,
+            params.dreambooth_num_repeats, params.batch_size, bins,
+            num_regularisation_passes=(
+                params.dreambooth_num_regularisation_passes),
+            seed=params.dataset_seed, reg_shard_source=reg_source)
+        return on_the_fly(images)
+
+    if params.compute_features and not params.use_calculated_features:
+        images = ImageBucketSampler(
+            make_image_source(params), params.batch_size, bins,
+            seed=params.dataset_seed)
+        return on_the_fly(images, repeat=params.bucket_repeat, cache=True)
+
+    if not (params.local_shard_paths or params.urls or params.r2_endpoint):
+        return None
+    return build_feature_sampler(params, spec.max_caption_len,
+                                 resolution=spec.default_resolution)
+
+
+def make_tiling_decoder(vae, vae_vars, decode_jit, low_vram: bool):
+    """decode_latents with the reference's VAE-tiling semantics
+    (train_sana.py:56-57 enable_tiling at 2048px): tile whenever low_vram
+    is set or the decoded image reaches 2048px, bounding decoder
+    activations so validation of big models fits one chip alongside the
+    live train state (the reference's CPU<->GPU swap choreography,
+    train_sd35.py:94-163, maps to activation bounding on TPU — weights
+    stay resident, the activation peak is what tiling removes)."""
+
+    def decode_latents(z):
+        z = jnp.asarray(z)
+        comp = vae.cfg.compression
+        px = max(int(z.shape[1]), int(z.shape[2])) * comp
+        if low_vram or px >= 2048:
+            from yat_tpu.models.vae import decode_tiled
+            return decode_tiled(vae, vae_vars, z,
+                                tile_latent=64 if low_vram else 128,
+                                decode_fn=decode_jit)
+        return decode_jit(vae_vars, z)
+
+    return decode_latents
 
 
 def make_prompt_encoder(encode_captions, max_len: int, encode_pooled=None,

@@ -75,20 +75,40 @@ def _build_flux_encoders(params: TrainingParameters):
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    def decode_latents(z):
-        return decode(vae_vars, z)
+    # async dispatch hooks (train/extract.py pipelining)
+    def _img_dispatch(images):
+        dev = encode_img(vae_vars, jnp.asarray(images))
+        return lambda: np.asarray(dev)
+
+    def _cap_dispatch(captions):
+        ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
+        dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
+        return lambda: compress_embeddings(dev, mask)
+
+    encode_images.dispatch = _img_dispatch
+    encode_captions.dispatch = _cap_dispatch
+
+    from yat_tpu.frontends.common import make_tiling_decoder
+    decode_latents = make_tiling_decoder(vae, vae_vars, decode,
+                                         params.low_vram)
 
     return encode_images, encode_captions, decode_latents
 
 
-def _build_flux_compute_features(params: TrainingParameters, holder: dict):
-    """Flux compute_features: 16-channel KL-VAE latents (the flow loss
-    patchifies + BN-standardizes them, train_flux_klein.py:42-54) and an
-    LLM caption encoder (Gemma-2-class decoder used as encoder)."""
-    from yat_tpu.frontends.common import attach_compute_features
-    return attach_compute_features(
-        params, holder, _build_flux_encoders(params),
-        FLUX_CAPTION_LEN, params.aspect_ratios or 1024)
+def _flux_spec(params: TrainingParameters):
+    """Flux's contribution to the shared sampler selection: 16-channel
+    KL-VAE latents (the flow loss patchifies + BN-standardizes them,
+    train_flux_klein.py:42-54) and an LLM caption encoder (Gemma-2-class
+    decoder used as encoder)."""
+    from yat_tpu.frontends.common import FamilySpec
+
+    def encoders(p):
+        ei, ec, dl = _build_flux_encoders(p)
+        return {"encode_images": ei, "encode_captions": ec,
+                "decode_latents": dl}
+
+    return FamilySpec(family="flux", max_caption_len=FLUX_CAPTION_LEN,
+                      default_resolution=1024, build_encoders=encoders)
 
 
 def make_trainer(params: TrainingParameters, sampler=None,
@@ -101,12 +121,10 @@ def make_trainer(params: TrainingParameters, sampler=None,
     loss = make_flux_loss(model, schedule,
                           timestep_list=params.timesteps or None)
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
-        sampler = _build_flux_compute_features(params, holder)
-    elif sampler is None:
-        sampler = build_feature_sampler(params, FLUX_CAPTION_LEN, resolution=1024)
+    spec = _flux_spec(params)
+    if sampler is None:
+        from yat_tpu.frontends.common import build_family_sampler
+        sampler = build_family_sampler(params, spec, holder)
 
     if init_variables is None:
         import jax
@@ -128,6 +146,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
     trainer = Trainer(params, model, loss, sampler=sampler,
                       init_variables=init_variables)
     trainer.flux_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     from yat_tpu.data.bins import bin_for_resolution
     trainer.warmup_spec = {
@@ -140,12 +159,8 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        if "encode_captions" not in holder:
-            ei, ec, dl = _build_flux_encoders(params)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        from yat_tpu.frontends.common import ensure_encoders
+        ensure_encoders(params, spec, holder, trainer)
         trainer.validate_fn = _make_flux_validate(params, cfg, model,
                                                   schedule, holder)
     return trainer

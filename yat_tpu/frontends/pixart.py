@@ -36,17 +36,19 @@ def make_trainer(params: TrainingParameters, sampler=None,
     pres = make_preservation_loss(model, schedule, is_flow=False) \
         if params.use_preservation else None
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
-        from yat_tpu.frontends.common import (
-            attach_compute_features, build_t5_vae_encoders)
-        sampler = attach_compute_features(
-            params, holder, build_t5_vae_encoders(params,
-                                                  cfg.max_caption_len),
-            cfg.max_caption_len, cfg.resolution)
-    elif sampler is None:
-        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=cfg.resolution)
+    from yat_tpu.frontends.common import FamilySpec, build_family_sampler
+
+    def _encoders(p):
+        from yat_tpu.frontends.common import build_t5_vae_encoders
+        ei, ec, dl = build_t5_vae_encoders(p, cfg.max_caption_len)
+        return {"encode_images": ei, "encode_captions": ec,
+                "decode_latents": dl}
+
+    spec = FamilySpec(family="pixart", max_caption_len=cfg.max_caption_len,
+                      default_resolution=cfg.resolution,
+                      build_encoders=_encoders)
+    if sampler is None:
+        sampler = build_family_sampler(params, spec, holder)
 
     if init_variables is None:
         import jax
@@ -68,6 +70,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
     trainer = Trainer(params, model, loss, sampler=sampler,
                       preservation_loss=pres, init_variables=init_variables)
     trainer.pixart_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     from yat_tpu.data.bins import bin_for_resolution
     trainer.warmup_spec = {
@@ -82,15 +85,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        from yat_tpu.frontends.common import (
-            build_t5_vae_encoders, make_prompt_encoder)
+        from yat_tpu.frontends.common import ensure_encoders, make_prompt_encoder
         from yat_tpu.train.validation import ValidationPipeline
-        if "encode_captions" not in holder:
-            ei, ec, dl = build_t5_vae_encoders(params, cfg.max_caption_len)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        ensure_encoders(params, spec, holder, trainer)
         res = params.aspect_ratios or cfg.resolution
         lat = res // cfg.vae_compression
         trainer.validate_fn = ValidationPipeline(

@@ -32,12 +32,11 @@ def make_trainer(params: TrainingParameters, sampler=None,
         model, schedule, timestep_list=params.timesteps or None,
         repa_lambda=REPA_LOSS_WEIGHT if params.use_repa else 0.0)
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
+    from yat_tpu.frontends.common import FamilySpec, build_family_sampler
+
+    def _encoders(p):
         # pixel-space: extract_latents is the identity
         # (train_pixeldit.py:172-173); captions go through Gemma-2
-        from yat_tpu.frontends.common import attach_compute_features
         from yat_tpu.frontends.sana import build_encoders
 
         class _IdCfg:
@@ -45,14 +44,15 @@ def make_trainer(params: TrainingParameters, sampler=None,
             resolution = cfg.patch_size * 16
             in_channels = 3
 
-        _, encode_captions, _ = build_encoders(params, _IdCfg)
-        sampler = attach_compute_features(
-            params, holder,
-            (lambda images: np.asarray(images), encode_captions, None),
-            cfg.max_caption_len, params.aspect_ratios or 256)
-    elif sampler is None:
-        # 'latents' in feature shards are pixels
-        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=256)
+        _, encode_captions, _ = build_encoders(p, _IdCfg)
+        return {"encode_images": lambda images: np.asarray(images),
+                "encode_captions": encode_captions}
+
+    # 'latents' in feature shards are pixels
+    spec = FamilySpec(family="pixeldit", max_caption_len=cfg.max_caption_len,
+                      default_resolution=256, build_encoders=_encoders)
+    if sampler is None:
+        sampler = build_family_sampler(params, spec, holder)
 
     example = None
     pretrained = bool(params.pretrained_model_path
@@ -83,6 +83,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
     trainer = Trainer(params, model, loss, sampler=sampler,
                       init_variables=init_variables, example_batch=example)
     trainer.pixeldit_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     from yat_tpu.data.bins import bin_for_resolution
     trainer.warmup_spec = {
@@ -96,17 +97,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.frontends.common import ensure_encoders, make_prompt_encoder
         from yat_tpu.train.validation import ValidationPipeline
-        if "encode_captions" not in holder:
-            from yat_tpu.frontends.sana import build_encoders
-
-            class _IdCfg:
-                max_caption_len = cfg.max_caption_len
-                in_channels = 3
-            _, encode_captions, _ = build_encoders(params, _IdCfg)
-            holder["encode_captions"] = encode_captions
-            trainer.encode_captions = encode_captions
+        ensure_encoders(params, spec, holder, trainer)
         res = params.aspect_ratios or 1024     # train_pixeldit.py:188-189
         trainer.validate_fn = ValidationPipeline(
             model, schedule,

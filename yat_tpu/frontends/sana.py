@@ -63,6 +63,7 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
                 # (patched_sana_transformer.py:40-167 re-applies on load)
                 softmax_self_attn_blocks=tuple(
                     int(i) for i in dj.get("modified_blocks", ())),
+                qk_norm=dj.get("qk_norm", cfg.qk_norm),
             )
     if over:
         from yat_tpu.frontends.common import override_config
@@ -140,80 +141,40 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
-    def decode_latents(z):
-        return decode(vae_vars, z)
+    # async dispatch hooks (train/extract.py pipelining): launch the jit,
+    # fetch later — several batches of encodes stay in flight
+    def _img_dispatch(images):
+        dev = encode_img(vae_vars, jnp.asarray(images))
+        return lambda: np.asarray(dev)
+
+    def _cap_dispatch(captions):
+        ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
+        dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
+        return lambda: compress_embeddings(dev, mask)
+
+    encode_images.dispatch = _img_dispatch
+    encode_captions.dispatch = _cap_dispatch
+
+    from yat_tpu.frontends.common import make_tiling_decoder
+    decode_latents = make_tiling_decoder(vae, vae_vars, decode,
+                                         params.low_vram)
 
     return encode_images, encode_captions, decode_latents
 
 
-def build_compute_features_sampler(params: TrainingParameters,
-                                   cfg: SanaConfig, trainer_holder: dict):
-    """compute_features=True path: stream raw image shards, encode on
-    device, cache (bucket_sampler.py:276-398 + cache_size semantics)."""
-    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
-    from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+def family_spec(params: TrainingParameters, cfg: SanaConfig):
+    """SANA's contribution to the shared sampler selection
+    (frontends/common.py build_family_sampler)."""
+    from yat_tpu.frontends.common import FamilySpec
 
-    bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
-    if params.local_shard_paths:
-        from yat_tpu.frontends.common import make_local_source
-        source = make_local_source(params)
-    else:
-        from yat_tpu.frontends.common import make_remote_source
-        source = make_remote_source(params)
-    images = ImageBucketSampler(source, params.batch_size, bins,
-                                seed=params.dataset_seed)
-    encode_images, encode_captions, decode_latents = \
-        build_encoders(params, cfg)
-    trainer_holder["encode_images"] = encode_images
-    trainer_holder["encode_captions"] = encode_captions
-    trainer_holder["decode_latents"] = decode_latents
-    encode_repa = None
-    if params.use_repa:
-        from yat_tpu.frontends.common import build_dino_encoder
-        encode_repa = build_dino_encoder(params)
-    encoded = OnTheFlyEncodingSampler(
-        images, encode_images, encode_captions, cfg.max_caption_len,
-        vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_repa=encode_repa, repeat=params.bucket_repeat)
-    return FeatureCache(encoded, cache_size=max(1, params.cache_size
-                                                // params.batch_size),
-                        save_to_disk=params.save_to_disk)
+    def encoders(p):
+        ei, ec, dl = build_encoders(p, cfg)
+        return {"encode_images": ei, "encode_captions": ec,
+                "decode_latents": dl}
 
-
-def build_dreambooth_sampler(params: TrainingParameters, cfg: SanaConfig,
-                             trainer_holder: dict):
-    """Dreambooth: instance-folder passes alternating with regularization
-    passes, encoded on the fly (trainer.py:145-167 sampler selection)."""
-    from yat_tpu.data.sampler import DreamboothSampler, RemoteShardSource
-    from yat_tpu.train.encode import OnTheFlyEncodingSampler
-
-    bins = bin_for_resolution(params.aspect_ratios or cfg.resolution)
-    reg_source = None
-    if params.r2_endpoint and (params.num_shards or params.r2_tar_files):
-        from yat_tpu.frontends.common import make_remote_source
-        reg_source = make_remote_source(params, per_host=False)
-    images = DreamboothSampler(
-        params.dreambooth_dataset_folder,
-        params.dreambooth_regularization_folder,
-        params.dreambooth_instance, params.dreambooth_class,
-        params.dreambooth_num_repeats, params.batch_size, bins,
-        num_regularisation_passes=params.dreambooth_num_regularisation_passes,
-        seed=params.dataset_seed, reg_shard_source=reg_source)
-    encode_images, encode_captions, decode_latents = \
-        build_encoders(params, cfg)
-    trainer_holder["encode_images"] = encode_images
-    trainer_holder["encode_captions"] = encode_captions
-    trainer_holder["decode_latents"] = decode_latents
-    encode_repa = None
-    if params.use_repa:
-        from yat_tpu.frontends.common import build_dino_encoder
-        encode_repa = build_dino_encoder(params)
-    return OnTheFlyEncodingSampler(
-        images, encode_images, encode_captions, cfg.max_caption_len,
-        vae_max_batch_size=params.vae_max_batch_size,
-        text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        encode_repa=encode_repa)
+    return FamilySpec(family="sana", max_caption_len=cfg.max_caption_len,
+                      default_resolution=cfg.resolution,
+                      build_encoders=encoders)
 
 
 def make_trainer(params: TrainingParameters,
@@ -242,15 +203,10 @@ def make_trainer(params: TrainingParameters,
         if params.use_preservation else None
 
     holder: dict = {}
-    if sampler is None and params.dreambooth_dataset_folder:
-        sampler = build_dreambooth_sampler(params, cfg, holder)
-    elif sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            (params.local_shard_paths or params.r2_endpoint):
-        sampler = build_compute_features_sampler(params, cfg, holder)
-    elif sampler is None and (params.local_shard_paths or params.urls
-                              or params.r2_endpoint):
-        sampler = build_sampler(params, cfg)
+    spec = family_spec(params, cfg)
+    if sampler is None:
+        from yat_tpu.frontends.common import build_family_sampler
+        sampler = build_family_sampler(params, spec, holder)
 
     pretrained = bool(params.pretrained_model_path
                       or params.pretrained_pipe_path
@@ -280,6 +236,7 @@ def make_trainer(params: TrainingParameters,
         params, model, loss, sampler=sampler, preservation_loss=pres,
         init_variables=init_variables, example_batch=example)
     trainer.sana_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     if cfg.softmax_self_attn_blocks:
         # exported checkpoints record the patched set so a reload
@@ -304,16 +261,9 @@ def make_trainer(params: TrainingParameters,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
+        from yat_tpu.frontends.common import ensure_encoders
         from yat_tpu.train.validation import ValidationPipeline, enhance_prompt
-        if "encode_captions" not in holder:
-            # feature-shard training path: build the encoder/decoder pair
-            # on demand just for validation (round-1 gap: only the
-            # compute_features path ever validated)
-            ei, ec, dl = build_encoders(params, cfg)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        ensure_encoders(params, spec, holder, trainer)
         lat = cfg.sample_size
         trainer.validate_fn = ValidationPipeline(
             model, schedule,

@@ -42,37 +42,19 @@ def make_trainer(params: TrainingParameters, sampler=None,
     pres = make_preservation_loss(model, schedule, is_flow=False) \
         if params.use_preservation else None
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
-        from yat_tpu.data.bins import bin_for_resolution
-        from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.frontends.common import FamilySpec, build_family_sampler
+
+    def _encoders(p):
         from yat_tpu.frontends.common import build_clip_vae_encoders
-        from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
-        enc_img, enc_cap, enc_pool, dec = build_clip_vae_encoders(
-            params, CLIP_MAX_LEN)
-        holder.update(encode_images=enc_img, encode_captions=enc_cap,
-                      decode_latents=dec)
-        bins = bin_for_resolution(params.aspect_ratios or 512)  # 512 bins,
-        # train_sd15.py:36
-        from yat_tpu.frontends.common import make_local_source
-        images = ImageBucketSampler(
-            make_local_source(params),
-            params.batch_size, bins, seed=params.dataset_seed)
-        encode_repa = None
-        if params.use_repa:
-            from yat_tpu.frontends.common import build_dino_encoder
-            encode_repa = build_dino_encoder(params)
-        encoded = OnTheFlyEncodingSampler(
-            images, enc_img, enc_cap, CLIP_MAX_LEN,
-            vae_max_batch_size=params.vae_max_batch_size,
-            text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-            encode_repa=encode_repa)
-        sampler = FeatureCache(encoded, cache_size=max(
-            1, params.cache_size // params.batch_size),
-            save_to_disk=params.save_to_disk)
-    elif sampler is None:
-        sampler = build_feature_sampler(params, CLIP_MAX_LEN)
+        ei, ec, _, dec = build_clip_vae_encoders(p, CLIP_MAX_LEN)
+        return {"encode_images": ei, "encode_captions": ec,
+                "decode_latents": dec}
+
+    # 512 bins, train_sd15.py:36
+    spec = FamilySpec(family="sd15", max_caption_len=CLIP_MAX_LEN,
+                      default_resolution=512, build_encoders=_encoders)
+    if sampler is None:
+        sampler = build_family_sampler(params, spec, holder)
 
     example = None
     pretrained = bool(params.pretrained_model_path
@@ -100,6 +82,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       preservation_loss=pres, init_variables=init_variables,
                       example_batch=example)
     trainer.unet_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     if repa_cfg is not None:
         import jax
@@ -119,15 +102,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        from yat_tpu.frontends.common import (
-            build_clip_vae_encoders, make_prompt_encoder)
+        from yat_tpu.frontends.common import ensure_encoders, make_prompt_encoder
         from yat_tpu.train.validation import ValidationPipeline
-        if "encode_captions" not in holder:
-            ei, ec, _, dl = build_clip_vae_encoders(params, CLIP_MAX_LEN)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        ensure_encoders(params, spec, holder, trainer)
         res = params.aspect_ratios or 512
         lat = res // 8
         trainer.validate_fn = ValidationPipeline(

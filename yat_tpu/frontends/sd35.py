@@ -74,8 +74,16 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     def enc_img(images):
         return np.asarray(encode_img_fn(vae_vars, jnp.asarray(images)))
 
+    def _img_dispatch(images):
+        dev = encode_img_fn(vae_vars, jnp.asarray(images))
+        return lambda: np.asarray(dev)
+    enc_img.dispatch = _img_dispatch
+
+    from yat_tpu.frontends.common import make_tiling_decoder
+    _dec_tiled = make_tiling_decoder(vae, vae_vars, dec_fn, params.low_vram)
+
     def dec(z):
-        return np.asarray(dec_fn(vae_vars, jnp.asarray(z)))
+        return np.asarray(_dec_tiled(z))
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     t5 = T5Encoder(cfg=T5_TINY_TEST if tiny else T5_XXL, dtype=jnp.float32)
@@ -99,12 +107,8 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
                                  max_length=t5_len)
     encode_t5 = jax.jit(lambda v, ids, mask: t5.apply(v, ids, mask))
 
-    def encode_captions(captions):
+    def _join_clip_t5(clip, t5_list):
         import numpy as np
-        clip = enc_clip_cap(captions)          # list [77, d_clip]
-        ids, mask = tokenize_t5(list(captions), max_length=t5_len)
-        t5_hidden = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
-        t5_list = compress_embeddings(t5_hidden, mask)
         out = []
         width = cfg.caption_dim
         for c_emb, t_emb in zip(clip, t5_list):
@@ -114,6 +118,23 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
             t[:, : t_emb.shape[1]] = np.asarray(t_emb)
             out.append(np.concatenate([c, t], axis=0))
         return out
+
+    def encode_captions(captions):
+        clip = enc_clip_cap(captions)          # list [77, d_clip]
+        ids, mask = tokenize_t5(list(captions), max_length=t5_len)
+        t5_hidden = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
+        return _join_clip_t5(clip, compress_embeddings(t5_hidden, mask))
+
+    # async dispatch hook (train/extract.py pipelining): launch the dual
+    # CLIP and T5 encodes together, join at fetch time
+    def _cap_dispatch(captions):
+        clip_fin = enc_clip_cap.dispatch(captions)
+        ids, mask = tokenize_t5(list(captions), max_length=t5_len)
+        t5_dev = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
+        return lambda: _join_clip_t5(clip_fin(),
+                                     compress_embeddings(t5_dev, mask))
+    if hasattr(enc_clip_cap, "dispatch"):
+        encode_captions.dispatch = _cap_dispatch
 
     return enc_img, encode_captions, enc_pool, dec
 
@@ -142,16 +163,17 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                   extra_keys=("pooled_text",)) \
         if params.use_preservation else None
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
-        from yat_tpu.frontends.common import attach_compute_features
-        enc_img, enc_cap, enc_pool, dec = build_sd35_encoders(params, cfg)
-        sampler = attach_compute_features(
-            params, holder, (enc_img, enc_cap, dec), cfg.max_caption_len,
-            params.aspect_ratios or 1024, encode_pooled=enc_pool)
-    elif sampler is None:
-        sampler = build_feature_sampler(params, cfg.max_caption_len, resolution=1024)
+    from yat_tpu.frontends.common import FamilySpec, build_family_sampler
+
+    def _encoders(p):
+        ei, ec, ep, dec = build_sd35_encoders(p, cfg)
+        return {"encode_images": ei, "encode_captions": ec,
+                "encode_pooled": ep, "decode_latents": dec}
+
+    spec = FamilySpec(family="sd35", max_caption_len=cfg.max_caption_len,
+                      default_resolution=1024, build_encoders=_encoders)
+    if sampler is None:
+        sampler = build_family_sampler(params, spec, holder)
 
     def batch_transform(batch, out):
         b = out["latents"].shape[0]
@@ -185,6 +207,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       preservation_loss=pres, init_variables=init_variables,
                       batch_transform=batch_transform)
     trainer.mmdit_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     if repa_cfg is not None:
         import jax
@@ -205,14 +228,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.frontends.common import ensure_encoders, make_prompt_encoder
         from yat_tpu.train.validation import ValidationPipeline
-        if "encode_captions" not in holder:
-            ei, ec, ep, dl = build_sd35_encoders(params, cfg)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          encode_pooled=ep, decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        ensure_encoders(params, spec, holder, trainer)
         res = params.aspect_ratios or 1024
         lat = res // 8
         trainer.validate_fn = ValidationPipeline(

@@ -84,6 +84,25 @@ def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False,
         return [np.concatenate([np.asarray(h1[i]), np.asarray(h2[i])], -1)
                 for i in range(len(captions))]
 
+    # async dispatch hook (train/extract.py pipelining): launch BOTH CLIP
+    # stacks, concatenate at fetch time
+    def _cap_dispatch(captions):
+        import numpy as np
+        fin1 = enc_cap1.dispatch(captions)
+        caps = [compress_caption(c) for c in captions]
+        ids, _ = tokenize2(caps, max_length=ml)
+        h2_dev, _ = encode2(te2_vars, jnp.asarray(ids))
+
+        def finish():
+            h1 = fin1()
+            h2 = np.asarray(h2_dev)
+            return [np.concatenate([np.asarray(h1[i]), h2[i]], -1)
+                    for i in range(len(captions))]
+
+        return finish
+    if hasattr(enc_cap1, "dispatch"):
+        encode_captions.dispatch = _cap_dispatch
+
     def encode_pooled(captions):
         import numpy as np
         caps = [compress_caption(c) for c in captions]
@@ -120,16 +139,17 @@ def make_trainer(params: TrainingParameters, sampler=None,
                                   extra_keys=("pooled_text", "time_ids")) \
         if params.use_preservation else None
     holder: dict = {}
-    if sampler is None and params.compute_features and \
-            not params.use_calculated_features and \
-            params.local_shard_paths:
-        from yat_tpu.frontends.common import attach_compute_features
-        enc_img, enc_cap, enc_pool, dec = build_sdxl_encoders(params)
-        sampler = attach_compute_features(
-            params, holder, (enc_img, enc_cap, dec), CLIP_MAX_LEN,
-            params.aspect_ratios or 1024, encode_pooled=enc_pool)
-    elif sampler is None:
-        sampler = build_feature_sampler(params, CLIP_MAX_LEN, resolution=1024)
+    from yat_tpu.frontends.common import FamilySpec, build_family_sampler
+
+    def _encoders(p):
+        ei, ec, ep, dec = build_sdxl_encoders(p)
+        return {"encode_images": ei, "encode_captions": ec,
+                "encode_pooled": ep, "decode_latents": dec}
+
+    spec = FamilySpec(family="sdxl", max_caption_len=CLIP_MAX_LEN,
+                      default_resolution=1024, build_encoders=_encoders)
+    if sampler is None:
+        sampler = build_family_sampler(params, spec, holder)
 
     bins = bin_for_resolution(params.aspect_ratios or 1024)
     pooled_dim = int(params.model_config_overrides.get("pooled_dim",
@@ -173,6 +193,7 @@ def make_trainer(params: TrainingParameters, sampler=None,
                       preservation_loss=pres, init_variables=init_variables,
                       batch_transform=batch_transform)
     trainer.unet_config = cfg
+    trainer.family_spec = spec
     trainer.schedule = schedule
     if repa_cfg is not None:
         import jax
@@ -192,14 +213,9 @@ def make_trainer(params: TrainingParameters, sampler=None,
     for k, v in holder.items():
         setattr(trainer, k, v)
     if params.validation_prompts:
-        from yat_tpu.frontends.common import make_prompt_encoder
+        from yat_tpu.frontends.common import ensure_encoders, make_prompt_encoder
         from yat_tpu.train.validation import ValidationPipeline
-        if "encode_captions" not in holder:
-            ei, ec, ep, dl = build_sdxl_encoders(params)
-            holder.update(encode_images=ei, encode_captions=ec,
-                          encode_pooled=ep, decode_latents=dl)
-            for k, v in holder.items():
-                setattr(trainer, k, v)
+        ensure_encoders(params, spec, holder, trainer)
         res = params.aspect_ratios or 1024
         lat = res // 8
         trainer.validate_fn = ValidationPipeline(

@@ -177,9 +177,16 @@ def convert_sana(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
     _linear(sd, "time_embed.emb.timestep_embedder.linear_2", tree,
             "time_embed.linear_2")
     _linear(sd, "time_embed.linear", tree, "time_proj")
-    _linear(sd, "caption_projection.linear_1", tree, "caption_projection") \
-        if "caption_projection.linear_1.weight" in sd else \
-        _linear(sd, "caption_projection", tree, "caption_projection")
+    if "caption_projection.linear_1.weight" in sd:
+        _linear(sd, "caption_projection.linear_1", tree,
+                "caption_projection.linear_1")
+        _linear(sd, "caption_projection.linear_2", tree,
+                "caption_projection.linear_2")
+    else:
+        # single-linear synthetic checkpoints: fill linear_1; linear_2
+        # stays missing and load_pretrained_backbone refuses the load
+        _linear(sd, "caption_projection", tree,
+                "caption_projection.linear_1")
     if "caption_norm.weight" in sd:
         _norm(sd, "caption_norm", tree, "caption_norm")
     for i in range(num_layers):
@@ -192,14 +199,20 @@ def convert_sana(sd: Dict[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
             if f"{p}.{a}.norm_q.weight" in sd:
                 _norm(sd, f"{p}.{a}.norm_q", tree, f"{q}.{b}.norm_q")
                 _norm(sd, f"{p}.{a}.norm_k", tree, f"{q}.{b}.norm_k")
+        # GLUMBConv 1x1 convs live as Dense in the model (TPU layout);
+        # real checkpoints store them as [out, in, 1, 1] Conv2d
+        # (tests/test_checkpoint_inventory.py caught _conv's 4-D output
+        # mis-shaping these in round 3)
         _linear(sd, f"{p}.ff.conv_inverted", tree, f"{q}.ff.conv_inverted") \
             if sd.get(f"{p}.ff.conv_inverted.weight", np.zeros(2)).ndim == 2 \
-            else _conv(sd, f"{p}.ff.conv_inverted", tree, f"{q}.ff.conv_inverted")
+            else _conv_as_linear(sd, f"{p}.ff.conv_inverted", tree,
+                                 f"{q}.ff.conv_inverted")
         _conv(sd, f"{p}.ff.conv_depth", tree, f"{q}.ff.conv_depth")
         _linear(sd, f"{p}.ff.conv_point", tree, f"{q}.ff.conv_point",
                 bias=False) \
             if sd.get(f"{p}.ff.conv_point.weight", np.zeros(2)).ndim == 2 \
-            else _conv(sd, f"{p}.ff.conv_point", tree, f"{q}.ff.conv_point")
+            else _conv_as_linear(sd, f"{p}.ff.conv_point", tree,
+                                 f"{q}.ff.conv_point")
         if f"{p}.scale_shift_table" in sd:
             # per-block (6, dim) AdaLN table — one per SanaTransformerBlock
             _set(tree, f"{q}.scale_shift_table",

@@ -48,7 +48,11 @@ def convert_pixart(sd: Dict[str, np.ndarray],
     _linear(sd, "adaln_single.emb.timestep_embedder.linear_2", tree,
             "time_embed.linear_2")
     _linear(sd, "adaln_single.linear", tree, "time_proj")
-    _linear(sd, "caption_projection.linear_1", tree, "caption_projection")
+    _linear(sd, "caption_projection.linear_1", tree,
+            "caption_projection.linear_1")
+    if "caption_projection.linear_2.weight" in sd:
+        _linear(sd, "caption_projection.linear_2", tree,
+                "caption_projection.linear_2")
     if "scale_shift_table" in sd:
         # top-level (2, dim) table modulates the output head (the per-block
         # (6, dim) tables live at transformer_blocks.{i}.scale_shift_table)
@@ -114,6 +118,16 @@ def convert_sd3_mmdit(sd: Dict[str, np.ndarray],
                          ("norm_added_k", "c_norm_k")):
             if f"{p}.attn.{src}.weight" in sd:
                 _norm_opt(sd, f"{p}.attn.{src}", tree, f"{q}.{dst}")
+        # dual-attention blocks (SD3.5-medium MMDiT-X, layers 0-12):
+        # a second image-stream self-attention
+        if f"{p}.attn2.to_q.weight" in sd:
+            for name in ("to_q", "to_k", "to_v"):
+                _lin_opt(sd, f"{p}.attn2.{name}", tree, f"{q}.x2_{name}")
+            _lin_opt(sd, f"{p}.attn2.to_out.0", tree, f"{q}.x2_to_out")
+            for src, dst in (("norm_q", "x2_norm_q"),
+                             ("norm_k", "x2_norm_k")):
+                if f"{p}.attn2.{src}.weight" in sd:
+                    _norm_opt(sd, f"{p}.attn2.{src}", tree, f"{q}.{dst}")
         # FFNs
         _lin_opt(sd, f"{p}.ff.net.0.proj", tree, f"{q}.x_ff.fc1")
         _lin_opt(sd, f"{p}.ff.net.2", tree, f"{q}.x_ff.fc2")

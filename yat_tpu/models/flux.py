@@ -297,7 +297,9 @@ class FluxTransformer(nn.Module):
         mod = AdapterDense(2 * c.hidden_dim, dtype=jnp.float32,
                            kernel_init=nn.initializers.zeros_init(),
                            name="final_mod")(nn.silu(cond))
-        shift, scale = jnp.split(mod[:, None, :], 2, -1)
+        # diffusers AdaLayerNormContinuous chunk order is (scale, shift) —
+        # matching it keeps norm_out.linear loadable verbatim
+        scale, shift = jnp.split(mod[:, None, :], 2, -1)
         x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
         x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
         return AdapterDense(c.in_channels, name="proj_out",

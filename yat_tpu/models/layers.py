@@ -144,6 +144,27 @@ class AdapterDense(nn.Module):
         return y
 
 
+class CaptionProjection(nn.Module):
+    """Two-layer caption embedder: linear_1 → gelu(tanh) → linear_2 —
+    weight-compatible with diffusers PixArtAlphaTextProjection, which is
+    what real SANA and PixArt-Sigma checkpoints carry
+    (caption_projection.linear_1/.linear_2).  A single Dense here
+    silently dropped the checkpoints' linear_2 (round-3 fidelity fix;
+    the converters now consume both)."""
+
+    hidden_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        x = AdapterDense(self.hidden_dim, dtype=self.dtype,
+                         name="linear_1")(x, deterministic=deterministic)
+        x = nn.gelu(x, approximate=True)
+        return AdapterDense(self.hidden_dim, dtype=self.dtype,
+                            name="linear_2")(x, deterministic=deterministic)
+
+
 class RMSNorm(nn.Module):
     """RMS norm: statistics accumulate in fp32, data stays in the compute
     dtype.  Identical to a full-fp32 island when x is fp32; in bf16 the
@@ -170,10 +191,15 @@ class RMSNorm(nn.Module):
 
 class LayerNorm(nn.Module):
     """LayerNorm: statistics in fp32, data in the compute dtype; optionally
-    affine-free (AdaLN use).  Same rationale as RMSNorm — identical when x
-    is fp32, and in bf16 the subtract/multiply round once either way while
-    the fp32 full-tensor copies (and their backward materializations, ~5 ms
-    per SANA step in the device trace) disappear."""
+    affine-free (AdaLN use).  Identical math when x is fp32.  In bf16 this
+    deviates from a full-fp32 norm by more than rounding when
+    |mean| >> std: ``x - mean`` in bf16 loses up to ~8 bits of the residual
+    that an fp32 subtraction would cancel exactly (ADVICE r2).  Activations
+    at these sites are post-projection and approximately centered, and the
+    trade kills the fp32 full-tensor copies (and their backward
+    materializations, ~5 ms per SANA step in the device trace, +10%
+    measured throughput) — the deviation is accepted and documented in
+    ARCHITECTURE.md (norm dtype policy)."""
 
     epsilon: float = 1e-6
     use_scale: bool = True

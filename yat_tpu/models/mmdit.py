@@ -15,7 +15,7 @@ add_noise, target ``eps - x`` (/root/reference/train_sd35.py:165-194).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,9 +48,13 @@ class MMDiTConfig:
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = "rms"
     max_caption_len: int = 333       # 256 T5 + 77 CLIP
+    # MMDiT-X (SD3.5-medium): these blocks carry a SECOND image-stream
+    # self-attention (diffusers use_dual_attention / AdaLayerNormZeroX
+    # with 9 modulation chunks); empty for SD3.5-large / SD3-medium
+    dual_attention_layers: Tuple[int, ...] = ()
 
 
-SD35_MEDIUM = MMDiTConfig()
+SD35_MEDIUM = MMDiTConfig(dual_attention_layers=tuple(range(13)))
 SD35_LARGE = MMDiTConfig(hidden_dim=2432, num_layers=38, num_heads=38)
 MMDIT_TINY_TEST = MMDiTConfig(hidden_dim=32, num_layers=2, num_heads=2,
                               caption_dim=16, pooled_dim=16,
@@ -92,6 +96,7 @@ class StreamModulation(nn.Module):
 class MMDiTBlock(nn.Module):
     cfg: MMDiTConfig
     last: bool = False               # last block: no text-stream output
+    dual: bool = False               # MMDiT-X extra image self-attention
     deterministic: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -101,10 +106,22 @@ class MMDiTBlock(nn.Module):
         hd = c.hidden_dim // c.num_heads
         det = self.deterministic
 
-        sx_shift, sx_scale, sx_gate, mx_shift, mx_scale, mx_gate = \
-            StreamModulation(c.hidden_dim, name="x_mod")(cond)
-        sc_shift, sc_scale, sc_gate, mc_shift, mc_scale, mc_gate = \
-            StreamModulation(c.hidden_dim, name="c_mod")(cond)
+        # dual blocks: AdaLayerNormZeroX's 9 chunks — the usual 6 plus
+        # (shift, scale, gate) for the second image-stream attention
+        mods_x = StreamModulation(c.hidden_dim,
+                                  n_mods=9 if self.dual else 6,
+                                  name="x_mod")(cond)
+        sx_shift, sx_scale, sx_gate, mx_shift, mx_scale, mx_gate = mods_x[:6]
+        if self.last:
+            # diffusers context_pre_only: AdaLayerNormContinuous — two
+            # chunks in (scale, shift) order, no gates (the text stream's
+            # output is dropped after this block anyway)
+            sc_scale, sc_shift = StreamModulation(
+                c.hidden_dim, n_mods=2, name="c_mod")(cond)
+            sc_gate = mc_shift = mc_scale = mc_gate = None
+        else:
+            sc_shift, sc_scale, sc_gate, mc_shift, mc_scale, mc_gate = \
+                StreamModulation(c.hidden_dim, name="c_mod")(cond)
 
         def qkv(h, tag):
             q = AdapterDense(c.hidden_dim, name=f"{tag}_to_q",
@@ -122,8 +139,8 @@ class MMDiTBlock(nn.Module):
                 k = RMSNorm(name=f"{tag}_norm_k")(k)
             return q, k, v
 
-        hx = LayerNorm(use_scale=False, use_bias=False, name="x_norm1")(x)
-        hx = hx * (1 + sx_scale.astype(x.dtype)) + sx_shift.astype(x.dtype)
+        nx = LayerNorm(use_scale=False, use_bias=False, name="x_norm1")(x)
+        hx = nx * (1 + sx_scale.astype(x.dtype)) + sx_shift.astype(x.dtype)
         hc = LayerNorm(use_scale=False, use_bias=False, name="c_norm1")(ctx)
         hc = hc * (1 + sc_scale.astype(x.dtype)) + sc_shift.astype(x.dtype)
 
@@ -139,9 +156,25 @@ class MMDiTBlock(nn.Module):
         attn = attn.reshape(b, attn.shape[1], c.hidden_dim)
         attn_c, attn_x = attn[:, :n_c], attn[:, n_c:]
 
+        attn2_out = None
+        if self.dual:
+            # second image-only self-attention off the SAME norm output
+            # (diffusers JointTransformerBlock use_dual_attention)
+            s2_shift, s2_scale, s2_gate = mods_x[6:]
+            hx2 = nx * (1 + s2_scale.astype(x.dtype)) \
+                + s2_shift.astype(x.dtype)
+            q2, k2, v2 = qkv(hx2, "x2")
+            a2 = jax.nn.dot_product_attention(q2, k2, v2)
+            a2 = a2.reshape(b, a2.shape[1], c.hidden_dim)
+            attn2_out = s2_gate.astype(x.dtype) * AdapterDense(
+                c.hidden_dim, name="x2_to_out", dtype=self.dtype)(
+                    a2, deterministic=det)
+
         x = x + sx_gate.astype(x.dtype) * AdapterDense(
             c.hidden_dim, name="x_to_out", dtype=self.dtype)(
                 attn_x, deterministic=det)
+        if attn2_out is not None:
+            x = x + attn2_out
         hx = LayerNorm(use_scale=False, use_bias=False, name="x_norm2")(x)
         hx = hx * (1 + mx_scale.astype(x.dtype)) + mx_shift.astype(x.dtype)
         x = x + mx_gate.astype(x.dtype) * MLP(
@@ -201,6 +234,7 @@ class MMDiT(nn.Module):
             block_cls = nn.remat(MMDiTBlock, prevent_cse=False)
         for i in range(c.num_layers):
             x, ctx = block_cls(cfg=c, last=(i == c.num_layers - 1),
+                               dual=(i in c.dual_attention_layers),
                                deterministic=deterministic, dtype=self.dtype,
                                name=f"blocks_{i}")(x, ctx if ctx is not None
                                                    else x[:, :0], cond)
@@ -208,7 +242,9 @@ class MMDiT(nn.Module):
         mod = AdapterDense(2 * c.hidden_dim, dtype=jnp.float32,
                            kernel_init=nn.initializers.zeros_init(),
                            name="final_mod")(nn.silu(cond))
-        shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+        # diffusers AdaLayerNormContinuous chunk order is (scale, shift) —
+        # matching it keeps norm_out.linear loadable verbatim
+        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
         x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
         x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
         x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,

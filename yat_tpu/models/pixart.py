@@ -187,8 +187,9 @@ class PixArtTransformer2D(nn.Module):
                             name="time_proj")(nn.silu(t_emb))
         cond = cond.reshape(b, 6, c.hidden_dim)
 
-        ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
-                           name="caption_projection")(
+        from yat_tpu.models.layers import CaptionProjection
+        ctx = CaptionProjection(c.hidden_dim, dtype=self.dtype,
+                                name="caption_projection")(
             text_emb.astype(self.dtype))
 
         block_cls = PixArtBlock

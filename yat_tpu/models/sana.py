@@ -54,7 +54,10 @@ class SanaConfig:
     sample_size: int = 16             # 512px / 32x VAE
     vae_compression: int = 32
     max_caption_len: int = 512        # train_sana.py:171 pads embeds to 512
-    qk_norm: str = "rms"
+    # the published SANA-0.6B/1.6B checkpoints carry NO attn2 qk norms
+    # (tests/test_checkpoint_inventory.py pins this); "rms" is the opt-in
+    # for configs that do (SANA-1.5 lineage)
+    qk_norm: Optional[str] = None
     # selected blocks swapped from linear to full softmax self-attention —
     # the capability of utils/patch_sana_attention_layers.py:117-137 (the
     # patched set persists in the model config as 'modified_blocks')
@@ -159,9 +162,13 @@ class SanaTransformer2D(nn.Module):
                             name="time_proj")(nn.silu(t_emb))
         cond = cond.reshape(b, 6, c.hidden_dim)
 
-        # caption projection into model width
-        ctx = AdapterDense(c.hidden_dim, dtype=self.dtype,
-                           name="caption_projection")(text_emb.astype(self.dtype))
+        # caption projection into model width (two-layer, diffusers
+        # PixArtAlphaTextProjection layout — real checkpoints carry both
+        # linears)
+        from yat_tpu.models.layers import CaptionProjection
+        ctx = CaptionProjection(c.hidden_dim, dtype=self.dtype,
+                                name="caption_projection")(
+            text_emb.astype(self.dtype))
         ctx = RMSNorm(name="caption_norm")(ctx)
 
         block_cls = SanaBlock

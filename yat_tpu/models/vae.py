@@ -185,19 +185,24 @@ class AutoencoderKL(nn.Module):
 
 
 def decode_tiled(vae, variables, latents: jnp.ndarray,
-                 tile_latent: int = 128, overlap: int = 16) -> jnp.ndarray:
+                 tile_latent: int = 128, overlap: int = 16,
+                 decode_fn=None) -> jnp.ndarray:
     """Memory-bounded VAE decode by overlapping tiles with linear blending.
 
     Parity with the reference's ``enable_tiling`` at 2048px
     (/root/reference/train_sana.py:56-57): the decoder's activations at
     2048x2048 exceed HBM headroom during training, so decode runs per
-    latent tile and the overlaps are feathered together.
+    latent tile and the overlaps are feathered together.  Pass a jitted
+    ``decode_fn(variables, tile)`` so interior tiles (all the same shape)
+    reuse one compiled program instead of tracing per tile.
     """
     b, h, w, c = latents.shape
     comp = vae.cfg.compression
     step = tile_latent - overlap
+    if decode_fn is None:
+        decode_fn = lambda v, t: vae.apply(v, t, method=vae.decode)
     if h <= tile_latent and w <= tile_latent:
-        return vae.apply(variables, latents, method=vae.decode)
+        return decode_fn(variables, latents)
 
     out = None
     weight = None
@@ -208,7 +213,7 @@ def decode_tiled(vae, variables, latents: jnp.ndarray,
             y1 = min(y0 + tile_latent, h)
             x1 = min(x0 + tile_latent, w)
             tile = latents[:, y0:y1, x0:x1]
-            img = vae.apply(variables, tile, method=vae.decode)
+            img = decode_fn(variables, tile)
             ph, pw = img.shape[1], img.shape[2]
             if out is None:
                 out = jnp.zeros((b, h * comp, w * comp, img.shape[-1]),

@@ -75,6 +75,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           implementation: str = "auto") -> jnp.ndarray:
     """q,k,v: [B, N, H, D]; mask: [B, N_k] keep-mask or [B,1,1,N_k] bool."""
+    if implementation not in ("auto", "xla", "vmem", "flash"):
+        raise ValueError(
+            f"unknown attention implementation {implementation!r}; expected "
+            "'auto', 'xla', 'vmem', or 'flash'")
+    if implementation == "flash" and (
+            q.shape[1] % 128 != 0 or k.shape[1] % 128 != 0):
+        # the kernel asserts block divisibility deep inside; fail clearly
+        raise ValueError(
+            "flash attention requires both sequence lengths to be "
+            f"multiples of 128, got N_q={q.shape[1]}, N_k={k.shape[1]} — "
+            "use implementation='auto' to fall back automatically")
     if implementation == "vmem" or (
             implementation == "auto" and _use_vmem_attn(q, k, v)):
         return _vmem_attention(q, k, v, mask)

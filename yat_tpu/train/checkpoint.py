@@ -61,6 +61,43 @@ def wait_for_checkpoints(directory: Optional[str] = None) -> None:
         mgr.wait_until_finished()
 
 
+def _augment_dropout_meta(meta):
+    """Add an abstract ``lora_dropout`` leaf to every adapter-meta module
+    that lacks one.  Checkpoints saved when ``lora_dropout > 0`` (or by
+    the pre-r2 format, which always materialized the leaf) carry it; a
+    state built with dropout 0 omits it (perf: its presence makes every
+    adapted Dense draw a bernoulli mask per step).  Restores must tolerate
+    the structural difference (ADVICE r2)."""
+    changed = False
+
+    def walk(node):
+        nonlocal changed
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        if "lora_scale" in out and "lora_dropout" not in out:
+            out["lora_dropout"] = jax.ShapeDtypeStruct((), np.float32)
+            changed = True
+        return out
+
+    return walk(meta), changed
+
+
+def _strip_extra_dropout(restored_meta, like_meta):
+    """Drop ``lora_dropout`` leaves the live state does not carry (the
+    restored rate is stale config anyway — the current spec's rate wins)."""
+
+    def walk(res, like):
+        if not isinstance(res, dict):
+            return res
+        like = like if isinstance(like, dict) else {}
+        return {k: walk(v, like.get(k))
+                for k, v in res.items()
+                if not (k == "lora_dropout" and k not in like)}
+
+    return walk(restored_meta, like_meta)
+
+
 def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]:
     import orbax.checkpoint as ocp
     if not os.path.isdir(directory):
@@ -76,7 +113,20 @@ def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]
         if not hasattr(x, "sharding")
         else jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
         like_state)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except Exception:
+        # tree-structure mismatch: retry expecting the checkpoint's extra
+        # lora_dropout meta leaves, then drop them from the result
+        if getattr(abstract, "adapters_meta", None) is None:
+            raise
+        aug_meta, changed = _augment_dropout_meta(abstract.adapters_meta)
+        if not changed:
+            raise
+        aug = abstract.replace(adapters_meta=aug_meta)
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(aug))
+        restored = restored.replace(adapters_meta=_strip_extra_dropout(
+            restored.adapters_meta, like_state.adapters_meta))
     return restored, int(step)
 
 

@@ -331,13 +331,45 @@ class Trainer:
             from yat_tpu.parallel.mesh import set_active_mesh
             set_active_mesh(None)
 
+    def _held_buckets(self):
+        """Dig partial-bucket state out of the (possibly wrapped) sampler
+        chain for starvation diagnostics."""
+        node, seen = self.sampler, set()
+        while node is not None and id(node) not in seen:
+            seen.add(id(node))
+            buckets = getattr(node, "buckets", None)
+            if isinstance(buckets, dict):
+                return {k: len(v) for k, v in buckets.items() if len(v)}
+            node = getattr(node, "sampler",
+                           getattr(node, "image_sampler", None))
+        return {}
+
     def _run_loop(self, sampler_iter, rng, accum, micro, pending_metrics,
                   t_start, t_last, profiling) -> None:
         params = self.params
+        empty_passes = 0
+        batches_this_pass = 0
         while self.global_step < params.steps:
             try:
                 batch = next(sampler_iter)
+                batches_this_pass += 1
+                empty_passes = 0
             except StopIteration:
+                # Watchdog (VERDICT r2 #7): an exhausted sampler used to be
+                # re-iterated forever — a mis-keyed shard set hung with
+                # zero diagnostics.  Two consecutive batchless passes means
+                # the source cannot fill a single bucket: fail with state.
+                if batches_this_pass == 0:
+                    empty_passes += 1
+                    if empty_passes >= 2:
+                        raise RuntimeError(
+                            "sampler produced no batches in 2 consecutive "
+                            "passes — the data source cannot fill any "
+                            f"bucket at batch_size={params.batch_size}. "
+                            f"Partial buckets held: {self._held_buckets()}. "
+                            "Check shard keys/paths and the aspect-ratio "
+                            "bin table, or lower batch_size")
+                batches_this_pass = 0
                 sampler_iter = iter(self.sampler)
                 continue
 

