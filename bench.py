@@ -167,6 +167,13 @@ def measure(batch_size: int, remat: bool, warmup: int = 3,
 
 
 def main():
+    import sys
+    # progress lines must survive a timeout kill (piped stdout is
+    # block-buffered by default; a killed run would show nothing)
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:  # noqa: BLE001
+        pass
     n_chips = max(1, len(jax.devices()))
     result = None
     # known-good config first (remote compile helper 500s on very large
@@ -179,6 +186,8 @@ def main():
         for batch_size, remat in ((16, False), (16, True)):
             try:
                 imgs_per_sec, tfi = measure(batch_size, remat)
+                print(f"# headline b={batch_size} remat={remat}: "
+                      f"{imgs_per_sec:.2f} imgs/s")
                 if result is None or imgs_per_sec > result[0]:
                     result = (imgs_per_sec, batch_size, remat, tfi)
             except Exception as e:  # noqa: BLE001 — OOM/compile → next

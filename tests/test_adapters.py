@@ -248,3 +248,79 @@ class TestPeftInterop:
         # up_0 is the HIGHEST-resolution level → output_blocks 6..8
         assert "lora_unet_output_blocks_7_0_emb_layers_1.alpha" in keys
         assert "lora_unet_time_embed_0.lora_down.weight" in keys
+
+
+class TestMergedLoraForward:
+    """The merged-LoRA forward (layers._lora_merged_matmul, default path
+    when dropout is inactive) must match the chain form in values AND
+    gradients — its custom VJP backpropagates the chain (no full dW_eff),
+    which is what makes it fast (BASELINE.md round 3: +18%)."""
+
+    def test_values_and_grads_match_chain(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yat_tpu.models import layers
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((16, 12)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)
+        s = jnp.float32(0.5)
+
+        def chain(x_, w_, a_, b_, s_):
+            return x_ @ w_ + s_ * ((x_ @ a_) @ b_)
+
+        def loss(f, *args):
+            return jnp.sum(jnp.sin(f(*args)))
+
+        np.testing.assert_allclose(
+            np.asarray(chain(x, w, a, b, s)),
+            np.asarray(layers._lora_merged_matmul(x, w, a, b, s)),
+            rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda *t: loss(chain, *t), argnums=(0, 1, 2, 3))(
+            x, w, a, b, s)
+        g2 = jax.grad(lambda *t: loss(layers._lora_merged_matmul, *t),
+                      argnums=(0, 1, 2, 3))(x, w, a, b, s)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_dense_uses_merged_and_falls_back_on_dropout(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yat_tpu.models import layers
+        from yat_tpu.models.layers import AdapterDense
+
+        m = AdapterDense(8, use_bias=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        adapters = {
+            "lora_a": jnp.asarray(rng.standard_normal((8, 2)), jnp.float32),
+            "lora_b": jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)}
+        meta = {"lora_scale": jnp.float32(2.0),
+                "lora_dropout": jnp.float32(0.5)}
+        full = {"params": vs["params"], "adapters": adapters,
+                "adapters_meta": meta}
+        layers.set_lora_merged_forward(True)
+        try:
+            y_det = m.apply(full, x, deterministic=True)
+            # training with active dropout must take the chain path (the
+            # mask applies only to the adapter branch) — it runs and
+            # differs from the deterministic output
+            y_drop = m.apply(full, x, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            assert not np.allclose(np.asarray(y_det), np.asarray(y_drop))
+            # deterministic merged output equals the explicit chain
+            layers.set_lora_merged_forward(False)
+            y_chain = m.apply(full, x, deterministic=True)
+            np.testing.assert_allclose(np.asarray(y_det),
+                                       np.asarray(y_chain),
+                                       rtol=1e-5, atol=1e-5)
+        finally:
+            layers.set_lora_merged_forward(True)

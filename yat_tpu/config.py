@@ -176,6 +176,7 @@ class TrainingParameters:
     # --- TPU-native extensions (no reference equivalent) ---
     caption_length_bucketing: bool = False  # pad captions to 128-multiples
     warmup_compile: bool = False            # pre-compile every bucket shape
+    lora_fused_matmul: bool = True          # merged W+sAB fwd, chain bwd
     # partial finetune: update only params whose path contains a pattern
     # (unfreeze_sana_blocks capability, patch_sana_attention_layers.py)
     unfreeze_modules: Optional[list] = None
@@ -338,6 +339,9 @@ class TrainingParameters:
         # TPU extensions
         p.caption_length_bucketing = "caption_length_bucketing" in raw
         p.warmup_compile = "warmup_compile" in raw
+        if "lora_fused_matmul" in raw:
+            p.lora_fused_matmul = str(
+                raw["lora_fused_matmul"]).lower() not in ("0", "false", "no")
         p.unfreeze_modules = raw.get("unfreeze_modules")
         if isinstance(p.unfreeze_modules, str):
             p.unfreeze_modules = [p.unfreeze_modules]

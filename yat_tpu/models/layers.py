@@ -33,6 +33,57 @@ def _maybe(mod: nn.Module, col: str, name: str):
     return mod.get_variable(col, name) if mod.has_variable(col, name) else None
 
 
+# Merged-LoRA forward (default ON, config key lora_fused_matmul): compute
+# y = x @ (W + s·A@B) with a custom VJP that backpropagates through the
+# CHAIN (dA = s·xᵀ(gBᵀ), dB = s·(xA)ᵀg, dx = g·W_effᵀ) instead of the
+# full dW_eff = xᵀg that made the naive merged form slower in round 2
+# (BASELINE.md: 119.9 vs 127.4 imgs/s).  With the chain backward the
+# merge removes four skinny rank-r dots per adapted module per step:
+# measured 124.6 → 147.6 imgs/s (+18%) on the SANA-0.6B 512px flagship.
+# Mathematically identical to the chain form; in bf16 the two round
+# differently (merge rounds W+Δ once).  Falls back to the chain form
+# when LoRA dropout is active (the mask applies to the adapter branch
+# only, which a merged weight cannot express).
+_LORA_MERGED = True
+
+
+def set_lora_merged_forward(enabled: bool) -> None:
+    """Toggle the merged-LoRA forward globally (engine sets this from
+    config; bench toggles it for A/B measurements)."""
+    global _LORA_MERGED
+    _LORA_MERGED = bool(enabled)
+
+
+@jax.custom_vjp
+def _lora_merged_matmul(x, w, a, b, s):
+    return x @ (w + s * (a @ b)).astype(x.dtype)
+
+
+def _lora_merged_fwd(x, w, a, b, s):
+    w_eff = (w + s * (a @ b)).astype(x.dtype)
+    # residuals carry the RAW leaves, not w_eff: saving 224 merged
+    # [D, D] copies per step spills HBM under remat (measured 148 →
+    # 4.4 imgs/s); the backward re-merges instead (~rank-r cost)
+    return x @ w_eff, (x, w, a, b, s)
+
+
+def _lora_merged_bwd(res, g):
+    x, w, a, b, s = res
+    w_eff = (w + s * (a @ b)).astype(g.dtype)
+    dx = g @ w_eff.T
+    gb = g @ b.T                                     # [..., r]
+    dA = s * jnp.einsum("...d,...r->dr", x, gb)
+    dB = s * jnp.einsum("...r,...o->ro", x @ a, g)
+    # base weight/scale grads: correct but dead-code-eliminated when the
+    # base is frozen (the LoRA training case)
+    dw = jnp.einsum("...d,...o->do", x, g).astype(w_eff.dtype)
+    ds = jnp.einsum("...r,...o,ro->", x @ a, g, b)
+    return dx, dw, dA.astype(a.dtype), dB.astype(b.dtype), ds
+
+
+_lora_merged_matmul.defvjp(_lora_merged_fwd, _lora_merged_bwd)
+
+
 class AdapterDense(nn.Module):
     """Dense layer that transparently applies adapters from the ``adapters``
     variable collection.
@@ -101,6 +152,13 @@ class AdapterDense(nn.Module):
                 w_eff = (dora_m.astype(jnp.float32)[None, :] *
                          merged.astype(jnp.float32) / (col_norm + 1e-8)).astype(dtype)
                 y = x @ w_eff
+            elif _LORA_MERGED and (dropout_rate is None or deterministic
+                                   or not self.has_rng("dropout")):
+                # merged forward: one plain matmul against W+s·AB, chain
+                # backward via custom VJP (no full dW_eff)
+                y = _lora_merged_matmul(x, w, lora_a.astype(dtype),
+                                        lora_b.astype(dtype),
+                                        scale.astype(dtype))
             else:
                 y = x @ w
                 xa = x

@@ -162,6 +162,9 @@ class Trainer:
         from yat_tpu.parallel.mesh import set_active_mesh
         set_active_mesh(self.mesh)
 
+        from yat_tpu.models.layers import set_lora_merged_forward
+        set_lora_merged_forward(params.lora_fused_matmul)
+
         self.tx = make_optimizer(params)
         state = create_train_state(
             base_params, self.tx, adapters=adapters,
