@@ -175,6 +175,15 @@ def main():
     except Exception:  # noqa: BLE001
         pass
     n_chips = max(1, len(jax.devices()))
+    t_start = time.monotonic()
+
+    def budget_left(minutes: float = 35.0) -> bool:
+        """Optional rungs run only inside the wall-clock budget — remote
+        compiles through a slow tunnel can take 10+ minutes each, and a
+        bench that never prints its JSON is worse than one with fewer
+        rungs."""
+        return (time.monotonic() - t_start) < minutes * 60
+
     result = None
     # known-good config first (remote compile helper 500s on very large
     # unrolled graphs); later configs only improve on it
@@ -184,6 +193,8 @@ def main():
     # leave the driver a 0 result).
     for attempt in range(2):
         for batch_size, remat in ((16, False), (16, True)):
+            if result is not None and not budget_left(20.0):
+                break
             try:
                 imgs_per_sec, tfi = measure(batch_size, remat)
                 print(f"# headline b={batch_size} remat={remat}: "
@@ -214,6 +225,9 @@ def main():
     # 2048px first (fused linear-attention territory) for direct-attached
     # chips; 1024px is the known-good fallback through the tunnel
     for res, ss, b2, r2 in ((2048, 64, 4, True), (1024, 32, 8, True)):
+        if not budget_left():
+            print(f"# {res}px rung skipped (wall-clock budget)")
+            continue
         try:
             v, rtfi = measure(b2, r2, warmup=2, iters=8, sample_size=ss)
             kernel_rung = {"value": round(v / n_chips, 3),
@@ -233,6 +247,9 @@ def main():
     rung_4096 = None
     if kernel_rung is None or kernel_rung["resolution"] != 2048:
         for layers, b4 in ((4, 2), (2, 2)):
+            if not budget_left():
+                print("# 4096-token rung skipped (wall-clock budget)")
+                break
             try:
                 v, rtfi = measure(b4, True, warmup=2, iters=6,
                                   sample_size=64, num_layers=layers)
@@ -251,21 +268,27 @@ def main():
 
     # model-breadth rung: SANA-1.6B (regressions off the flagship shape)
     rung_16 = None
-    try:
-        v, rtfi = measure(8, True, warmup=2, iters=8, preset="1600M")
-        rung_16 = {"value": round(v / n_chips, 3), "batch_size": 8,
-                   "mfu_analytic": round(
-                       v / n_chips * rtfi / V5E_BF16_PEAK_TFLOPS, 3)}
-    except Exception as e:  # noqa: BLE001
-        print(f"# SANA-1.6B rung failed: {str(e)[:200]}")
+    if budget_left():
+        try:
+            v, rtfi = measure(8, True, warmup=2, iters=8, preset="1600M")
+            rung_16 = {"value": round(v / n_chips, 3), "batch_size": 8,
+                       "mfu_analytic": round(
+                           v / n_chips * rtfi / V5E_BF16_PEAK_TFLOPS, 3)}
+        except Exception as e:  # noqa: BLE001
+            print(f"# SANA-1.6B rung failed: {str(e)[:200]}")
+    else:
+        print("# SANA-1.6B rung skipped (wall-clock budget)")
 
     # second north-star metric: cache-encode imgs/sec (BASELINE.md) —
     # JPEG decode + bucket + DC-AE encode + caption encode + shard write
     cache_encode = None
-    try:
-        cache_encode = round(measure_cache_encode(), 3)
-    except Exception as e:  # noqa: BLE001
-        print(f"# cache-encode rung failed: {str(e)[:200]}")
+    if budget_left(45.0):
+        try:
+            cache_encode = round(measure_cache_encode(), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# cache-encode rung failed: {str(e)[:200]}")
+    else:
+        print("# cache-encode rung skipped (wall-clock budget)")
 
     out = {
         "metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",

@@ -170,13 +170,15 @@ def test_pixart_compute_features_from_r2_http(tmp_path):
             "compute_features": "1", "vae_max_batch_size": "2",
             "text_encoder_max_batch_size": "2", "cache_size": "8",
             "aspect_ratio": "256",
+            # dims follow the tiny KL-VAE: 4 latent channels, 2x
+            # compression (PixArt rides build_t5_vae_encoders)
             "model_config_overrides": {
                 "hidden_dim": "32", "num_layers": "1",
                 "num_attention_heads": "2", "attention_head_dim": "16",
                 "caption_channels": "32", "max_caption_len": "8",
-                "mlp_ratio": "1.0", "in_channels": "32",
-                "out_channels": "32", "sample_size": "4",
-                "vae_compression": "4", "tiny_encoders": "1"},
+                "mlp_ratio": "1.0", "in_channels": "4",
+                "out_channels": "4", "sample_size": "8",
+                "vae_compression": "2", "tiny_encoders": "1"},
         })
         t = make_trainer(p)
         chain = sampler_chain(t.sampler)

@@ -171,10 +171,13 @@ class RemoteShardSource:
         self._started = False
         self._stop = threading.Event()
 
+    _MAX_CONSECUTIVE_FAILURES = 20
+
     def _worker(self):
         from yat_tpu.data.r2 import download_tar
         os.makedirs(self.temp, exist_ok=True)
         item = 0
+        failures = 0
         while not self._stop.is_set():
             name = self.shards[self.rng.randrange(len(self.shards))]
             key = f"{self.features_path}/{name}" if self.features_path else name
@@ -185,7 +188,18 @@ class RemoteShardSource:
                 download_tar(url, path)
             except Exception as e:  # noqa: BLE001 — skip to next shard (:108-113)
                 print(f"[sampler] shard download failed, skipping: {e}")
+                failures += 1
+                if failures >= self._MAX_CONSECUTIVE_FAILURES:
+                    # every shard failing is a credentials/endpoint
+                    # problem, not transient weather: surface it instead
+                    # of spinning silently forever
+                    self.q.put(RuntimeError(
+                        f"{failures} consecutive shard download failures "
+                        f"(last: {e}) — check R2 credentials/endpoint/"
+                        "bucket and the shard list"))
+                    return
                 continue
+            failures = 0
             self.q.put(path)
             item += 1
 
@@ -196,6 +210,8 @@ class RemoteShardSource:
             self._started = True
         while True:
             path = self.q.get()
+            if isinstance(path, Exception):
+                raise path
             yield path
             # consumed: delete the local copy (bucket_sampler.py:164-167)
             if os.path.exists(path):

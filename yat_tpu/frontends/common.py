@@ -97,6 +97,27 @@ def build_feature_sampler(params: TrainingParameters, max_caption_len: int,
                                 bucket_repeat=params.bucket_repeat)
 
 
+def pixels_to_u8(images):
+    """Host-side pixel packing for image-encoder transfer: [-1, 1] float
+    pixels → uint8.  The VAE encode jits divide by 127.5 and subtract 1
+    on DEVICE, so the float tensor never crosses the host↔device link —
+    4x less transfer than fp32 (measured dominant in cache-encode through
+    the remote tunnel: ~790 ms/call for a 25 MB fp32 batch vs ~50 ms of
+    encode compute).  Exact for u8-sourced images (every decoded JPEG/PNG
+    is); synthetic float inputs quantize to 1/127.5 steps."""
+    import numpy as np
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr
+    return np.rint((arr.astype(np.float32) + 1.0) * 127.5).clip(
+        0, 255).astype(np.uint8)
+
+
+def u8_to_unit(x):
+    """Device-side inverse of pixels_to_u8 (use inside encode jits)."""
+    return x.astype(jnp.float32) / 127.5 - 1.0
+
+
 _CKPT_NAMES = ("diffusion_pytorch_model.safetensors", "model.safetensors",
                "pytorch_model.bin", "diffusion_pytorch_model.bin")
 
@@ -359,13 +380,14 @@ def build_clip_vae_encoders(params: TrainingParameters,
     # lower as baked-in constants and blow up the axon remote-compile body
     encode_txt = jax.jit(lambda v, ids: te.apply(v, ids))
     if include_vae:
-        encode_img = jax.jit(lambda v, x: vae.apply(v, x,
-                                                    method=vae.encode_mode))
+        encode_img = jax.jit(lambda v, u8: vae.apply(
+            v, u8_to_unit(u8), method=vae.encode_mode))
         decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
         import numpy as np
-        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars,
+                                     jnp.asarray(pixels_to_u8(images))))
 
     def encode_captions(captions):
         import numpy as np
@@ -380,7 +402,7 @@ def build_clip_vae_encoders(params: TrainingParameters,
     if include_vae:
         def _img_dispatch(images):
             import numpy as np
-            dev = encode_img(vae_vars, jnp.asarray(images))
+            dev = encode_img(vae_vars, jnp.asarray(pixels_to_u8(images)))
             return lambda: np.asarray(dev)
         encode_images.dispatch = _img_dispatch
 
@@ -452,15 +474,17 @@ def build_t5_vae_encoders(params: TrainingParameters,
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=max_caption_len)
-    # weight trees as arguments (see build_clip_vae_encoders note)
-    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
-                                                method=vae.encode_mode))
+    # weight trees as arguments (see build_clip_vae_encoders note);
+    # pixels travel uint8 and normalize on device
+    encode_img = jax.jit(lambda v, u8: vae.apply(
+        v, u8_to_unit(u8), method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
     decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
         import numpy as np
-        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars,
+                                     jnp.asarray(pixels_to_u8(images))))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=max_caption_len)
@@ -470,7 +494,7 @@ def build_t5_vae_encoders(params: TrainingParameters,
     # async dispatch hooks (train/extract.py pipelining)
     def _img_dispatch(images):
         import numpy as np
-        dev = encode_img(vae_vars, jnp.asarray(images))
+        dev = encode_img(vae_vars, jnp.asarray(pixels_to_u8(images)))
         return lambda: np.asarray(dev)
 
     def _cap_dispatch(captions):

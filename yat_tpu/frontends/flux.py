@@ -62,13 +62,15 @@ def _build_flux_encoders(params: TrainingParameters):
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=FLUX_CAPTION_LEN)
-    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
-                                                method=vae.encode_mode))
+    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    encode_img = jax.jit(lambda v, u8: vae.apply(
+        v, u8_to_unit(u8), method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
     decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images):
-        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars,
+                                     jnp.asarray(pixels_to_u8(images))))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
@@ -77,7 +79,7 @@ def _build_flux_encoders(params: TrainingParameters):
 
     # async dispatch hooks (train/extract.py pipelining)
     def _img_dispatch(images):
-        dev = encode_img(vae_vars, jnp.asarray(images))
+        dev = encode_img(vae_vars, jnp.asarray(pixels_to_u8(images)))
         return lambda: np.asarray(dev)
 
     def _cap_dispatch(captions):

@@ -126,15 +126,18 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
                               vocab_size=te.cfg.vocab_size,
                               max_length=cfg.max_caption_len)
     # weight trees as arguments: closed-over trees lower as baked-in
-    # constants and blow up the axon remote-compile request body
-    encode_img = jax.jit(lambda v, x: vae.apply(v, x,
-                                                method=vae.encode_mode))
+    # constants and blow up the axon remote-compile request body.
+    # Pixels travel as uint8 and normalize on device (pixels_to_u8).
+    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    encode_img = jax.jit(lambda v, u8: vae.apply(v, u8_to_unit(u8),
+                                                 method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
     decode = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def encode_images(images: "np.ndarray"):
         import numpy as np
-        return np.asarray(encode_img(vae_vars, jnp.asarray(images)))
+        return np.asarray(encode_img(vae_vars,
+                                     jnp.asarray(pixels_to_u8(images))))
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
@@ -144,7 +147,7 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
     # async dispatch hooks (train/extract.py pipelining): launch the jit,
     # fetch later — several batches of encodes stay in flight
     def _img_dispatch(images):
-        dev = encode_img(vae_vars, jnp.asarray(images))
+        dev = encode_img(vae_vars, jnp.asarray(pixels_to_u8(images)))
         return lambda: np.asarray(dev)
 
     def _cap_dispatch(captions):

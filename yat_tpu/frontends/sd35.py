@@ -67,15 +67,17 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
                 vae_vars["params"], convert_vae_kl(
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
-    encode_img_fn = jax.jit(lambda v, x: vae.apply(
-        v, x, method=vae.encode_mode))
+    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    encode_img_fn = jax.jit(lambda v, u8: vae.apply(
+        v, u8_to_unit(u8), method=vae.encode_mode))
     dec_fn = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
 
     def enc_img(images):
-        return np.asarray(encode_img_fn(vae_vars, jnp.asarray(images)))
+        return np.asarray(encode_img_fn(vae_vars,
+                                        jnp.asarray(pixels_to_u8(images))))
 
     def _img_dispatch(images):
-        dev = encode_img_fn(vae_vars, jnp.asarray(images))
+        dev = encode_img_fn(vae_vars, jnp.asarray(pixels_to_u8(images)))
         return lambda: np.asarray(dev)
     enc_img.dispatch = _img_dispatch
 

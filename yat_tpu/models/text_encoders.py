@@ -323,8 +323,20 @@ class Gemma2Encoder(nn.Module):
 
 def compress_embeddings(hidden: jnp.ndarray, mask: jnp.ndarray):
     """Mask-compress per-sample embeddings to their real lengths
-    (train_sana.py:92-94): returns a list of [L_i, D] arrays."""
+    (train_sana.py:92-94): returns a list of [L_i, D] arrays.
+
+    When ``hidden`` is still on device, only the 64-token rung covering
+    the longest real caption is fetched — the padding tail (often most of
+    a 300-512 token budget) never crosses the device→host link."""
     import numpy as np
+
+    import jax
+    mask_np = np.asarray(mask).astype(bool)
+    if isinstance(hidden, jax.Array):
+        real = int(mask_np.sum(axis=1).max()) if mask_np.any() else 1
+        rung = min(hidden.shape[1], -(-real // 64) * 64)
+        if rung < hidden.shape[1]:
+            hidden = hidden[:, :rung]
+            mask_np = mask_np[:, :rung]
     hidden = np.asarray(hidden)
-    mask = np.asarray(mask).astype(bool)
-    return [hidden[i][mask[i]] for i in range(hidden.shape[0])]
+    return [hidden[i][mask_np[i]] for i in range(hidden.shape[0])]

@@ -175,10 +175,12 @@ class FeatureExtractor:
             # thread), device encode (pipeline_depth batches deep), and
             # shard writing all overlap
             pending: deque = deque()
+            n_pending = 0
 
             def drain_one():
-                nonlocal written, key
-                ratio, finish = pending.popleft()
+                nonlocal written, key, n_pending
+                ratio, finish, n = pending.popleft()
+                n_pending -= n
                 latents, embs = finish()
                 for i in range(len(latents)):
                     w.write({
@@ -191,9 +193,22 @@ class FeatureExtractor:
                     written += 1
 
             for batch in self._prefetch():
+                n = len(batch.images)
                 pending.append((batch.ratio, self._dispatch_encode(
-                    batch.images, batch.captions)))
-                if len(pending) >= max(1, pipeline_depth):
+                    batch.images, batch.captions), n))
+                n_pending += n
+                # drain when the ring is full, and drain to completion
+                # when the in-flight work already covers max_samples —
+                # waiting for more batches from a slow source would hang
+                # a bounded run
+                def _need_drain():
+                    if len(pending) >= max(1, pipeline_depth):
+                        return True
+                    return bool(self.max_samples) \
+                        and written < self.max_samples \
+                        and written + n_pending >= self.max_samples
+
+                while pending and _need_drain():
                     drain_one()
                 if self.max_samples and written >= self.max_samples:
                     break
