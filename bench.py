@@ -142,6 +142,79 @@ def build(batch_size: int, remat: bool, sample_size: int = None,
     return state, batch, step, tflops_img
 
 
+def build_sdxl(batch_size: int, remat: bool, resolution: int = 1024):
+    """SDXL-base UNet LoRA train step at 1024px (the UNet-family breadth
+    rung): epsilon prediction, dual-CLIP embeddings (2048), pooled text +
+    micro-conditioning time_ids (train_sdxl.py:148-161)."""
+    from yat_tpu.adapters.builder import AdapterSpec, build_adapter_params
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.models.unet import SDXL_UNET, UNet2DCondition
+    from yat_tpu.ops.schedulers import DDPMSchedule
+    from yat_tpu.train.state import create_train_state, make_optimizer
+    from yat_tpu.train.step import make_train_step
+    from yat_tpu.train.tasks import make_epsilon_loss
+
+    cfg = SDXL_UNET
+    model = UNet2DCondition(cfg=cfg, dtype=jnp.bfloat16,
+                            gradient_checkpointing=remat)
+    b = batch_size
+    lat = resolution // 8
+    batch = {
+        "latents": jnp.zeros((b, lat, lat, cfg.in_channels), jnp.bfloat16),
+        "embeddings": jnp.zeros((b, 77, cfg.cross_attention_dim),
+                                jnp.bfloat16),
+        "text_mask": jnp.ones((b, 77), jnp.int32),
+        "pooled_text": jnp.zeros((b, 1280), jnp.bfloat16),
+        "time_ids": jnp.zeros((b, 6), jnp.float32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["latents"], batch["embeddings"],
+        jnp.zeros((b,)), batch["text_mask"],
+        pooled_text=batch["pooled_text"], time_ids=batch["time_ids"])
+    variables = {"params": jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables["params"])}
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": str(b), "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "1000000",
+        "validation_prompts": [],
+        "lora_rank": "8", "lora_alpha": "8", "lora_algo": "lora",
+        "lora_target_modules": ["to_q", "to_k", "to_v", "to_out"]})
+    tx = make_optimizer(params)
+    adapters, meta = build_adapter_params(
+        variables, AdapterSpec("lora", rank=8, alpha=8,
+                               target_modules=["to_q", "to_k", "to_v",
+                                               "to_out"]),
+        jax.random.PRNGKey(1))
+    state = create_train_state(variables["params"], tx, adapters=adapters,
+                               adapters_meta=meta)
+    schedule = DDPMSchedule()
+    step = make_train_step(
+        task_loss=make_epsilon_loss(model, schedule,
+                                    extra_keys=("pooled_text", "time_ids")),
+        tx=tx, donate=True)
+    return state, batch, step
+
+
+def measure_sdxl(batch_size: int, remat: bool, warmup: int = 2,
+                 iters: int = 6, resolution: int = 1024) -> float:
+    state, batch, step = build_sdxl(batch_size, remat,
+                                    resolution=resolution)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        float(metrics["loss"])
+    loss_chain = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        loss_chain = loss_chain + metrics["loss"]
+    float(loss_chain)
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def measure(batch_size: int, remat: bool, warmup: int = 3,
             iters: int = 20, sample_size: int = None,
             preset: str = "600M", num_layers: int = None):
@@ -279,6 +352,23 @@ def main():
     else:
         print("# SANA-1.6B rung skipped (wall-clock budget)")
 
+    # UNet-family breadth rung: SDXL-base 1024px LoRA (b2 is the largest
+    # batch the remote-compile helper accepts for this graph; 512px b4 is
+    # the fallback)
+    rung_sdxl = None
+    if budget_left():
+        for b_s, res in ((2, 1024), (4, 512)):
+            try:
+                v = measure_sdxl(b_s, True, resolution=res)
+                rung_sdxl = {"value": round(v / n_chips, 3),
+                             "batch_size": b_s, "resolution": res}
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"# SDXL rung {res}px b={b_s} failed: "
+                      f"{str(e)[:200]}")
+    else:
+        print("# SDXL rung skipped (wall-clock budget)")
+
     # second north-star metric: cache-encode imgs/sec (BASELINE.md) —
     # JPEG decode + bucket + DC-AE encode + caption encode + shard write
     cache_encode = None
@@ -319,6 +409,8 @@ def main():
         out["kernel_rung_4096tok"] = rung_4096
     if rung_16 is not None:
         out["sana_1_6b_rung"] = rung_16
+    if rung_sdxl is not None:
+        out["sdxl_1024_rung"] = rung_sdxl
     if cache_encode is not None:
         out["cache_encode_imgs_per_sec"] = cache_encode
     print(json.dumps(out))

@@ -565,11 +565,12 @@ def build_dino_encoder(params: TrainingParameters):
         variables = {"params": merge_into(
             variables["params"], convert_dinov2(sd, cfg.num_layers))}
 
-    run = jax.jit(lambda v, images: dino.apply(
-        v, preprocess_for_dino(images, size=cfg.image_size)))
+    run = jax.jit(lambda v, u8: dino.apply(
+        v, preprocess_for_dino(u8_to_unit(u8), size=cfg.image_size)))
 
     def encode_repa(images):
-        return np.asarray(run(variables, jnp.asarray(images)))
+        return np.asarray(run(variables,
+                              jnp.asarray(pixels_to_u8(images))))
 
     grid = cfg.image_size // cfg.patch_size
     encode_repa.grid_hw = (grid, grid)
