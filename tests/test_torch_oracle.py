@@ -829,3 +829,101 @@ def test_pixeldit_block_matches_torch():
     out = block.apply({"params": P}, jnp.asarray(x), jnp.asarray(cond),
                       jnp.asarray(ctx), None)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=1e-3)
+
+
+def test_mmdit_dual_attention_block_matches_torch():
+    """Dual-attention MMDiT-X block (SD3.5-medium layers 0-12) vs an
+    independent torch implementation of the published semantics: the
+    x-stream modulation produces NINE chunks (AdaLayerNormZeroX), the
+    second self-attention reads the SAME norm1 output under its own
+    shift/scale, and its gated output adds after the joint-attention
+    update."""
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiTBlock
+
+    cfg = MMDIT_TINY_TEST
+    d = cfg.hidden_dim
+    heads, hd = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    b, n_x, n_c = 2, 8, 5
+    block = MMDiTBlock(cfg=cfg, dual=True, dtype=jnp.float32)
+    rngv = np.random.default_rng(21)
+    x = rngv.standard_normal((b, n_x, d)).astype(np.float32)
+    ctx = rngv.standard_normal((b, n_c, d)).astype(np.float32)
+    cond = rngv.standard_normal((b, d)).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(ctx), jnp.asarray(cond))
+    rng2 = np.random.default_rng(22)
+
+    def randomize(tree):
+        return {k: randomize(v) if isinstance(v, dict) else
+                (0.2 * rng2.standard_normal(np.asarray(v).shape)
+                 ).astype(np.float32)
+                for k, v in tree.items()}
+
+    P = randomize(variables["params"])
+
+    def lin(path):
+        node = P
+        for k in path.split("."):
+            node = node[k]
+        return torch.tensor(np.asarray(node, np.float32))
+
+    def qkv(h, tag, n):
+        q = (h @ lin(f"{tag}_to_q.kernel") + lin(f"{tag}_to_q.bias")
+             ).reshape(b, n, heads, hd)
+        k = (h @ lin(f"{tag}_to_k.kernel") + lin(f"{tag}_to_k.bias")
+             ).reshape(b, n, heads, hd)
+        v = (h @ lin(f"{tag}_to_v.kernel") + lin(f"{tag}_to_v.bias")
+             ).reshape(b, n, heads, hd)
+        q = _rms_heads(q, lin(f"{tag}_norm_q.scale"))
+        k = _rms_heads(k, lin(f"{tag}_norm_k.scale"))
+        return q, k, v
+
+    def sdpa(q, k, v):
+        logits = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+        return torch.einsum("bhnm,bmhd->bnhd",
+                            torch.softmax(logits, -1), v)
+
+    def ff(h, tag):
+        h = h @ lin(f"{tag}.fc1.kernel") + lin(f"{tag}.fc1.bias")
+        h = F.gelu(h, approximate="tanh")
+        return h @ lin(f"{tag}.fc2.kernel") + lin(f"{tag}.fc2.bias")
+
+    with torch.no_grad():
+        tx, tc = torch.tensor(x), torch.tensor(ctx)
+        tcond = torch.tensor(cond)
+        mx = F.silu(tcond) @ lin("x_mod.mod.kernel") + lin("x_mod.mod.bias")
+        (sx_sh, sx_sc, sx_g, mx_sh, mx_sc, mx_g,
+         s2_sh, s2_sc, s2_g) = [p[:, None, :]
+                                for p in torch.chunk(mx, 9, dim=-1)]
+        mc = F.silu(tcond) @ lin("c_mod.mod.kernel") + lin("c_mod.mod.bias")
+        sc_sh, sc_sc, sc_g, mc_sh, mc_sc, mc_g = \
+            [p[:, None, :] for p in torch.chunk(mc, 6, dim=-1)]
+        nx = F.layer_norm(tx, (d,))
+        hx = nx * (1 + sx_sc) + sx_sh
+        hx2 = nx * (1 + s2_sc) + s2_sh          # SAME norm, own mod
+        hc = F.layer_norm(tc, (d,)) * (1 + sc_sc) + sc_sh
+        qx, kx, vx = qkv(hx, "x", n_x)
+        qc, kc, vc = qkv(hc, "c", n_c)
+        attn = sdpa(torch.cat([qc, qx], 1), torch.cat([kc, kx], 1),
+                    torch.cat([vc, vx], 1)).reshape(b, n_c + n_x, d)
+        a_c, a_x = attn[:, :n_c], attn[:, n_c:]
+        q2, k2, v2 = qkv(hx2, "x2", n_x)
+        a2 = sdpa(q2, k2, v2).reshape(b, n_x, d)
+        tx = tx + sx_g * (a_x @ lin("x_to_out.kernel")
+                          + lin("x_to_out.bias"))
+        tx = tx + s2_g * (a2 @ lin("x2_to_out.kernel")
+                          + lin("x2_to_out.bias"))
+        hx = F.layer_norm(tx, (d,)) * (1 + mx_sc) + mx_sh
+        tx = tx + mx_g * ff(hx, "x_ff")
+        tc = tc + sc_g * (a_c @ lin("c_to_out.kernel")
+                          + lin("c_to_out.bias"))
+        hc = F.layer_norm(tc, (d,)) * (1 + mc_sc) + mc_sh
+        tc = tc + mc_g * ff(hc, "c_ff")
+        ref_x, ref_c = tx.numpy(), tc.numpy()
+
+    out_x, out_c = block.apply({"params": P}, jnp.asarray(x),
+                               jnp.asarray(ctx), jnp.asarray(cond))
+    np.testing.assert_allclose(np.asarray(out_x), ref_x, rtol=2e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_c), ref_c, rtol=2e-4,
+                               atol=1e-3)
