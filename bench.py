@@ -83,7 +83,8 @@ def analytic_train_tflops_per_image(cfg, variables,
 
 
 def build(batch_size: int, remat: bool, sample_size: int = None,
-          preset: str = "600M", num_layers: int = None):
+          preset: str = "600M", num_layers: int = None,
+          caption_len: int = None, int8_base: bool = False):
     from yat_tpu.adapters.builder import AdapterSpec, build_adapter_params
     from yat_tpu.config import TrainingParameters
     from yat_tpu.models.sana import SANA_600M, SANA_1600M, SanaTransformer2D
@@ -93,12 +94,14 @@ def build(batch_size: int, remat: bool, sample_size: int = None,
     from yat_tpu.train.tasks import make_flow_matching_loss
 
     cfg = SANA_1600M if preset == "1600M" else SANA_600M
-    if sample_size is not None or num_layers is not None:
+    if sample_size is not None or num_layers is not None \
+            or caption_len is not None:
         import dataclasses
         cfg = dataclasses.replace(
             cfg,
             sample_size=sample_size or cfg.sample_size,
-            num_layers=num_layers or cfg.num_layers)
+            num_layers=num_layers or cfg.num_layers,
+            max_caption_len=caption_len or cfg.max_caption_len)
     model = SanaTransformer2D(cfg=cfg, dtype=jnp.bfloat16,
                               gradient_checkpointing=remat)
 
@@ -118,21 +121,32 @@ def build(batch_size: int, remat: bool, sample_size: int = None,
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables["params"])}
 
-    params = TrainingParameters.from_dict({
+    cfg_dict = {
         "urls": [], "batch_size": str(b), "learning_rate": "1e-4",
         "steps": "1", "num_steps_per_validation": "1000000",
         "validation_prompts": [],
         "lora_rank": "8", "lora_alpha": "8", "lora_algo": "lora",
         "lora_target_modules": ["to_q", "to_k", "to_v", "to_out"],
-    })
+    }
+    if int8_base:
+        # bitsandbytes parity: int8 base + Lion with 8-bit momentum (the
+        # reference's 'use_adamw_8bit ' — trailing space is the real key)
+        cfg_dict["use_adamw_8bit "] = "1"
+    params = TrainingParameters.from_dict(cfg_dict)
     tx = make_optimizer(params)
     adapters, meta = build_adapter_params(
         variables, AdapterSpec("lora", rank=8, alpha=8,
                                target_modules=["to_q", "to_k", "to_v",
                                                "to_out"]),
         jax.random.PRNGKey(1))
-    state = create_train_state(variables["params"], tx, adapters=adapters,
-                               adapters_meta=meta)
+    quant_scales = None
+    base_params = variables["params"]
+    if int8_base:
+        from yat_tpu.ops.quant import quantize_params
+        base_params, quant_scales = quantize_params(base_params, bits=8)
+    state = create_train_state(base_params, tx, adapters=adapters,
+                               adapters_meta=meta,
+                               quant_scales=quant_scales)
 
     schedule = FlowMatchSchedule(shift=3.0)
     step = make_train_step(
@@ -217,10 +231,12 @@ def measure_sdxl(batch_size: int, remat: bool, warmup: int = 2,
 
 def measure(batch_size: int, remat: bool, warmup: int = 3,
             iters: int = 20, sample_size: int = None,
-            preset: str = "600M", num_layers: int = None):
+            preset: str = "600M", num_layers: int = None,
+            caption_len: int = None, int8_base: bool = False):
     state, batch, step, tflops_img = build(
         batch_size, remat, sample_size=sample_size, preset=preset,
-        num_layers=num_layers)
+        num_layers=num_layers, caption_len=caption_len,
+        int8_base=int8_base)
     rng = jax.random.PRNGKey(0)
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
@@ -290,6 +306,16 @@ def main():
     # (VERDICT r2 weak #1): anchor = what the eager-torch reference would
     # sustain on A100-bf16 at the assumed MFU with the same per-image work
     a100_anchor = A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tflops_img
+
+    # second north-star metric right after the headline (slow tunnels
+    # must not squeeze it out): cache-encode imgs/sec (BASELINE.md) —
+    # JPEG decode + bucket + DC-AE encode + caption encode + shard write
+    cache_encode = None
+    try:
+        cache_encode = round(measure_cache_encode(), 3)
+        print(f"# cache-encode: {cache_encode} imgs/s")
+    except Exception as e:  # noqa: BLE001
+        print(f"# cache-encode rung failed: {str(e)[:200]}")
 
     # secondary rung: 1024px (1024 image tokens) — flash self-attention and
     # the VMEM cross-attention kernel both engage, so Pallas perf is
@@ -369,16 +395,39 @@ def main():
     else:
         print("# SDXL rung skipped (wall-clock budget)")
 
-    # second north-star metric: cache-encode imgs/sec (BASELINE.md) —
-    # JPEG decode + bucket + DC-AE encode + caption encode + shard write
-    cache_encode = None
-    if budget_left(45.0):
+    # caption-length extension rung: pad captions to a 128-token rung
+    # instead of the reference's fixed 512 (train_sana.py:171) — the
+    # caption_length_bucketing extension's win (BASELINE.md round-1 +24%)
+    # stays regression-tested at the headline batch/shape
+    rung_cap = None
+    if budget_left(40.0):
         try:
-            cache_encode = round(measure_cache_encode(), 3)
+            v, rtfi = measure(16, False, warmup=2, iters=10,
+                              caption_len=128)
+            rung_cap = {"value": round(v / n_chips, 3), "batch_size": 16,
+                        "caption_len": 128,
+                        "mfu_analytic": round(
+                            v / n_chips * rtfi / V5E_BF16_PEAK_TFLOPS, 3)}
         except Exception as e:  # noqa: BLE001
-            print(f"# cache-encode rung failed: {str(e)[:200]}")
+            print(f"# caption-128 rung failed: {str(e)[:200]}")
     else:
-        print("# cache-encode rung skipped (wall-clock budget)")
+        print("# caption-128 rung skipped (wall-clock budget)")
+
+    # int8-base + Lion-8bit rung (the bitsandbytes-parity path,
+    # ops/quant.py + ops/opt8bit.py): LoRA over an int8-quantized frozen
+    # base with blockwise-int8 momentum — regression-tests the quantized
+    # compute path's throughput, not just its numerics
+    rung_int8 = None
+    if budget_left(40.0):
+        try:
+            v, rtfi = measure(16, False, warmup=2, iters=10,
+                              int8_base=True)
+            rung_int8 = {"value": round(v / n_chips, 3),
+                         "batch_size": 16}
+        except Exception as e:  # noqa: BLE001
+            print(f"# int8-base rung failed: {str(e)[:200]}")
+    else:
+        print("# int8-base rung skipped (wall-clock budget)")
 
     out = {
         "metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
@@ -411,6 +460,10 @@ def main():
         out["sana_1_6b_rung"] = rung_16
     if rung_sdxl is not None:
         out["sdxl_1024_rung"] = rung_sdxl
+    if rung_cap is not None:
+        out["caption_128_rung"] = rung_cap
+    if rung_int8 is not None:
+        out["int8_base_rung"] = rung_int8
     if cache_encode is not None:
         out["cache_encode_imgs_per_sec"] = cache_encode
     print(json.dumps(out))

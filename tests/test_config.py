@@ -132,3 +132,38 @@ def test_mesh_shape_extension(tmp_path):
         "mesh_shape": {"dp": "2", "fsdp": "4"},
     }))
     assert p.mesh_shape == {"dp": 2, "fsdp": 4}
+
+
+def test_in_channels_override_mirrors_out_channels():
+    # diffusers parity: SANA/SD3.5 predict in latent space, so an
+    # in_channels override must reach the output projection too unless
+    # out_channels is overridden explicitly (a lone in_channels override
+    # previously left out_channels at the preset and the loss shape
+    # mismatched)
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.common import override_config
+    from yat_tpu.frontends.sana import build_sana_config
+    from yat_tpu.models.pixart import PIXART_SIGMA_XL2
+
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [],
+        "model_config_overrides": {"in_channels": "4"},
+    })
+    cfg = build_sana_config(params)
+    assert cfg.in_channels == 4 and cfg.out_channels == 4
+
+    params2 = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [],
+        "model_config_overrides": {"in_channels": "4",
+                                   "out_channels": "12"},
+    })
+    cfg2 = build_sana_config(params2)
+    assert cfg2.in_channels == 4 and cfg2.out_channels == 12
+
+    # PixArt opts out: learned-sigma keeps out = 2*in
+    cfg3 = override_config(PIXART_SIGMA_XL2, {"in_channels": "4"})
+    assert cfg3.out_channels == PIXART_SIGMA_XL2.out_channels

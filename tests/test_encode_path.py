@@ -3,6 +3,7 @@ extract_features phase writing feature shards."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -426,3 +427,82 @@ def test_feature_cache_save_to_disk_replays(tmp_path):
     assert second == first
     assert len(encode_calls) == 3
     assert second and cache._disk_complete
+
+
+def test_slice_caption_rung_mechanics():
+    from yat_tpu.frontends.common import slice_caption_rung
+    ids = np.arange(2 * 512).reshape(2, 512)
+    mask = np.zeros((2, 512), np.int32)
+    mask[0, :10] = 1
+    mask[1, :70] = 1
+    s_ids, s_mask = slice_caption_rung(ids, mask)
+    # 70 real tokens -> 128-token rung (64-multiples)
+    assert s_ids.shape == (2, 128) and s_mask.shape == (2, 128)
+    # rung covering the budget is a no-op (identity, no copy semantics)
+    mask[1, :500] = 1
+    f_ids, f_mask = slice_caption_rung(ids, mask)
+    assert f_ids.shape == (2, 512)
+    # all-empty masks still produce one minimal rung
+    e_ids, _ = slice_caption_rung(ids, np.zeros((2, 512), np.int32))
+    assert e_ids.shape == (2, 64)
+
+
+def test_slice_caption_rung_preserves_encoder_outputs():
+    """Dropping masked tail tokens before the TE forward must not change
+    the outputs the mask-compression keeps (padding is masked out of
+    attention; positions are absolute)."""
+    import jax
+
+    from yat_tpu.frontends.common import slice_caption_rung
+    from yat_tpu.models.text_encoders import (
+        GEMMA_TINY_TEST, Gemma2Encoder, T5_TINY_TEST, T5Encoder)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 100, (2, 192)).astype(np.int32)
+    mask = np.zeros((2, 192), np.int32)
+    mask[0, :9] = 1
+    mask[1, :33] = 1
+    s_ids, s_mask = slice_caption_rung(ids, mask)
+    assert s_ids.shape[1] == 64
+
+    for enc in (Gemma2Encoder(cfg=GEMMA_TINY_TEST),
+                T5Encoder(cfg=T5_TINY_TEST)):
+        v = enc.init(jax.random.PRNGKey(0),
+                     jnp.asarray(ids), jnp.asarray(mask))
+        full = np.asarray(enc.apply(v, jnp.asarray(ids),
+                                    jnp.asarray(mask)))
+        sliced = np.asarray(enc.apply(v, jnp.asarray(s_ids),
+                                      jnp.asarray(s_mask)))
+        for i, n in enumerate((9, 33)):
+            np.testing.assert_allclose(sliced[i, :n], full[i, :n],
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_low_vram_host_offloads_encoder_weights():
+    """low_vram keeps encoder weight trees in host memory (numpy) so HBM
+    holds them only for the duration of an encode call — the TPU-native
+    mirror of the reference's CPU<->GPU validation staging
+    (train_sd35.py:94-163)."""
+    import jax
+
+    from yat_tpu.frontends.common import (
+        build_t5_vae_encoders, host_offload_vars)
+
+    tree = {"params": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}}
+    off = host_offload_vars(tree, True)
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree.leaves(off))
+    same = host_offload_vars(tree, False)
+    assert same is tree
+
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [], "low_vram": "1",
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, enc_cap, dec = build_t5_vae_encoders(p, max_caption_len=12)
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32)
+    assert enc_img(imgs).shape == (2, 16, 16, 4)
+    assert enc_cap(["a cat", "a dog"])[0].shape[1] == 32

@@ -118,6 +118,43 @@ def u8_to_unit(x):
     return x.astype(jnp.float32) / 127.5 - 1.0
 
 
+def host_offload_vars(variables, low_vram: bool):
+    """Low-VRAM encoder staging, TPU-native (train_sd35.py:94-163 parity:
+    the reference swaps text encoders and VAE between CPU and GPU so
+    big-model validation fits small cards).  Here the encoder weight tree
+    is kept in HOST memory as numpy; each jitted encode call streams it
+    to the device for the duration of the call and the buffers free when
+    the call's references drop — HBM never holds encoder weights at rest,
+    so SD3.5/Flux-scale models can validate on one chip next to the train
+    state.  Costs one weights transfer per encode call, so it is gated on
+    ``low_vram`` exactly like the reference's choreography."""
+    if not low_vram:
+        return variables
+    import jax
+    import numpy as np
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), variables)
+
+
+def slice_caption_rung(ids, mask, multiple: int = 64):
+    """Trim tokenized captions to the smallest ``multiple``-token rung
+    covering the batch's longest REAL caption before the text-encoder
+    forward.  The reference encodes the full padded budget every time
+    (512 for Gemma, train_sana.py:171; 300 for T5) — for typical
+    captions that is 4-8x wasted encoder FLOPs, the dominant cache-encode
+    cost once pixel transfer is u8.  Outputs for kept positions are
+    identical: padding is masked out of attention and positions are
+    absolute, so dropping masked tail tokens changes nothing the
+    mask-compression would keep.  One extra compile per distinct rung
+    (≤ budget/multiple rungs total)."""
+    import numpy as np
+    m = np.asarray(mask)
+    real = int(m.sum(axis=1).max()) if m.any() else 1
+    rung = min(ids.shape[1], max(multiple, -(-real // multiple) * multiple))
+    if rung == ids.shape[1]:
+        return ids, mask
+    return ids[:, :rung], mask[:, :rung]
+
+
 _CKPT_NAMES = ("diffusion_pytorch_model.safetensors", "model.safetensors",
                "pytorch_model.bin", "diffusion_pytorch_model.bin")
 
@@ -296,10 +333,16 @@ def _coerce_like(cur, v):
     return type(cur)(v)
 
 
-def override_config(cfg, overrides: dict):
+def override_config(cfg, overrides: dict, mirror_out_channels: bool = False):
     """Apply YAML model_config_overrides, coercing string values to the
     field's type (incl. tuple fields element-wise).  Keys unknown to this
-    config (frontend-level knobs like pooled_dim) are skipped."""
+    config (frontend-level knobs like pooled_dim) are skipped.
+
+    ``mirror_out_channels``: for families whose prediction lives in the
+    latent space (SANA/SD3.5 velocity, Flux), diffusers defaults
+    out_channels to in_channels — an in_channels override mirrors into
+    out_channels unless out is overridden explicitly.  (PixArt keeps the
+    learned-sigma out = 2*in relation and opts out.)"""
     if not overrides:
         return cfg
     typed = {}
@@ -307,6 +350,9 @@ def override_config(cfg, overrides: dict):
         if k == "preset" or not hasattr(cfg, k):
             continue
         typed[k] = _coerce_like(getattr(cfg, k), v)
+    if (mirror_out_channels and "in_channels" in typed
+            and "out_channels" not in typed and hasattr(cfg, "out_channels")):
+        typed["out_channels"] = typed["in_channels"]
     return dataclasses.replace(cfg, **typed)
 
 
@@ -374,6 +420,9 @@ def build_clip_vae_encoders(params: TrainingParameters,
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
 
+    te_vars = host_offload_vars(te_vars, params.low_vram)
+    if include_vae:
+        vae_vars = host_offload_vars(vae_vars, params.low_vram)
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size, max_length=ml)
     # weight trees travel as ARGUMENTS, not closures: closed-over trees
@@ -471,6 +520,8 @@ def build_t5_vae_encoders(params: TrainingParameters,
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
 
+    te_vars = host_offload_vars(te_vars, params.low_vram)
+    vae_vars = host_offload_vars(vae_vars, params.low_vram)
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=max_caption_len)
@@ -488,6 +539,7 @@ def build_t5_vae_encoders(params: TrainingParameters,
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=max_caption_len)
+        ids, mask = slice_caption_rung(ids, mask)
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
@@ -499,6 +551,7 @@ def build_t5_vae_encoders(params: TrainingParameters,
 
     def _cap_dispatch(captions):
         ids, mask = tokenize(list(captions), max_length=max_caption_len)
+        ids, mask = slice_caption_rung(ids, mask)
         dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return lambda: compress_embeddings(dev, mask)
 

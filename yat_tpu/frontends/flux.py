@@ -10,7 +10,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import (
+    build_feature_sampler, cli_main, override_config, slice_caption_rung)
 from yat_tpu.models.flux import FLUX2_KLEIN, FluxTransformer
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer
@@ -59,10 +60,13 @@ def _build_flux_encoders(params: TrainingParameters):
                 vae_vars["params"], convert_vae_kl(
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
+    from yat_tpu.frontends.common import (
+        host_offload_vars, pixels_to_u8, u8_to_unit)
+    te_vars = host_offload_vars(te_vars, params.low_vram)
+    vae_vars = host_offload_vars(vae_vars, params.low_vram)
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=FLUX_CAPTION_LEN)
-    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
     encode_img = jax.jit(lambda v, u8: vae.apply(
         v, u8_to_unit(u8), method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
@@ -74,6 +78,7 @@ def _build_flux_encoders(params: TrainingParameters):
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
+        ids, mask = slice_caption_rung(ids, mask)
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
@@ -84,6 +89,7 @@ def _build_flux_encoders(params: TrainingParameters):
 
     def _cap_dispatch(captions):
         ids, mask = tokenize(list(captions), max_length=FLUX_CAPTION_LEN)
+        ids, mask = slice_caption_rung(ids, mask)
         dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return lambda: compress_embeddings(dev, mask)
 
@@ -115,7 +121,8 @@ def _flux_spec(params: TrainingParameters):
 
 def make_trainer(params: TrainingParameters, sampler=None,
                  init_variables=None) -> Trainer:
-    cfg = override_config(FLUX2_KLEIN, params.model_config_overrides)
+    cfg = override_config(FLUX2_KLEIN, params.model_config_overrides,
+                          mirror_out_channels=True)
     dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
     model = FluxTransformer(cfg=cfg, dtype=dtype,
                             gradient_checkpointing=params.low_vram)

@@ -67,7 +67,7 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
             )
     if over:
         from yat_tpu.frontends.common import override_config
-        cfg = override_config(cfg, over)
+        cfg = override_config(cfg, over, mirror_out_channels=True)
     return cfg
 
 
@@ -122,13 +122,17 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
                 vae_vars["params"],
                 convert_dcae(load_torch_state_dict(vae_dir), vae.cfg))}
 
+    from yat_tpu.frontends.common import host_offload_vars
+    te_vars = host_offload_vars(te_vars, params.low_vram)
+    vae_vars = host_offload_vars(vae_vars, params.low_vram)
     tokenize = load_tokenizer(params.pretrained_pipe_path,
                               vocab_size=te.cfg.vocab_size,
                               max_length=cfg.max_caption_len)
     # weight trees as arguments: closed-over trees lower as baked-in
     # constants and blow up the axon remote-compile request body.
     # Pixels travel as uint8 and normalize on device (pixels_to_u8).
-    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    from yat_tpu.frontends.common import (
+        pixels_to_u8, slice_caption_rung, u8_to_unit)
     encode_img = jax.jit(lambda v, u8: vae.apply(v, u8_to_unit(u8),
                                                  method=vae.encode_mode))
     encode_txt = jax.jit(lambda v, ids, mask: te.apply(v, ids, mask))
@@ -141,6 +145,7 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
 
     def encode_captions(captions):
         ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
+        ids, mask = slice_caption_rung(ids, mask)
         hidden = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return compress_embeddings(hidden, mask)
 
@@ -152,6 +157,7 @@ def build_encoders(params: TrainingParameters, cfg: SanaConfig):
 
     def _cap_dispatch(captions):
         ids, mask = tokenize(list(captions), max_length=cfg.max_caption_len)
+        ids, mask = slice_caption_rung(ids, mask)
         dev = encode_txt(te_vars, jnp.asarray(ids), jnp.asarray(mask))
         return lambda: compress_embeddings(dev, mask)
 

@@ -12,7 +12,8 @@ import numpy as np
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import (
+    build_feature_sampler, cli_main, override_config, slice_caption_rung)
 from yat_tpu.models.mmdit import SD35_MEDIUM, MMDiT
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer
@@ -67,7 +68,9 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
                 vae_vars["params"], convert_vae_kl(
                     load_torch_state_dict(vae_dir),
                     vae.cfg.block_out_channels, vae.cfg.layers_per_block))}
-    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    from yat_tpu.frontends.common import (
+        host_offload_vars, pixels_to_u8, u8_to_unit)
+    vae_vars = host_offload_vars(vae_vars, params.low_vram)
     encode_img_fn = jax.jit(lambda v, u8: vae.apply(
         v, u8_to_unit(u8), method=vae.encode_mode))
     dec_fn = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
@@ -102,6 +105,7 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
             t5_vars = {"params": merge_into(
                 t5_vars["params"], convert_t5_encoder(
                     load_torch_state_dict(d), t5.cfg.num_layers))}
+    t5_vars = host_offload_vars(t5_vars, params.low_vram)
     t5_len = min(cfg.max_caption_len, 256)
     tokenize_t5 = load_tokenizer(params.pretrained_pipe_path,
                                  subfolder="tokenizer_3",
@@ -124,6 +128,7 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     def encode_captions(captions):
         clip = enc_clip_cap(captions)          # list [77, d_clip]
         ids, mask = tokenize_t5(list(captions), max_length=t5_len)
+        ids, mask = slice_caption_rung(ids, mask)
         t5_hidden = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
         return _join_clip_t5(clip, compress_embeddings(t5_hidden, mask))
 
@@ -132,6 +137,7 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     def _cap_dispatch(captions):
         clip_fin = enc_clip_cap.dispatch(captions)
         ids, mask = tokenize_t5(list(captions), max_length=t5_len)
+        ids, mask = slice_caption_rung(ids, mask)
         t5_dev = encode_t5(t5_vars, jnp.asarray(ids), jnp.asarray(mask))
         return lambda: _join_clip_t5(clip_fin(),
                                      compress_embeddings(t5_dev, mask))
@@ -143,7 +149,8 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
 
 def make_trainer(params: TrainingParameters, sampler=None,
                  init_variables=None) -> Trainer:
-    cfg = override_config(SD35_MEDIUM, params.model_config_overrides)
+    cfg = override_config(SD35_MEDIUM, params.model_config_overrides,
+                          mirror_out_channels=True)
     dtype = jnp.bfloat16 if params.bfloat16 else jnp.float32
     model = MMDiT(cfg=cfg, dtype=dtype,
                   gradient_checkpointing=params.low_vram)

@@ -68,6 +68,8 @@ def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False,
             te2_vars = {"params": merge_into(
                 te2_vars["params"], convert_clip_text(
                     load_torch_state_dict(d), te2_cfg.num_layers))}
+    from yat_tpu.frontends.common import host_offload_vars
+    te2_vars = host_offload_vars(te2_vars, params.low_vram)
     tokenize2 = load_tokenizer(params.pretrained_pipe_path,
                                subfolder="tokenizer_2",
                                vocab_size=te2_cfg.vocab_size, max_length=ml)
