@@ -493,9 +493,17 @@ def measure_cache_encode(n_images: int = 64, batch: int = 8) -> float:
     tmp = tempfile.mkdtemp(prefix="bench_encode_")
     rng = np.random.default_rng(0)
     shard = os.path.join(tmp, "imgs.tar")
+    # Photo-like content (smooth gradients + mild noise), not pure noise:
+    # a noise JPEG is pathological for the entropy decoder (~308 KB and
+    # 2x the decode time of a real photo at 512px) and would overstate
+    # the host-decode share of the pipeline.
+    y, x = np.mgrid[0:512, 0:512]
     with TarShardWriter(shard) as w:
         for i in range(n_images):
-            img = rng.integers(0, 255, (512, 512, 3), np.uint8)
+            base = np.stack([(x + 37 * i) % 256, (y + 11 * i) % 256,
+                             ((x + y) // 2 + 7 * i) % 256], -1)
+            img = np.clip(base + rng.integers(-8, 8, base.shape),
+                          0, 255).astype(np.uint8)
             ok, enc = cv2.imencode(".jpg", img)
             w.write({"__key__": f"{i:05d}", "jpg": enc.tobytes(),
                      "txt": "a benchmark caption of moderate length for "

@@ -34,8 +34,12 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG into an RGB8 buffer. Returns false on corrupt input.
+// When min_w/min_h are positive, the decoder downscales in the DCT domain
+// (1/2, 1/4, 1/8) as far as the output still covers the target — skipping
+// most of the IDCT work when the source is much larger than the bucket
+// (a 4x-oversized source decodes ~10x faster at 1/4 scale).
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                 int* width, int* height) {
+                 int* width, int* height, int min_w = 0, int min_h = 0) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -52,8 +56,16 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
-  // libjpeg can fractionally downscale during decode (1/2, 1/4, 1/8) —
-  // huge win when the target is much smaller than the source.
+  if (min_w > 0 && min_h > 0) {
+    int denom = 1;
+    while (denom < 8 &&
+           static_cast<int>(cinfo.image_width) / (denom * 2) >= min_w &&
+           static_cast<int>(cinfo.image_height) / (denom * 2) >= min_h) {
+      denom *= 2;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -89,10 +101,13 @@ inline void bilinear_px(const uint8_t* img, int w, int h, float x, float y,
 }
 
 // Area-average (box) downscale for quality when shrinking a lot, then
-// bilinear for the final fractional step.  Writes normalized [-1, 1]
-// float32 HWC.
-void resize_normalize(const uint8_t* img, int w, int h, int tw, int th,
-                      float* out) {
+// bilinear for the final fractional step.  Writes EITHER normalized
+// [-1, 1] float32 HWC (fout) OR raw uint8 HWC (uout) — the u8 form is
+// what the TPU data plane wants: pixels cross the host↔device link as
+// uint8 and normalize on device (frontends/common.py:u8_to_unit), so
+// the float materialization is pure waste there.
+void resize_core(const uint8_t* img, int w, int h, int tw, int th,
+                 float* fout, uint8_t* uout) {
   std::vector<uint8_t> boxed;
   // integer box shrink while the image is at least 2x the target
   while (w >= tw * 2 && h >= th * 2) {
@@ -130,8 +145,18 @@ void resize_normalize(const uint8_t* img, int w, int h, int tw, int th,
       if (srcx > w - 1) srcx = static_cast<float>(w - 1);
       float rgb[3];
       bilinear_px(img, w, h, srcx, srcy, rgb);
-      float* dst = out + (static_cast<size_t>(y) * tw + x) * 3;
-      for (int c = 0; c < 3; ++c) dst[c] = rgb[c] / 127.5f - 1.0f;
+      const size_t off = (static_cast<size_t>(y) * tw + x) * 3;
+      if (uout != nullptr) {
+        uint8_t* dst = uout + off;
+        for (int c = 0; c < 3; ++c) {
+          float v = rgb[c] + 0.5f;
+          dst[c] = static_cast<uint8_t>(v < 0.f ? 0.f
+                                                : (v > 255.f ? 255.f : v));
+        }
+      } else {
+        float* dst = fout + off;
+        for (int c = 0; c < 3; ++c) dst[c] = rgb[c] / 127.5f - 1.0f;
+      }
     }
   }
 }
@@ -146,10 +171,23 @@ int yat_decode_resize(const uint8_t* data, size_t len, int th, int tw,
                       float* out, int* src_h, int* src_w) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(data, len, &rgb, &w, &h)) return -1;
+  if (!decode_jpeg(data, len, &rgb, &w, &h, tw, th)) return -1;
   if (src_h) *src_h = h;
   if (src_w) *src_w = w;
-  resize_normalize(rgb.data(), w, h, tw, th, out);
+  resize_core(rgb.data(), w, h, tw, th, out, nullptr);
+  return 0;
+}
+
+// Decode one JPEG and write raw uint8 HWC [th, tw, 3] (device-side
+// normalization).  Returns 0 on success, -1 on decode failure.
+int yat_decode_resize_u8(const uint8_t* data, size_t len, int th, int tw,
+                         uint8_t* out, int* src_h, int* src_w) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(data, len, &rgb, &w, &h, tw, th)) return -1;
+  if (src_h) *src_h = h;
+  if (src_w) *src_w = w;
+  resize_core(rgb.data(), w, h, tw, th, nullptr, out);
   return 0;
 }
 
@@ -188,6 +226,32 @@ void yat_decode_batch(const uint8_t** datas, const size_t* lens, int n,
       int i = next.fetch_add(1);
       if (i >= n) break;
       status[i] = yat_decode_resize(
+          datas[i], lens[i], th, tw,
+          out + static_cast<size_t>(i) * th * tw * 3, nullptr, nullptr);
+    }
+  };
+  if (num_threads == 1 || n == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  int spawn = num_threads < n ? num_threads : n;
+  threads.reserve(spawn);
+  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Batch decode, uint8 output planes (the TPU data-plane fast path).
+void yat_decode_batch_u8(const uint8_t** datas, const size_t* lens, int n,
+                         int th, int tw, uint8_t* out, int* status,
+                         int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = yat_decode_resize_u8(
           datas[i], lens[i], th, tw,
           out + static_cast<size_t>(i) * th * tw * 3, nullptr, nullptr);
     }

@@ -160,7 +160,7 @@ class TestImageBucketSampler:
         assert "0.5" in shapes and shapes["0.5"][1:3] == tuple(
             ASPECT_RATIO_512_BIN["0.5"])
         for b in batches:
-            assert b.images.min() >= -1.0 and b.images.max() <= 1.0
+            assert b.images.dtype == np.uint8
             assert len(b.captions) == 2
 
 

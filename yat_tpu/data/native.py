@@ -63,6 +63,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
+        lib.yat_decode_resize_u8.restype = ctypes.c_int
+        lib.yat_decode_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.yat_decode_batch_u8.restype = None
+        lib.yat_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -98,20 +109,34 @@ def decode_resize(data: bytes, target_h: int, target_w: int
 
 
 def decode_batch(datas: List[bytes], target_h: int, target_w: int,
-                 num_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Batch decode → (float32 [N, th, tw, 3], status int32 [N])."""
+                 num_threads: int = 0, u8: bool = False
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch decode → (pixels [N, th, tw, 3], status int32 [N]).
+
+    ``u8=True`` yields raw uint8 pixels (the TPU data-plane fast path:
+    normalize happens on device, see frontends/common.py:u8_to_unit);
+    otherwise float32 in [-1, 1]."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native decode unavailable")
     n = len(datas)
     if num_threads <= 0:
         num_threads = min(n, os.cpu_count() or 1)
-    out = np.empty((n, target_h, target_w, 3), np.float32)
     status = np.empty((n,), np.int32)
     arr_ptr = (ctypes.c_char_p * n)(*datas)
     arr_len = (ctypes.c_size_t * n)(*[len(d) for d in datas])
-    lib.yat_decode_batch(
-        arr_ptr, arr_len, n, target_h, target_w,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+    if u8:
+        out = np.empty((n, target_h, target_w, 3), np.uint8)
+        lib.yat_decode_batch_u8(
+            arr_ptr, arr_len, n, target_h, target_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            num_threads)
+    else:
+        out = np.empty((n, target_h, target_w, 3), np.float32)
+        lib.yat_decode_batch(
+            arr_ptr, arr_len, n, target_h, target_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            num_threads)
     return out, status

@@ -48,7 +48,10 @@ class Batch:
 
     ratio: str
     latents: Optional[np.ndarray] = None          # [B, H, W, C]
-    images: Optional[np.ndarray] = None           # [B, H, W, 3] in [-1, 1]
+    images: Optional[np.ndarray] = None           # [B, H, W, 3] uint8 (raw
+    # pixels; normalization to [-1, 1] happens ON DEVICE via
+    # frontends/common.py:u8_to_unit — the float tensor never exists on
+    # the host and crosses the host↔device link at 1/4 the bytes)
     captions: Optional[List[str]] = None
     embeddings: Optional[np.ndarray] = None       # [B, L, D]
     text_mask: Optional[np.ndarray] = None        # [B, L]
@@ -424,7 +427,9 @@ class ImageBucketSampler:
     """Raw {jpg/jpeg/png/webp, txt} shards → resized, normalized image
     batches + captions per bucket (BucketSamplerExtractFeatures parity,
     bucket_sampler.py:324-398).  Feature extraction (VAE/TE/DINO) is the
-    encoder pipeline's job; this yields pixels in [-1, 1] NHWC.
+    encoder pipeline's job; this yields raw uint8 NHWC pixels (the
+    reference's host-side Normalize(0.5, 0.5) runs on device instead,
+    frontends/common.py:u8_to_unit).
 
     Fast path: JPEGs are bucketed from header dimensions alone (no decode)
     and decoded + resized in one pass by the C++ extension at batch-emit
@@ -463,14 +468,16 @@ class ImageBucketSampler:
             return None
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def resize_normalize(self, img: np.ndarray, key: str) -> np.ndarray:
-        """Resize to the bucket size, scale to [-1, 1]
-        (transforms.Normalize(0.5, 0.5) parity, bucket_sampler.py:390-398)."""
+    def resize_u8(self, img: np.ndarray, key: str) -> np.ndarray:
+        """Resize to the bucket size, keep raw uint8.  The reference
+        normalizes on the host (transforms.Normalize(0.5, 0.5),
+        bucket_sampler.py:390-398); here the identical scaling runs on
+        device inside the encode jits (frontends/common.py:u8_to_unit),
+        so the host plane stays uint8 end to end."""
         import cv2
         th, tw = self.aspect_ratios[key]
         interp = cv2.INTER_AREA if (img.shape[0] > th) else cv2.INTER_LINEAR
-        img = cv2.resize(img, (int(tw), int(th)), interpolation=interp)
-        return img.astype(np.float32) / 127.5 - 1.0
+        return cv2.resize(img, (int(tw), int(th)), interpolation=interp)
 
     def _caption_of(self, elem: dict) -> Optional[str]:
         if self.caption_fn is not None:
@@ -482,15 +489,15 @@ class ImageBucketSampler:
         th, tw = (int(d) for d in self.aspect_ratios[key])
         raw = [im for im, _ in items]
         if self.native is not None and all(isinstance(r, bytes) for r in raw):
-            images, status = self.native.decode_batch(raw, th, tw)
+            images, status = self.native.decode_batch(raw, th, tw, u8=True)
             for i in np.nonzero(status != 0)[0]:
                 img = self.decode_image(raw[int(i)])
-                images[int(i)] = (self.resize_normalize(img, key)
-                                  if img is not None else 0.0)
+                images[int(i)] = (self.resize_u8(img, key)
+                                  if img is not None else 0)
         else:
             decoded = [r if not isinstance(r, bytes)
                        else self.decode_image(r) for r in raw]
-            images = np.stack([self.resize_normalize(im, key)
+            images = np.stack([self.resize_u8(im, key)
                                for im in decoded])
         captions = [c for _, c in items]
         return Batch(ratio=key, images=images, captions=captions)
