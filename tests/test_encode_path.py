@@ -506,3 +506,40 @@ def test_low_vram_host_offloads_encoder_weights():
         (2, 32, 32, 3)).astype(np.float32)
     assert enc_img(imgs).shape == (2, 16, 16, 4)
     assert enc_cap(["a cat", "a dog"])[0].shape[1] == 32
+
+
+def test_u8_pixel_plane_roundtrip_exact():
+    """The host data plane is uint8 end to end (sampler emits raw pixels,
+    normalize runs on device): pixels_to_u8 must pass uint8 through
+    untouched, invert u8_to_unit exactly, and quantize u8-sourced floats
+    back to the identical bytes — so the u8 sampler path and the legacy
+    float path feed bit-identical pixels to the VAE."""
+    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 16, 16, 3), np.uint8)
+    # passthrough: no copy/convert on the fast path
+    assert pixels_to_u8(u8) is u8
+    # device normalize then host re-quantize is the identity on bytes
+    unit = np.asarray(u8_to_unit(jnp.asarray(u8)))
+    assert unit.min() >= -1.0 and unit.max() <= 1.0
+    back = pixels_to_u8(unit)
+    np.testing.assert_array_equal(back, u8)
+
+
+def test_u8_and_float_images_encode_identically():
+    """encode path equivalence: a float [-1,1] batch and its uint8 twin
+    produce the same latents (both funnel through pixels_to_u8)."""
+    from yat_tpu.frontends.common import build_t5_vae_encoders
+
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+        "steps": "1", "num_steps_per_validation": "100",
+        "validation_prompts": [],
+        "model_config_overrides": {"tiny_encoders": "1"},
+    })
+    enc_img, _, _ = build_t5_vae_encoders(p, max_caption_len=12)
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
+    flt = u8.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(enc_img(u8), enc_img(flt), rtol=0, atol=0)
