@@ -66,3 +66,44 @@ def test_params_only_shape_mismatch_raises(tmp_path):
     bad = {"a": {"kernel": jnp.ones((4, 3))}}
     with pytest.raises(ValueError, match="shape mismatch"):
         load_params_only(str(tmp_path), bad)
+
+
+@pytest.mark.parametrize("save_rate,resume_rate", [(0.1, 0.0), (0.0, 0.1)])
+def test_dropout_meta_toggle_resumes(tmp_path, save_rate, resume_rate):
+    """The lora_dropout meta leaf is omitted at rate 0 (perf), so
+    toggling the rate across save/resume changes the TrainState pytree;
+    restore must tolerate BOTH directions (ADVICE r2 + review finding:
+    the first fix only handled checkpoint-has/live-lacks)."""
+    from yat_tpu.train.state import create_train_state
+
+    def state_with_rate(rate):
+        params = TrainingParameters.from_dict({
+            "urls": [], "batch_size": "2", "learning_rate": "1e-3",
+            "steps": "10", "num_steps_per_validation": "5",
+            "validation_prompts": [],
+        })
+        tx = make_optimizer(params)
+        base = {"layer": {"kernel": jnp.ones((3, 4))}}
+        meta = {"layer": {"lora_scale": jnp.float32(2.0)}}
+        if rate > 0:
+            meta["layer"]["lora_dropout"] = jnp.float32(rate)
+        return create_train_state(base, tx, use_ema=False,
+                                  adapters_meta=meta)
+
+    saved = state_with_rate(save_rate)
+    saved = saved.replace(step=jnp.asarray(3, jnp.int32))
+    save_train_state(str(tmp_path / "ckpt"), saved, 3)
+
+    live = state_with_rate(resume_rate)
+    restored, step = restore_train_state(str(tmp_path / "ckpt"), live)
+    assert step == 3
+    # restored meta matches the LIVE structure; the live (config-derived)
+    # rate wins where the leaf exists
+    assert ("lora_dropout" in restored.adapters_meta["layer"]) \
+        == (resume_rate > 0)
+    if resume_rate > 0:
+        np.testing.assert_allclose(
+            float(restored.adapters_meta["layer"]["lora_dropout"]),
+            resume_rate)
+    np.testing.assert_allclose(
+        float(restored.adapters_meta["layer"]["lora_scale"]), 2.0)

@@ -126,7 +126,7 @@ def _run(resample_at_stage_end):
     sd, expected = _synth_dcae(v["params"], cfg, np.random.default_rng(0),
                                resample_at_stage_end=resample_at_stage_end)
     tree = convert_dcae(sd, cfg)
-    merged, missing = merge_with_report(v["params"], tree)
+    merged, missing, _orphans = merge_with_report(v["params"], tree)
     assert not missing, f"uncovered DCAE params: {missing[:10]}"
     for path, val in expected.items():
         np.testing.assert_allclose(_get(merged, path), val, atol=1e-6,

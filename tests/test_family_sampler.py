@@ -271,3 +271,39 @@ def test_empty_sampler_watchdog(tmp_path):
     t = make_trainer(p, sampler=sampler)
     with pytest.raises(RuntimeError, match="no batches"):
         t.run()
+
+
+def test_watchdog_tolerates_multi_pass_bucket_fill(tmp_path):
+    """A small dataset may legally need several epochs before one bucket
+    reaches batch_size (sampler.py holds partials across passes) — the
+    starvation watchdog must only fire when a batchless pass also
+    ingests nothing new (review finding on the r2-#7 watchdog)."""
+    from yat_tpu.data.sampler import FeatureBucketSampler
+    from yat_tpu.frontends.sana import make_trainer
+
+    # one feature sample per shard; batch_size 3 → the bucket fills on
+    # pass 3; the old 2-batchless-passes rule aborted on pass 2
+    rng = np.random.default_rng(0)
+    shard = str(tmp_path / "one.tar")
+    with TarShardWriter(shard) as w:
+        w.write({"__key__": "0", "ratio": "1.0",
+                 "latent.npy": rng.standard_normal((4, 4, 32),
+                                                   ).astype(np.float32),
+                 "emb.npy": rng.standard_normal((5, 32),
+                                                ).astype(np.float32)})
+
+    class OnePass:
+        def __iter__(self):
+            yield shard
+
+    sampler = FeatureBucketSampler(OnePass(), batch_size=3,
+                                   max_caption_len=8)
+    p = TrainingParameters.from_dict({
+        "local_shard_paths": [shard], "batch_size": "3",
+        "learning_rate": "1e-3", "steps": "1",
+        "num_steps_per_validation": "100", "validation_prompts": [],
+        "output_dir": str(tmp_path / "models"), "mesh_shape": {"dp": "1"},
+        "model_config_overrides": dict(TINY_SANA, tiny_encoders=None),
+    })
+    t = make_trainer(p, sampler=sampler)
+    t.run()   # must complete step 1 (bucket fills on the third pass)

@@ -290,3 +290,30 @@ class TestTokenizer:
         assert isinstance(tok, HashTokenizer)
         ids, mask = tok(["hello world"])
         assert ids.shape == (1, 8) and int(mask[0].sum()) == 3  # 2 + eos
+
+    def test_single_file_without_tokenizer_source_raises(self):
+        # real TE weights from a CompVis single file with no pipeline dir
+        # must not silently pair with hash token ids (review finding):
+        # load_tokenizer(require=True) hard-fails when path is None
+        from yat_tpu.utils.tokenizer import load_tokenizer
+        with pytest.raises(ValueError, match="single-file"):
+            load_tokenizer(None, require=True)
+
+    def test_left_padding_tokenizer_forced_right(self, tmp_path):
+        # caption-rung slicers keep [:, :rung] — a left-padding tokenizer
+        # config must be forced to right padding or real tokens would be
+        # sliced away silently
+        import json
+
+        from yat_tpu.utils.tokenizer import load_tokenizer
+        self._write_fixture(str(tmp_path))
+        with open(os.path.join(str(tmp_path), "tokenizer",
+                               "tokenizer_config.json"), "w") as f:
+            json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                       "model_max_length": 16, "pad_token": "[PAD]",
+                       "unk_token": "[UNK]", "padding_side": "left"}, f)
+        tok = load_tokenizer(str(tmp_path))
+        ids, mask = tok(["a photo of a cat"], max_length=8)
+        # real tokens at the FRONT despite padding_side='left' in config
+        assert mask[0, 0] == 1 and ids[0, 0] == 2
+        assert mask[0].sum() == 5

@@ -445,7 +445,7 @@ def test_compvis_vae_converter(tmp_path):
     tree = convert_vae_compvis(sd, cfg.block_out_channels,
                                cfg.layers_per_block)
     from yat_tpu.frontends.common import merge_with_report
-    merged, missing = merge_with_report(v["params"], tree)
+    merged, missing, _orphans = merge_with_report(v["params"], tree)
     assert not missing, f"uncovered VAE params: {missing[:10]}"
     for path, val in expected.items():
         np.testing.assert_allclose(_get(merged, path), val, atol=1e-6,

@@ -250,13 +250,21 @@ def load_pretrained_backbone(params: TrainingParameters, family: str,
     else:
         raise ValueError(f"unknown model family {family!r}")
 
-    merged, missing = merge_with_report(variables["params"], tree)
+    merged, missing, orphans = merge_with_report(variables["params"], tree)
+    if orphans:
+        raise ValueError(
+            f"{family} converter produced {len(orphans)} tensors with no "
+            f"model-parameter destination, e.g. {orphans[:8]} — a "
+            "converter path mapping is stale (the model param it should "
+            "fill would silently stay at init)")
     # new-capability modules have no checkpoint counterpart by design
     allowed = ("repa_projector", "resnet_branch")
     hard_missing = [m for m in missing
                     if not any(a in m for a in allowed)]
     # a bias the checkpoint does not carry (torch Linear(bias=False))
-    # stays at its zero init — functionally identical, not a load failure
+    # stays at its zero init — functionally identical, not a load
+    # failure.  This cannot mask a mis-mapped bias: a converter writing
+    # the bias under a wrong path is caught by the orphan check above.
     soft_bias = [m for m in hard_missing if m.endswith(".bias")]
     if soft_bias:
         print(f"[{family}] {len(soft_bias)} bias params absent from the "
@@ -286,10 +294,18 @@ def _iter_leaves(tree, prefix=""):
 
 
 def merge_with_report(base, converted):
-    """strict merge_into, but returns (merged, missing_leaf_paths) instead
-    of raising on the first miss."""
+    """strict merge_into, but returns (merged, missing_leaf_paths,
+    orphan_leaf_paths) instead of raising on the first miss.
+
+    Orphans — converted leaves with no model-parameter destination — are
+    reported rather than silently dropped: a converter that mis-maps a
+    path (e.g. writes a bias under a stale module name) would otherwise
+    leave the real param at its zero init with no diagnostic (review
+    finding: the `.bias` soft-fill masked exactly this class of
+    regression)."""
     import numpy as np
     missing = []
+    orphans = []
 
     def walk(b, c, path=""):
         out = {}
@@ -308,9 +324,17 @@ def merge_with_report(base, converted):
             else:
                 missing.append(name)
                 out[k] = v
+        if isinstance(c, dict):
+            for k in c:
+                name = f"{path}.{k}" if path else k
+                if k not in b:
+                    if isinstance(c[k], dict):
+                        orphans.extend(_iter_leaves(c[k], name))
+                    else:
+                        orphans.append(name)
         return out
 
-    return walk(base, converted), missing
+    return walk(base, converted), missing, orphans
 
 
 def _coerce_like(cur, v):
@@ -423,8 +447,11 @@ def build_clip_vae_encoders(params: TrainingParameters,
     te_vars = host_offload_vars(te_vars, params.low_vram)
     if include_vae:
         vae_vars = host_offload_vars(vae_vars, params.low_vram)
-    tokenize = load_tokenizer(params.pretrained_pipe_path,
-                              vocab_size=te.cfg.vocab_size, max_length=ml)
+    tokenize = load_tokenizer(
+        params.pretrained_pipe_path, vocab_size=te.cfg.vocab_size,
+        max_length=ml,
+        require=bool(params.pretrained_pipe_single_file
+                     and os.path.exists(params.pretrained_pipe_single_file)))
     # weight trees travel as ARGUMENTS, not closures: closed-over trees
     # lower as baked-in constants and blow up the axon remote-compile body
     encode_txt = jax.jit(lambda v, ids: te.apply(v, ids))

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import (
-    build_feature_sampler, cli_main, override_config, slice_caption_rung)
+    cli_main, override_config, slice_caption_rung)
 from yat_tpu.models.flux import FLUX2_KLEIN, FluxTransformer
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import cli_main, override_config
 from yat_tpu.models.pixart import PIXART_SIGMA_XL2, PixArtTransformer2D
 from yat_tpu.ops.schedulers import DDPMSchedule
 from yat_tpu.train.engine import Trainer

@@ -12,7 +12,7 @@ import numpy as np
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import cli_main, override_config
 from yat_tpu.models.pixeldit import PIXELDIT_BASE, PixelDiT
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer
@@ -45,7 +45,18 @@ def make_trainer(params: TrainingParameters, sampler=None,
             in_channels = 3
 
         _, encode_captions, _ = build_encoders(p, _IdCfg)
-        return {"encode_images": lambda images: np.asarray(images),
+
+        def encode_images(images):
+            # pixel-space "latents" must be [-1, 1] floats; the sampler's
+            # u8 data plane delivers raw uint8 (sampler.py:_emit), and
+            # VAE families normalize on device (u8_to_unit) — the
+            # identity encoder normalizes here instead.
+            arr = np.asarray(images)
+            if arr.dtype == np.uint8:
+                return arr.astype(np.float32) / 127.5 - 1.0
+            return arr
+
+        return {"encode_images": encode_images,
                 "encode_captions": encode_captions}
 
     # 'latents' in feature shards are pixels

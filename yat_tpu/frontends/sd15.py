@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import cli_main, override_config
 from yat_tpu.models.unet import SD15_UNET, UNet2DCondition
 from yat_tpu.ops.schedulers import DDPMSchedule
 from yat_tpu.train.engine import Trainer

@@ -13,7 +13,7 @@ import numpy as np
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.frontends.common import (
-    build_feature_sampler, cli_main, override_config, slice_caption_rung)
+    cli_main, override_config, slice_caption_rung)
 from yat_tpu.models.mmdit import SD35_MEDIUM, MMDiT
 from yat_tpu.ops.schedulers import FlowMatchSchedule
 from yat_tpu.train.engine import Trainer

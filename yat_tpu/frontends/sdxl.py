@@ -13,7 +13,7 @@ import numpy as np
 from yat_tpu.config import TrainingParameters
 from yat_tpu.frontends.common import repa_warmup_fields as _repa_warmup
 from yat_tpu.data.bins import bin_for_resolution
-from yat_tpu.frontends.common import build_feature_sampler, cli_main, override_config
+from yat_tpu.frontends.common import cli_main, override_config
 from yat_tpu.models.unet import SDXL_UNET, UNet2DCondition
 from yat_tpu.ops.schedulers import DDPMSchedule
 from yat_tpu.train.engine import Trainer

@@ -83,6 +83,43 @@ def _augment_dropout_meta(meta):
     return walk(meta), changed
 
 
+def _strip_dropout_meta(meta):
+    """Remove every abstract ``lora_dropout`` leaf — the reverse direction
+    of `_augment_dropout_meta`: a live state built with dropout > 0
+    carries the leaf, but a checkpoint saved at dropout 0 (post-r2
+    format) does not."""
+    changed = False
+
+    def walk(node):
+        nonlocal changed
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "lora_dropout" and "lora_scale" in node:
+                changed = True
+                continue
+            out[k] = walk(v)
+        return out
+
+    return walk(meta), changed
+
+
+def _reinstate_dropout(restored_meta, like_meta):
+    """Put the LIVE state's ``lora_dropout`` leaves back after a
+    stripped restore (the rate is config-derived, not training state)."""
+
+    def walk(res, like):
+        if not isinstance(res, dict) or not isinstance(like, dict):
+            return res
+        out = {k: walk(v, like.get(k)) for k, v in res.items()}
+        if "lora_dropout" in like and "lora_dropout" not in out:
+            out["lora_dropout"] = like["lora_dropout"]
+        return out
+
+    return walk(restored_meta, like_meta)
+
+
 def _strip_extra_dropout(restored_meta, like_meta):
     """Drop ``lora_dropout`` leaves the live state does not carry (the
     restored rate is stale config anyway — the current spec's rate wins)."""
@@ -116,16 +153,35 @@ def restore_train_state(directory: str, like_state) -> Tuple[Optional[Any], int]
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     except Exception:
-        # tree-structure mismatch: retry expecting the checkpoint's extra
-        # lora_dropout meta leaves, then drop them from the result
+        # tree-structure mismatch on the lora_dropout meta leaf — try
+        # BOTH directions (the leaf is omitted at rate 0 for perf, so
+        # toggling the rate across save/resume changes the pytree):
+        # (a) checkpoint HAS the leaf, live state lacks it → restore
+        #     with it added, then drop it;
+        # (b) checkpoint LACKS it, live state has it → restore without
+        #     it, then put the live (config-derived) value back.
         if getattr(abstract, "adapters_meta", None) is None:
             raise
-        aug_meta, changed = _augment_dropout_meta(abstract.adapters_meta)
-        if not changed:
+        aug_meta, aug_changed = _augment_dropout_meta(abstract.adapters_meta)
+        if aug_changed:
+            try:
+                aug = abstract.replace(adapters_meta=aug_meta)
+                restored = mgr.restore(
+                    step, args=ocp.args.StandardRestore(aug))
+                restored = restored.replace(
+                    adapters_meta=_strip_extra_dropout(
+                        restored.adapters_meta, like_state.adapters_meta))
+                return restored, int(step)
+            except Exception:  # noqa: BLE001
+                pass
+        stripped_meta, strip_changed = _strip_dropout_meta(
+            abstract.adapters_meta)
+        if not strip_changed:
             raise
-        aug = abstract.replace(adapters_meta=aug_meta)
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(aug))
-        restored = restored.replace(adapters_meta=_strip_extra_dropout(
+        stripped = abstract.replace(adapters_meta=stripped_meta)
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(stripped))
+        restored = restored.replace(adapters_meta=_reinstate_dropout(
             restored.adapters_meta, like_state.adapters_meta))
     return restored, int(step)
 

@@ -77,14 +77,19 @@ class ValidationPipeline:
         self.pred_slice = pred_slice
 
     # The jit is keyed on ``self`` as a STATIC argument whose hash covers
-    # every sampling tunable, so mutating num_steps/guidance_scale/seed
-    # after a first validation re-traces instead of silently reusing the
-    # old settings (generate.py mutates these; ADVICE r2).  Variables and
-    # conditioning remain ARGUMENTS so big weight trees never lower as
-    # baked-in constants (the axon remote-compile body limit).
+    # every STRUCTURAL sampling tunable (num_steps is a scan length,
+    # guidance selects the single-pass vs batch-doubled program,
+    # pag/sampler/slice change the graph), so mutating them after a first
+    # validation re-traces instead of silently reusing the old settings
+    # (generate.py mutates these; ADVICE r2).  ``seed`` is pure data and
+    # travels as a TRACED argument — a seed sweep reuses one compiled
+    # program instead of recompiling the whole sampling scan per seed
+    # (review finding).  Variables and conditioning remain ARGUMENTS so
+    # big weight trees never lower as baked-in constants (the axon
+    # remote-compile body limit).
     def _tunables(self):
         return (id(self.model), id(self.schedule), self.latent_shape,
-                self.guidance_scale, self.num_steps, self.seed,
+                self.guidance_scale, self.num_steps,
                 self.active_timesteps, self.pag_scale, self.sampler,
                 self.pred_slice)
 
@@ -105,14 +110,15 @@ class ValidationPipeline:
         return state.variables()
 
     def _sample_latents(self, variables, cond, uncond) -> jnp.ndarray:
-        return ValidationPipeline._jit_sample(self, variables, cond, uncond)
+        return ValidationPipeline._jit_sample(self, variables, cond, uncond,
+                                              jnp.int32(self.seed))
 
     @staticmethod
     @functools.partial(jax.jit, static_argnums=0)
-    def _jit_sample(self, variables, cond, uncond):
-        return self._sample_impl(variables, cond, uncond)
+    def _jit_sample(self, variables, cond, uncond, seed):
+        return self._sample_impl(variables, cond, uncond, seed)
 
-    def _sample_impl(self, variables, cond, uncond) -> jnp.ndarray:
+    def _sample_impl(self, variables, cond, uncond, seed) -> jnp.ndarray:
         shape = (1, *self.latent_shape)
 
         def apply_fn(vs, x, timesteps, **kw):
@@ -135,16 +141,15 @@ class ValidationPipeline:
         if self.sampler == "dpm":
             if isinstance(self.schedule, FlowMatchSchedule):
                 return sample_dpm_solver_2m_flow(
-                    denoise, shape, self.schedule, self.num_steps,
-                    self.seed)
+                    denoise, shape, self.schedule, self.num_steps, seed)
             return sample_dpm_solver_2m(denoise, shape, self.schedule,
-                                        self.num_steps, self.seed)
+                                        self.num_steps, seed)
         if isinstance(self.schedule, FlowMatchSchedule):
             return sample_flow_match(
-                denoise, shape, self.schedule, self.num_steps, self.seed,
+                denoise, shape, self.schedule, self.num_steps, seed,
                 active_timesteps=self.active_timesteps)
         return sample_ddim(denoise, shape, self.schedule, self.num_steps,
-                           self.seed, active_timesteps=self.active_timesteps)
+                           seed, active_timesteps=self.active_timesteps)
 
     # ------------------------------------------------------------------
     def __call__(self, trainer) -> Dict[str, np.ndarray]:

@@ -37,7 +37,8 @@ class HashTokenizer:
 
 
 def load_tokenizer(path: Optional[str], subfolder: str = "tokenizer",
-                   vocab_size: int = 256, max_length: int = 77):
+                   vocab_size: int = 256, max_length: int = 77,
+                   require: bool = False):
     """transformers tokenizer from a local path, else HashTokenizer.
 
     When ``path`` is configured, failure to load a real tokenizer RAISES:
@@ -45,8 +46,22 @@ def load_tokenizer(path: Optional[str], subfolder: str = "tokenizer",
     model on garbage embeddings with only a printed warning (VERDICT r2
     weak #4) — the same hard-failure contract as
     ``load_pretrained_backbone``.  The hash fallback serves only pathless
-    test/smoke runs."""
+    test/smoke runs.
+
+    ``require=True`` closes the single-file hole: a config that loads
+    REAL text-encoder weights from ``pretrained_pipe_single_file`` (no
+    pipeline dir, so ``path`` is None) must not silently pair them with
+    hash token ids — callers set ``require`` whenever real TE weights
+    were loaded from any source."""
     if not path:
+        if require:
+            raise ValueError(
+                "pretrained text-encoder weights are configured (e.g. "
+                "pretrained_pipe_single_file) but no tokenizer source "
+                "is: single-file checkpoints carry no tokenizer files. "
+                "Set pretrained_pipe_path to a pipeline directory whose "
+                f"{subfolder!r} subfolder has tokenizer.json / "
+                "tokenizer_config.json")
         return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
     try:
         from transformers import AutoTokenizer
@@ -58,6 +73,14 @@ def load_tokenizer(path: Optional[str], subfolder: str = "tokenizer",
             "would silently run on hash-token garbage embeddings — add "
             "the tokenizer files (tokenizer.json / tokenizer_config.json) "
             "or unset the pretrained path") from e
+    # The caption-rung slicers keep positions [:, :rung]
+    # (frontends/common.py:slice_caption_rung, text_encoders.py
+    # compress_embeddings), which requires RIGHT padding.  Some
+    # instruction-tuned tokenizer configs ship padding_side='left'
+    # (real tokens at the tail) — force right so the slice never
+    # truncates real caption tokens.
+    if getattr(tok, "padding_side", "right") != "right":
+        tok.padding_side = "right"
 
     def encode(texts: List[str], max_length: Optional[int] = None):
         out = tok(texts, padding="max_length", truncation=True,
