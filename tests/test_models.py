@@ -203,3 +203,32 @@ def test_tiled_vae_decode_matches_full():
     # and the single-tile fast path is exact
     small = np.asarray(decode_tiled(m, vs, z, tile_latent=64, overlap=4))
     np.testing.assert_allclose(small, full, atol=1e-5)
+
+
+def test_groupnorm_matches_flax_fp32_and_keeps_bf16():
+    """The custom GroupNorm (fp32 stats / compute-dtype data, norm dtype
+    policy) must be numerically identical to flax nn.GroupNorm for fp32
+    inputs, share its param names (scale/bias — converter compat), and
+    NOT promote bf16 activations to fp32 (flax's fp32-param promotion was
+    two full-tensor fp32 copies per UNet resnet)."""
+    from flax import linen as nn
+    from yat_tpu.models.layers import GroupNorm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 64), jnp.float32) * 3 + 1.5
+    ref = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    mine = GroupNorm(num_groups=32, epsilon=1e-5)
+    v = ref.init(rng, x)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(mine.init(rng, x))
+    v = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(1), p.shape), v)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(mine.apply(v, x)),
+                               atol=1e-5, rtol=1e-5)
+    yb = mine.apply(v, x.astype(jnp.bfloat16))
+    assert yb.dtype == jnp.bfloat16
+    # bf16 path agrees within bf16 rounding of the fp32 reference
+    diff = np.abs(np.asarray(ref.apply(v, x))
+                  - np.asarray(yb, dtype=np.float32))
+    assert diff.max() < 0.1, diff.max()

@@ -247,6 +247,43 @@ class RMSNorm(nn.Module):
         return y
 
 
+class GroupNorm(nn.Module):
+    """GroupNorm: statistics in fp32, data in the compute dtype — the same
+    norm dtype policy as LayerNorm/RMSNorm below (ARCHITECTURE.md).  Flax's
+    ``nn.GroupNorm`` with fp32 params promotes the WHOLE activation to
+    fp32, so every UNet resnet materialized two full-tensor fp32 copies
+    (norm output + silu output) plus their backwards; this keeps the data
+    in bf16 and only the per-(batch, group) reductions in fp32.  Identical
+    math for fp32 inputs; param names (scale/bias) match flax so the
+    diffusers converters are unaffected.  Mean subtraction happens in fp32
+    per the ADVICE-r2 caveat on large-|mean| cancellation."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        if c % g:
+            raise ValueError(f"channels {c} not divisible by groups {g}")
+        grouped = x.reshape(*x.shape[:-1], g, c // g)
+        x32 = grouped.astype(jnp.float32)
+        # stats over every axis except batch and group
+        red = tuple(range(1, x32.ndim - 2)) + (x32.ndim - 1,)
+        mean = jnp.mean(x32, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=red, keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y32 = (x32 - mean) * inv
+        y = y32.astype(x.dtype).reshape(x.shape)
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (c,), self.param_dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm: statistics in fp32, data in the compute dtype; optionally
     affine-free (AdaLN use).  Identical math when x is fp32.  In bf16 this

@@ -8,7 +8,8 @@ down/mid/up topology with skip connections; SDXL adds micro-conditioning —
 pooled text + six ``time_ids`` embedded sinusoidally and fused into the time
 embedding (/root/reference/train_sdxl.py:148-161).
 
-NHWC layout, bf16 compute, fp32 GroupNorms.  Attention module names reuse
+NHWC layout, bf16 compute; GroupNorms keep stats in fp32 but data in
+the compute dtype (norm dtype policy, ARCHITECTURE.md).  Attention module names reuse
 to_q/to_k/to_v/to_out so ``lora_target_modules`` patterns from reference
 configs match unchanged.
 """
@@ -25,6 +26,7 @@ from flax import linen as nn
 from yat_tpu.models.layers import (
     AdapterDense,
     Attention,
+    GroupNorm,
     LayerNorm,
     sinusoidal_timestep_embedding,
 )
@@ -75,14 +77,14 @@ class TimeResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_emb):
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm1")(x)
+        h = GroupNorm(num_groups=32, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv1")(h)
         t = AdapterDense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(t_emb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm2")(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv2")(h)
@@ -139,7 +141,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context, mask, *, deterministic=True):
         b, h, w, c = x.shape
         res = x
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        y = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
         y = AdapterDense(c, dtype=self.dtype, name="proj_in")(
             y.reshape(b, h * w, c))
         for i in range(self.num_layers):
@@ -257,7 +259,7 @@ class UNet2DCondition(nn.Module):
                 x = nn.Conv(cc, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"up_{level}_upsample")(x)
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out")(x)
+        x = GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(c.out_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_out")(x)
