@@ -232,7 +232,21 @@ def measure_sdxl(batch_size: int, remat: bool, warmup: int = 2,
 def measure(batch_size: int, remat: bool, warmup: int = 3,
             iters: int = 20, sample_size: int = None,
             preset: str = "600M", num_layers: int = None,
-            caption_len: int = None, int8_base: bool = False):
+            caption_len: int = None, int8_base: bool = False,
+            w8a8: bool = False):
+    if w8a8:
+        from yat_tpu.models.layers import set_int8_w8a8
+        set_int8_w8a8(True)
+    try:
+        return _measure_impl(batch_size, remat, warmup, iters, sample_size,
+                             preset, num_layers, caption_len, int8_base)
+    finally:
+        if w8a8:
+            set_int8_w8a8(False)
+
+
+def _measure_impl(batch_size, remat, warmup, iters, sample_size,
+                  preset, num_layers, caption_len, int8_base):
     state, batch, step, tflops_img = build(
         batch_size, remat, sample_size=sample_size, preset=preset,
         num_layers=num_layers, caption_len=caption_len,
@@ -424,6 +438,14 @@ def main():
                               int8_base=True)
             rung_int8 = {"value": round(v / n_chips, 3),
                          "batch_size": 16}
+            # w8a8 variant: int8 activations x int8 base on the
+            # double-rate int8 MXU (config key int8_w8a8)
+            try:
+                v8, _ = measure(16, False, warmup=2, iters=10,
+                                int8_base=True, w8a8=True)
+                rung_int8["w8a8_value"] = round(v8 / n_chips, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"# w8a8 variant failed: {str(e)[:200]}")
         except Exception as e:  # noqa: BLE001
             print(f"# int8-base rung failed: {str(e)[:200]}")
     else:

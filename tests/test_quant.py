@@ -89,3 +89,66 @@ def test_dequantize_params_export():
         np.asarray(deq["to_q"]["kernel"]),
         np.asarray(variables["params"]["to_q"]["kernel"]),
         atol=0.01)
+
+
+def test_w8a8_matmul_matches_dequant_forward():
+    from yat_tpu.ops.quant import w8a8_matmul
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 33, 128), jnp.float32) * 2.0
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 96)) * 0.05
+    q, s = quantize_kernel(w, bits=8)
+    y_ref = x @ (q.astype(jnp.float32) * s[None, :])
+    y = w8a8_matmul(x, q, s)
+    # activation quant adds per-token error ~1/127 · |row| · sqrt(K)-ish;
+    # forward must track the dequant reference within int8 resolution
+    err = float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max())
+    assert err < 0.03, err
+
+
+def test_w8a8_backward_straight_through():
+    from yat_tpu.ops.quant import w8a8_matmul
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 48)) * 0.1
+    q, s = quantize_kernel(w, bits=8)
+    wd = q.astype(jnp.float32) * s[None, :]
+
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.sin(t @ wd)))(x)
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(w8a8_matmul(t, q, s))))(x)
+    err = float(jnp.abs(g - g_ref).max() / jnp.abs(g_ref).max())
+    assert err < 0.05, err
+
+
+def test_w8a8_flag_routes_adapter_dense():
+    from yat_tpu.models.layers import set_int8_w8a8
+    from yat_tpu.adapters.builder import AdapterSpec, build_adapter_params
+    m = Net()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    qparams, scales = quantize_params(variables["params"], bits=8,
+                                      min_size=1024)
+    ad, meta = build_adapter_params(
+        variables, AdapterSpec("lora", rank=4, alpha=4,
+                               target_modules=["to_q"]),
+        jax.random.PRNGKey(2))
+    ad = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(3), p.shape) * 0.1, ad)
+    v = {"params": qparams, "adapters": ad, "adapters_meta": meta,
+         "quant_scales": scales}
+    y_deq = m.apply(v, x)
+    set_int8_w8a8(True)
+    try:
+        y_w8a8 = m.apply(v, x)
+
+        def loss(ad_):
+            y = m.apply({**v, "adapters": ad_}, x)
+            return jnp.mean(y ** 2)
+
+        g = jax.grad(loss)(ad)   # trains through the int8 base matmul
+        assert float(jnp.abs(g["to_q"]["lora_b"]).sum()) > 0
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+    finally:
+        set_int8_w8a8(False)
+    # LoRA contribution preserved; only int8 activation error remains
+    np.testing.assert_allclose(np.asarray(y_w8a8), np.asarray(y_deq),
+                               atol=0.08, rtol=0.08)

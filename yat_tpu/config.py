@@ -27,7 +27,8 @@ import yaml
 _PRESENCE_KEYS = frozenset({
     "compute_features", "extract_features", "dual_gpu", "bfloat16",
     "use_ema", "lora_use_dora", "lora_use_rslora", "lora_bias",
-    "lora_base_model_8bit", "lora_base_model_4bit", "use_adamw_8bit",
+    "lora_base_model_8bit", "lora_base_model_4bit", "int8_w8a8",
+    "use_adamw_8bit",
     "use_adamw_8bit ", "low_vram", "use_calculated_features", "use_repa",
     "save_to_disk", "use_preservation",
 })
@@ -124,6 +125,8 @@ class TrainingParameters:
     lora_pretrained: Optional[str] = None
     lora_base_model_8bit: bool = False
     lora_base_model_4bit: bool = False
+    int8_w8a8: bool = False        # int8 MXU matmuls for the int8 base
+                                   # (extension; requires lora_base_model_8bit)
     fourierft_alpha: float = 0.01
     fourierft_n_frequency: int = 1000
 
@@ -291,6 +294,10 @@ class TrainingParameters:
             p.lora_alpha = _as_int(raw, "lora_alpha", p.lora_rank)
             p.lora_base_model_8bit = "lora_base_model_8bit" in raw
             p.lora_base_model_4bit = "lora_base_model_4bit" in raw
+            p.int8_w8a8 = "int8_w8a8" in raw
+            if p.int8_w8a8 and not p.lora_base_model_8bit:
+                raise ConfigError("'int8_w8a8' requires "
+                                  "'lora_base_model_8bit'")
             p.lora_dropout = _as_float(raw, "lora_dropout", 0.0)
             p.lora_bias = "lora_bias" in raw
             if "lora_algo" not in raw:

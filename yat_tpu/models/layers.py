@@ -46,12 +46,25 @@ def _maybe(mod: nn.Module, col: str, name: str):
 # only, which a merged weight cannot express).
 _LORA_MERGED = True
 
+# w8a8 base matmuls (config key int8_w8a8, requires lora_base_model_8bit):
+# int8 activations × int8 base kernel on the double-rate int8 MXU instead
+# of dequantizing to bf16.  LoRA rides the chain form on top (a merged
+# W+s·A·B would force the base back to bf16).  See ops/quant.py.
+_INT8_W8A8 = False
+
 
 def set_lora_merged_forward(enabled: bool) -> None:
     """Toggle the merged-LoRA forward globally (engine sets this from
     config; bench toggles it for A/B measurements)."""
     global _LORA_MERGED
     _LORA_MERGED = bool(enabled)
+
+
+def set_int8_w8a8(enabled: bool) -> None:
+    """Toggle int8×int8 MXU matmuls for int8-quantized base kernels
+    (engine sets this from the ``int8_w8a8`` config key)."""
+    global _INT8_W8A8
+    _INT8_W8A8 = bool(enabled)
 
 
 @jax.custom_vjp
@@ -128,9 +141,14 @@ class AdapterDense(nn.Module):
         lokr_w1 = _maybe(self, "adapters", "lokr_w1")
         fft_spectrum = _maybe(self, "adapters", "fft_spectrum")
 
+        base_mm = None                       # non-None: int8 MXU base matmul
         if kernel.dtype in (jnp.int8, jnp.int4):
             # quantized base (ops/quant.py): dequant fused into the matmul
             scale = self.get_variable("quant_scales", "kernel_scale")
+            if _INT8_W8A8 and kernel.dtype == jnp.int8:
+                from yat_tpu.ops.quant import w8a8_matmul
+                base_mm = lambda t, _q=kernel, _s=scale: (  # noqa: E731
+                    w8a8_matmul(t, _q, _s))
             w = (kernel.astype(jnp.float32) *
                  scale[None, :].astype(jnp.float32)).astype(dtype)
         else:
@@ -152,15 +170,16 @@ class AdapterDense(nn.Module):
                 w_eff = (dora_m.astype(jnp.float32)[None, :] *
                          merged.astype(jnp.float32) / (col_norm + 1e-8)).astype(dtype)
                 y = x @ w_eff
-            elif _LORA_MERGED and (dropout_rate is None or deterministic
-                                   or not self.has_rng("dropout")):
+            elif (_LORA_MERGED and base_mm is None
+                  and (dropout_rate is None or deterministic
+                       or not self.has_rng("dropout"))):
                 # merged forward: one plain matmul against W+s·AB, chain
                 # backward via custom VJP (no full dW_eff)
                 y = _lora_merged_matmul(x, w, lora_a.astype(dtype),
                                         lora_b.astype(dtype),
                                         scale.astype(dtype))
             else:
-                y = x @ w
+                y = base_mm(x) if base_mm is not None else x @ w
                 xa = x
                 if (dropout_rate is not None and not deterministic
                         and self.has_rng("dropout")):
@@ -195,7 +214,7 @@ class AdapterDense(nn.Module):
             delta = jnp.fft.ifft2(dense, norm="ortho").real
             y = x @ (w + alpha.astype(dtype) * delta.astype(dtype))
         else:
-            y = x @ w
+            y = base_mm(x) if base_mm is not None else x @ w
 
         if bias is not None:
             y = y + bias.astype(dtype)

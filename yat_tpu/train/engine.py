@@ -239,10 +239,12 @@ class Trainer:
         every entry point that can trigger a trace re-asserts them.
         Concurrent trainers in threads remain unsupported (same
         limitation as set_active_mesh)."""
-        from yat_tpu.models.layers import set_lora_merged_forward
+        from yat_tpu.models.layers import (set_int8_w8a8,
+                                           set_lora_merged_forward)
         from yat_tpu.parallel.mesh import set_active_mesh
         set_active_mesh(self.mesh)
         set_lora_merged_forward(self.params.lora_fused_matmul)
+        set_int8_w8a8(getattr(self.params, "int8_w8a8", False))
 
     def warmup_buckets(self, aspect_ratios, vae_compression: int,
                        latent_channels: int, caption_len: int,
