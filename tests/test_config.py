@@ -167,3 +167,22 @@ def test_in_channels_override_mirrors_out_channels():
     # PixArt opts out: learned-sigma keeps out = 2*in
     cfg3 = override_config(PIXART_SIGMA_XL2, {"in_channels": "4"})
     assert cfg3.out_channels == PIXART_SIGMA_XL2.out_channels
+
+
+def test_int8_w8a8_requires_8bit_base(tmp_path):
+    import pytest
+    from yat_tpu.config import ConfigError, TrainingParameters
+    base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "10",
+            "validation_prompts": []}
+    with pytest.raises(ConfigError):
+        TrainingParameters.from_dict({**base, "int8_w8a8": "1"})
+    with pytest.raises(ConfigError):
+        TrainingParameters.from_dict(
+            {**base, "int8_w8a8": "1", "lora_rank": "8", "lora_alpha": "8",
+             "lora_algo": "lora", "lora_target_modules": ["to_q"]})
+    p = TrainingParameters.from_dict(
+        {**base, "int8_w8a8": "1", "lora_rank": "8", "lora_alpha": "8",
+         "lora_algo": "lora", "lora_target_modules": ["to_q"],
+         "lora_base_model_8bit": "1"})
+    assert p.int8_w8a8 and p.lora_base_model_8bit

@@ -283,6 +283,9 @@ class TrainingParameters:
         p.use_adamw_8bit = ("use_adamw_8bit" in raw) or ("use_adamw_8bit " in raw)
 
         # adapters (reader :171-196)
+        if "int8_w8a8" in raw and "lora_rank" not in raw:
+            raise ConfigError("'int8_w8a8' requires an adapter block "
+                              "('lora_rank' + 'lora_base_model_8bit')")
         if "lora_rank" in raw:
             p.lora_pretrained = _as_str(raw, "lora_pretrained")
             if "lora_target_modules" not in raw:
