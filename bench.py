@@ -234,6 +234,10 @@ def measure(batch_size: int, remat: bool, warmup: int = 3,
             preset: str = "600M", num_layers: int = None,
             caption_len: int = None, int8_base: bool = False,
             w8a8: bool = False):
+    if w8a8 and not int8_base:
+        raise ValueError("w8a8=True requires int8_base=True — without a "
+                         "quantized base the flag benchmarks plain bf16 "
+                         "under the w8a8 label")
     if w8a8:
         from yat_tpu.models.layers import set_int8_w8a8
         set_int8_w8a8(True)

@@ -186,3 +186,26 @@ def test_int8_w8a8_requires_8bit_base(tmp_path):
          "lora_algo": "lora", "lora_target_modules": ["to_q"],
          "lora_base_model_8bit": "1"})
     assert p.int8_w8a8 and p.lora_base_model_8bit
+
+
+def test_int8_w8a8_rejects_silent_noop_combos():
+    """Combinations where the int8-MXU matmul would silently never engage
+    must fail validation (the whole point of the flag is the 2x MXU rate)."""
+    import pytest
+    from yat_tpu.config import ConfigError, TrainingParameters
+    base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "10",
+            "validation_prompts": [], "int8_w8a8": "1", "lora_rank": "8",
+            "lora_alpha": "8", "lora_target_modules": ["to_q"],
+            "lora_base_model_8bit": "1"}
+    # 4-bit takes precedence over 8-bit in the engine -> int4 kernels
+    with pytest.raises(ConfigError, match="lora_base_model_4bit"):
+        TrainingParameters.from_dict(
+            {**base, "lora_algo": "lora", "lora_base_model_4bit": "1"})
+    # non-plain-LoRA forwards never consult the base matmul
+    for algo in ("loha", "lokr", "fourierft"):
+        with pytest.raises(ConfigError, match="int8_w8a8"):
+            TrainingParameters.from_dict({**base, "lora_algo": algo})
+    with pytest.raises(ConfigError, match="DoRA"):
+        TrainingParameters.from_dict(
+            {**base, "lora_algo": "lora", "lora_use_dora": "1"})

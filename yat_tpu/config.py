@@ -312,6 +312,22 @@ class TrainingParameters:
                     f"unknown lora_algo {p.lora_algo!r}; expected one of {_VALID_LORA_ALGOS}")
             p.lora_use_rslora = "lora_use_rslora" in raw
             p.lora_use_dora = "lora_use_dora" in raw
+            if p.int8_w8a8:
+                # the int8-MXU base matmul only exists on the plain-LoRA
+                # int8 path; every other combination silently degrades to
+                # dequant-to-bf16, so refuse it up front
+                if p.lora_base_model_4bit:
+                    raise ConfigError(
+                        "'int8_w8a8' is incompatible with "
+                        "'lora_base_model_4bit' (4-bit takes precedence and "
+                        "the int8 MXU path would silently never activate)")
+                if p.lora_algo != "lora" or p.lora_use_dora:
+                    raise ConfigError(
+                        "'int8_w8a8' requires lora_algo 'lora' without DoRA "
+                        f"(got lora_algo={p.lora_algo!r}, "
+                        f"lora_use_dora={p.lora_use_dora}); the "
+                        "LoHa/LoKr/FourierFT/DoRA forwards never consult the "
+                        "int8 base matmul")
             p.dreambooth_lambda = _as_float(raw, "dreambooth_lambda", 1.0)
             p.dreambooth_num_regularisation_passes = _as_int(
                 raw, "dreambooth_num_regularisation_passes", 1)
