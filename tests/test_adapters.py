@@ -249,6 +249,42 @@ class TestPeftInterop:
         assert "lora_unet_output_blocks_7_0_emb_layers_1.alpha" in keys
         assert "lora_unet_time_embed_0.lora_down.weight" in keys
 
+    def test_comfyui_cli_from_exported_file(self, tmp_path):
+        """The file→file CLI (reference parity:
+        convert_sdxl_peft_to_comfyui.py runs on a saved safetensors) must
+        produce the same tensors as converting the in-memory tree, with
+        alpha derived from the yat_meta scale header."""
+        from yat_tpu.adapters.comfyui import (
+            convert_sdxl_adapters_to_comfyui, main)
+        from yat_tpu.adapters.io import save_adapter_safetensors
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((16, 4)).astype(np.float32)   # [in, r]
+        b = rng.standard_normal((4, 8)).astype(np.float32)    # [r, out]
+        ad = {"down_0_attn_0": {"transformer_blocks_0": {
+                  "attn1": {"to_q": {"lora_a": a, "lora_b": b}}}},
+              "up_1_resnet_0": {"time_emb_proj": {"lora_a": a,
+                                                  "lora_b": b}}}
+        meta = {"down_0_attn_0": {"transformer_blocks_0": {"attn1": {
+                    "to_q": {"lora_scale": np.float32(2.0)}}}},
+                "up_1_resnet_0": {"time_emb_proj": {
+                    "lora_scale": np.float32(2.0)}}}
+        src = tmp_path / "adapter_model.safetensors"
+        save_adapter_safetensors(str(src), ad, meta)
+
+        dst = tmp_path / "comfy.safetensors"
+        main([str(tmp_path), str(dst)])     # dir input, alpha from header
+
+        from safetensors.numpy import load_file
+        got = load_file(str(dst))
+        # alpha = scale * rank = 2.0 * 4; num_levels inferred = 2
+        want = convert_sdxl_adapters_to_comfyui(ad, {}, lora_alpha=8.0,
+                                                num_levels=2)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6,
+                                       err_msg=k)
+
 
 class TestMergedLoraForward:
     """The merged-LoRA forward (layers._lora_merged_matmul, default path

@@ -131,3 +131,95 @@ def export_comfyui_safetensors(path: str, adapters: Dict[str, Any],
                                                num_levels)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     save_file(tensors, path)
+
+
+# ---------------------------------------------------------------------------
+# File→file CLI, parity with the reference's standalone converter script
+# (/root/reference/utils/convert_sdxl_peft_to_comfyui.py is invoked on a
+# saved adapter safetensors, not an in-memory model).
+# ---------------------------------------------------------------------------
+
+_EXPORT_KEY = re.compile(
+    r"^base_model\.model\.(?P<module>.+)\.lora_(?P<ab>[AB])\.weight$")
+
+
+def load_exported_adapter_file(path: str):
+    """Read an ``adapter_model.safetensors`` written by
+    :func:`yat_tpu.adapters.io.save_adapter_safetensors` back into an
+    in-memory adapter tree (our layouts: lora_a [in, r], lora_b [r, out])
+    plus the per-module scale map from the ``yat_meta`` header."""
+    import json
+
+    from safetensors import safe_open
+
+    tree: Dict[str, Any] = {}
+    scales: Dict[str, float] = {}
+    with safe_open(path, framework="np") as f:
+        header = f.metadata() or {}
+        if "yat_meta" in header:
+            for k, v in json.loads(header["yat_meta"]).items():
+                if k.endswith(".lora_scale"):
+                    scales[k[: -len(".lora_scale")]] = float(v)
+        for key in f.keys():
+            m = _EXPORT_KEY.match(key)
+            if m is None:
+                continue
+            arr = f.get_tensor(key)      # torch layout [out, in]-style
+            leaf = "lora_a" if m.group("ab") == "A" else "lora_b"
+            node = tree
+            for part in m.group("module").split("."):
+                node = node.setdefault(part, {})
+            node[leaf] = np.ascontiguousarray(np.asarray(arr).T)
+    if not tree:
+        raise ValueError(
+            f"{path} contains no 'base_model.model.*.lora_A/B.weight' keys "
+            "— expected an adapter file exported by this framework")
+    return tree, scales
+
+
+def _infer_num_levels(tree: Dict[str, Any]) -> int:
+    levels = [int(m.group(1)) for head in tree
+              for m in (_DOWN.match(head), _UP.match(head),
+                        _DOWN_RES.match(head), _UP_RES.match(head))
+              if m is not None]
+    return max(levels) + 1 if levels else 3
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert an exported SDXL LoRA adapter safetensors to "
+                    "ComfyUI/Kohya lora_unet_* naming")
+    p.add_argument("input", help="adapter_model.safetensors (or its dir)")
+    p.add_argument("output", help="output .safetensors path")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="per-module alpha tensor value; default derives "
+                        "alpha = lora_scale * rank from the file header")
+    args = p.parse_args(argv)
+
+    in_path = args.input
+    if os.path.isdir(in_path):
+        in_path = os.path.join(in_path, "adapter_model.safetensors")
+    tree, scales = load_exported_adapter_file(in_path)
+
+    alpha = args.alpha
+    if alpha is None:
+        # every module shares one (scale, rank) in configs produced by this
+        # framework; derive alpha from the first adapted module
+        first_mod, scale = next(iter(scales.items()), (None, None))
+        if scale is None:
+            raise SystemExit(
+                "no yat_meta scale header in the file — pass --alpha")
+        node = tree
+        for part in first_mod.split("."):
+            node = node[part]
+        alpha = scale * node["lora_a"].shape[1]
+
+    export_comfyui_safetensors(args.output, tree, {}, float(alpha),
+                               num_levels=_infer_num_levels(tree))
+    print(f"wrote {args.output} (alpha={alpha})")
+
+
+if __name__ == "__main__":
+    main()
