@@ -188,6 +188,38 @@ def test_int8_w8a8_requires_8bit_base(tmp_path):
     assert p.int8_w8a8 and p.lora_base_model_8bit
 
 
+def test_unknown_keys_warn_and_known_set_matches_source(capsys):
+    """A typo'd key must produce a visible warning (the reference silently
+    ignores it), and _KNOWN_KEYS must stay in sync with every raw-dict
+    access in config.py (self-check by re-grepping the source)."""
+    import re
+
+    import yat_tpu.config as cfg_mod
+    from yat_tpu.config import TrainingParameters, _KNOWN_KEYS
+
+    base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "10",
+            "validation_prompts": []}
+    TrainingParameters.from_dict(base)
+    assert "unknown key" not in capsys.readouterr().err
+    TrainingParameters.from_dict({**base, "lora_dropuot": "0.1"})
+    err = capsys.readouterr().err
+    assert "unknown key" in err and "lora_dropuot" in err
+
+    src = open(cfg_mod.__file__).read()
+    # strip the _KNOWN_KEYS literal itself, then collect accessed keys
+    src_body = re.sub(r"_KNOWN_KEYS = frozenset\(\{.*?\}\)", "", src,
+                      flags=re.S)
+    accessed = set()
+    for pat in (r'_as_(?:int|float|str)\(\s*raw,\s*"([a-z0-9_ ]+)"',
+                r'raw\["([a-z0-9_ ]+)"\]',
+                r'"([a-z0-9_ ]+)" (?:not )?in raw',
+                r'raw\.get\("([a-z0-9_ ]+)"'):
+        accessed |= set(re.findall(pat, src_body))
+    missing = accessed - _KNOWN_KEYS
+    assert not missing, f"keys read by from_dict but not in _KNOWN_KEYS: {missing}"
+
+
 def test_int8_w8a8_rejects_silent_noop_combos():
     """Combinations where the int8-MXU matmul would silently never engage
     must fail validation (the whole point of the flag is the 2x MXU rate)."""

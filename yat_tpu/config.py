@@ -35,6 +35,41 @@ _PRESENCE_KEYS = frozenset({
 
 _VALID_LORA_ALGOS = ("lora", "loha", "lokr", "fourierft", "full")
 
+# Every YAML key ``from_dict`` consumes (the reference reader's surface +
+# the TPU extensions).  Unknown keys WARN rather than error — the reference
+# silently ignores extras, but a typo'd key silently disabling a feature is
+# exactly the failure mode this repo guards against elsewhere (tokenizer,
+# backbone, int8_w8a8).  tests/test_config.py self-checks this set against
+# the raw-dict accesses in this file.
+_KNOWN_KEYS = frozenset({
+    "aspect_ratio", "batch_size", "bfloat16", "bucket_repeat", "cache_size",
+    "caption_length_bucketing", "checkpoint_dir", "compute_features",
+    "cyclic_lr_max_lr", "cyclic_lr_mode", "cyclic_lr_step_size_down",
+    "cyclic_lr_step_size_up", "cylic_lr_mode", "dataset_seed",
+    "dreambooth_class", "dreambooth_dataset_folder", "dreambooth_instance",
+    "dreambooth_lambda", "dreambooth_num_regularisation_passes",
+    "dreambooth_num_repeats", "dreambooth_regularization_folder",
+    "dual_gpu", "ema_decay", "exploration_steps", "extract_features",
+    "fourierft_alpha", "fourierft_n_frequency",
+    "gradient_accumulation_steps", "huggingface_dataset_repo", "int8_w8a8",
+    "learning_rate", "local_shard_paths", "lora_algo", "lora_alpha",
+    "lora_base_model_4bit", "lora_base_model_8bit", "lora_bias",
+    "lora_dropout", "lora_fused_matmul", "lora_pretrained", "lora_rank",
+    "lora_target_modules", "lora_use_dora", "lora_use_rslora", "low_vram",
+    "max_grad_norm", "mesh_shape", "model_config_overrides", "model_family",
+    "num_shards", "num_steps_per_validation", "output_dir", "output_repo",
+    "preservation_ratio", "pretrained_model_path", "pretrained_pipe_path",
+    "pretrained_pipe_single_file", "profile_dir", "r2_access_key",
+    "r2_bucket_name", "r2_dataset_folder", "r2_endpoint", "r2_secret_key",
+    "r2_tar_files", "r2_upload_key", "r2_upload_shard_size", "repa_lambda",
+    "repa_pretrained_model", "repa_target_modules", "resume",
+    "save_to_disk", "steps", "text_encoder_max_batch_size", "timesteps",
+    "train_unconditional_prob", "unfreeze_modules", "url_probs", "urls",
+    "use_adamw_8bit", "use_adamw_8bit ", "use_calculated_features",
+    "use_ema", "use_preservation", "use_repa", "vae_max_batch_size",
+    "validation_prompts", "warmup_compile", "warmup_steps", "weight_decay",
+})
+
 
 class ConfigError(ValueError):
     """Raised when the YAML config fails validation."""
@@ -202,6 +237,14 @@ class TrainingParameters:
     @classmethod
     def from_dict(cls, raw: dict) -> "TrainingParameters":
         p = cls()
+
+        unknown = sorted(set(raw) - _KNOWN_KEYS)
+        if unknown:
+            import sys
+            print(f"[config] WARNING: ignoring unknown key(s) {unknown} — "
+                  "check for typos (known keys are the reference YAML "
+                  "surface plus the TPU extensions in yat_tpu/config.py)",
+                  file=sys.stderr)
 
         # object store (reader :66-74)
         if "r2_endpoint" in raw:
