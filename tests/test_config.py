@@ -188,6 +188,23 @@ def test_int8_w8a8_requires_8bit_base(tmp_path):
     assert p.int8_w8a8 and p.lora_base_model_8bit
 
 
+def test_example_configs_parse_clean(capsys):
+    """Every shipped example config must validate and must not trip the
+    unknown-key warning (keeps configs/ honest as the surface evolves)."""
+    import glob
+    import os
+
+    from yat_tpu.config import TrainingParameters
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 9
+    for path in paths:
+        TrainingParameters.read_yaml(path)
+        err = capsys.readouterr().err
+        assert "unknown key" not in err, f"{path}: {err}"
+
+
 def test_unknown_keys_warn_and_known_set_matches_source(capsys):
     """A typo'd key must produce a visible warning (the reference silently
     ignores it), and _KNOWN_KEYS must stay in sync with every raw-dict
