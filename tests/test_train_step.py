@@ -197,6 +197,55 @@ def test_fsdp_param_sharding(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_fsdp_sharded_int8_base_w8a8_step(setup):
+    """int8-quantized base (+ scales collection) under fsdp sharding with
+    the w8a8 int8-MXU matmul path on: GSPMD must partition int8 kernels
+    and per-channel scales consistently and the step must train the
+    adapters (finite loss, lora_b grads flow)."""
+    from yat_tpu.models.layers import set_int8_w8a8
+    from yat_tpu.ops.quant import quantize_params
+
+    model, variables, batch = setup
+    mesh = create_mesh({"dp": 2, "fsdp": 4})
+    params = tiny_params(**{
+        "lora_rank": "4", "lora_alpha": "4", "lora_algo": "lora",
+        "lora_target_modules": ["to_q", "to_k", "to_v", "to_out"],
+        "lora_base_model_8bit": "1", "int8_w8a8": "1"})
+    tx = make_optimizer(params)
+    qparams, scales = quantize_params(variables["params"], bits=8,
+                                      min_size=256)
+    assert any(np.asarray(v).dtype == np.int8
+               for v in jax.tree.leaves(qparams))
+    adapters, meta = build_adapter_params(
+        variables, AdapterSpec("lora", rank=4, alpha=4,
+                               target_modules=["to_q", "to_k", "to_v",
+                                               "to_out"]),
+        jax.random.PRNGKey(2))
+    state = create_train_state(qparams, tx, adapters=adapters,
+                               adapters_meta=meta, quant_scales=scales)
+    state = shard_pytree(state, mesh)
+    batch_sharded = jax.device_put(batch, batch_sharding(mesh))
+    sched = FlowMatchSchedule(shift=1.0)
+    step = make_train_step(task_loss=make_flow_matching_loss(model, sched),
+                           tx=tx, donate=False)
+    before = jax.tree.map(np.asarray, adapters)
+    set_int8_w8a8(True)
+    try:
+        state, metrics = step(state, batch_sharded, jax.random.PRNGKey(0))
+        state, metrics = step(state, batch_sharded, jax.random.PRNGKey(1))
+    finally:
+        set_int8_w8a8(False)
+    assert np.isfinite(float(metrics["loss"]))
+    # base stays int8 through the update (frozen)
+    assert any(np.asarray(v).dtype == np.int8
+               for v in jax.tree.leaves(state.params))
+    # adapters moved (after step 1, lora_b has signal so step 2 moves A too)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        state.adapters, before)
+    assert sum(jax.tree.leaves(deltas)) > 0
+
+
 def test_warmup_buckets_compiles_all_shapes(setup, tmp_path):
     """Per-bucket compile warmup leaves training state untouched."""
     import numpy as np
