@@ -213,6 +213,167 @@ def sd35_medium_inventory():
     return inv
 
 
+# ---------------------------------------------------------------------------
+# SD1.5 / SDXL-base UNets (runwayml/stable-diffusion-v1-5 unet/ and
+# stabilityai/stable-diffusion-xl-base-1.0 unet/) — inventories generated
+# from the published UNet2DConditionModel configs and the diffusers module
+# structure (get_down_block/get_up_block channel arithmetic), independent
+# of this repo's converter name rules.
+# ---------------------------------------------------------------------------
+
+def _unet_inventory(block_out, layers_per_block, tf_layers, cross_dim,
+                    linear_proj, addition_embed=False):
+    t_dim = block_out[0] * 4
+    inv = {
+        "conv_in.weight": (block_out[0], 4, 3, 3),
+        "conv_in.bias": (block_out[0],),
+        "time_embedding.linear_1.weight": (t_dim, block_out[0]),
+        "time_embedding.linear_1.bias": (t_dim,),
+        "time_embedding.linear_2.weight": (t_dim, t_dim),
+        "time_embedding.linear_2.bias": (t_dim,),
+        "conv_norm_out.weight": (block_out[0],),
+        "conv_norm_out.bias": (block_out[0],),
+        "conv_out.weight": (4, block_out[0], 3, 3),
+        "conv_out.bias": (4,),
+    }
+    if addition_embed:
+        # SDXL text_time: pooled 1280 + 6 ids x 256 = 2816
+        inv["add_embedding.linear_1.weight"] = (t_dim, 2816)
+        inv["add_embedding.linear_1.bias"] = (t_dim,)
+        inv["add_embedding.linear_2.weight"] = (t_dim, t_dim)
+        inv["add_embedding.linear_2.bias"] = (t_dim,)
+
+    def resnet(prefix, cin, cout):
+        inv[f"{prefix}.norm1.weight"] = (cin,)
+        inv[f"{prefix}.norm1.bias"] = (cin,)
+        inv[f"{prefix}.conv1.weight"] = (cout, cin, 3, 3)
+        inv[f"{prefix}.conv1.bias"] = (cout,)
+        inv[f"{prefix}.time_emb_proj.weight"] = (cout, t_dim)
+        inv[f"{prefix}.time_emb_proj.bias"] = (cout,)
+        inv[f"{prefix}.norm2.weight"] = (cout,)
+        inv[f"{prefix}.norm2.bias"] = (cout,)
+        inv[f"{prefix}.conv2.weight"] = (cout, cout, 3, 3)
+        inv[f"{prefix}.conv2.bias"] = (cout,)
+        if cin != cout:
+            inv[f"{prefix}.conv_shortcut.weight"] = (cout, cin, 1, 1)
+            inv[f"{prefix}.conv_shortcut.bias"] = (cout,)
+
+    def attention(prefix, ch, n_tf):
+        inv[f"{prefix}.norm.weight"] = (ch,)
+        inv[f"{prefix}.norm.bias"] = (ch,)
+        proj_shape = (ch, ch) if linear_proj else (ch, ch, 1, 1)
+        inv[f"{prefix}.proj_in.weight"] = proj_shape
+        inv[f"{prefix}.proj_in.bias"] = (ch,)
+        for t in range(n_tf):
+            tb = f"{prefix}.transformer_blocks.{t}"
+            for n in ("norm1", "norm2", "norm3"):
+                inv[f"{tb}.{n}.weight"] = (ch,)
+                inv[f"{tb}.{n}.bias"] = (ch,)
+            for n in ("to_q", "to_k", "to_v"):
+                inv[f"{tb}.attn1.{n}.weight"] = (ch, ch)
+            inv[f"{tb}.attn1.to_out.0.weight"] = (ch, ch)
+            inv[f"{tb}.attn1.to_out.0.bias"] = (ch,)
+            inv[f"{tb}.attn2.to_q.weight"] = (ch, ch)
+            inv[f"{tb}.attn2.to_k.weight"] = (ch, cross_dim)
+            inv[f"{tb}.attn2.to_v.weight"] = (ch, cross_dim)
+            inv[f"{tb}.attn2.to_out.0.weight"] = (ch, ch)
+            inv[f"{tb}.attn2.to_out.0.bias"] = (ch,)
+            inv[f"{tb}.ff.net.0.proj.weight"] = (8 * ch, ch)
+            inv[f"{tb}.ff.net.0.proj.bias"] = (8 * ch,)
+            inv[f"{tb}.ff.net.2.weight"] = (ch, 4 * ch)
+            inv[f"{tb}.ff.net.2.bias"] = (ch,)
+        inv[f"{prefix}.proj_out.weight"] = proj_shape
+        inv[f"{prefix}.proj_out.bias"] = (ch,)
+
+    n = len(block_out)
+    # down stack, recording the skip channels the up stack consumes
+    skips = [block_out[0]]
+    prev = block_out[0]
+    for level, ch in enumerate(block_out):
+        for j in range(layers_per_block):
+            resnet(f"down_blocks.{level}.resnets.{j}",
+                   prev if j == 0 else ch, ch)
+            if tf_layers[level] > 0:
+                attention(f"down_blocks.{level}.attentions.{j}", ch,
+                          tf_layers[level])
+            skips.append(ch)
+        prev = ch
+        if level < n - 1:
+            inv[f"down_blocks.{level}.downsamplers.0.conv.weight"] = \
+                (ch, ch, 3, 3)
+            inv[f"down_blocks.{level}.downsamplers.0.conv.bias"] = (ch,)
+            skips.append(ch)
+
+    mid_ch = block_out[-1]
+    resnet("mid_block.resnets.0", mid_ch, mid_ch)
+    resnet("mid_block.resnets.1", mid_ch, mid_ch)
+    attention("mid_block.attentions.0", mid_ch, max(1, tf_layers[-1]))
+
+    rev_out = list(reversed(block_out))
+    rev_tf = list(reversed(tf_layers))
+    prev = mid_ch
+    for i, ch in enumerate(rev_out):
+        for j in range(layers_per_block + 1):
+            skip = skips.pop()
+            resnet(f"up_blocks.{i}.resnets.{j}",
+                   (prev if j == 0 else ch) + skip, ch)
+            if rev_tf[i] > 0:
+                attention(f"up_blocks.{i}.attentions.{j}", ch, rev_tf[i])
+        prev = ch
+        if i < n - 1:
+            inv[f"up_blocks.{i}.upsamplers.0.conv.weight"] = (ch, ch, 3, 3)
+            inv[f"up_blocks.{i}.upsamplers.0.conv.bias"] = (ch,)
+    assert not skips
+    return inv
+
+
+def _unet_round_trip(cfg, inv, sdxl):
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert_unet import convert_unet
+    from yat_tpu.models.unet import UNet2DCondition
+
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    tree = convert_unet(sd, cfg.block_out_channels, cfg.layers_per_block,
+                        cfg.transformer_layers)
+    unconsumed = sorted(set(sd) - sd.consumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    model = UNet2DCondition(cfg=cfg, dtype=jnp.bfloat16)
+    kwargs = {}
+    if sdxl:
+        kwargs = dict(pooled_text=jnp.zeros((1, 1280), jnp.bfloat16),
+                      time_ids=jnp.zeros((1, 6), jnp.float32))
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, 32, 32, 4), jnp.bfloat16),
+            jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16),
+            jnp.zeros((1,)), jnp.ones((1, 77), jnp.int32), **kwargs),
+        jax.random.PRNGKey(0))
+    _assert_fills(tree, abstract["params"])
+
+
+def test_sd15_unet_inventory_round_trip():
+    from yat_tpu.models.unet import SD15_UNET
+
+    inv = _unet_inventory(block_out=(320, 640, 1280, 1280),
+                          layers_per_block=2, tf_layers=(1, 1, 1, 0),
+                          cross_dim=768, linear_proj=False)
+    _unet_round_trip(SD15_UNET, inv, sdxl=False)
+
+
+def test_sdxl_base_unet_inventory_round_trip():
+    from yat_tpu.models.unet import SDXL_UNET
+
+    inv = _unet_inventory(block_out=(320, 640, 1280),
+                          layers_per_block=2, tf_layers=(0, 2, 10),
+                          cross_dim=2048, linear_proj=True,
+                          addition_embed=True)
+    _unet_round_trip(SDXL_UNET, inv, sdxl=True)
+
+
 def test_sd35_medium_inventory_round_trip():
     import jax
     import jax.numpy as jnp
