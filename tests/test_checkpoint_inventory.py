@@ -141,6 +141,96 @@ def test_sana_600m_inventory_round_trip():
 
 
 # ---------------------------------------------------------------------------
+# Flux-2 Klein (black-forest-labs Flux2 distilled variant, transformer/) —
+# inventory from the diffusers FluxTransformer2DModel module structure at
+# Klein's published size (8 double + 16 single blocks, D=3072, 24x128
+# heads, text_dim 4096, guidance-embedded, no pooled-text embedder).
+# ---------------------------------------------------------------------------
+
+def flux_klein_inventory():
+    D, HD, TXT = 3072, 128, 4096
+    MLP = 4 * D
+    inv = {
+        "x_embedder.weight": (D, 64),
+        "x_embedder.bias": (D,),
+        "context_embedder.weight": (D, TXT),
+        "context_embedder.bias": (D,),
+        "time_text_embed.timestep_embedder.linear_1.weight": (D, 256),
+        "time_text_embed.timestep_embedder.linear_1.bias": (D,),
+        "time_text_embed.timestep_embedder.linear_2.weight": (D, D),
+        "time_text_embed.timestep_embedder.linear_2.bias": (D,),
+        "time_text_embed.guidance_embedder.linear_1.weight": (D, 256),
+        "time_text_embed.guidance_embedder.linear_1.bias": (D,),
+        "time_text_embed.guidance_embedder.linear_2.weight": (D, D),
+        "time_text_embed.guidance_embedder.linear_2.bias": (D,),
+        "norm_out.linear.weight": (2 * D, D),
+        "norm_out.linear.bias": (2 * D,),
+        "proj_out.weight": (64, D),
+        "proj_out.bias": (64,),
+    }
+    for i in range(8):
+        p = f"transformer_blocks.{i}"
+        inv[f"{p}.norm1.linear.weight"] = (6 * D, D)
+        inv[f"{p}.norm1.linear.bias"] = (6 * D,)
+        inv[f"{p}.norm1_context.linear.weight"] = (6 * D, D)
+        inv[f"{p}.norm1_context.linear.bias"] = (6 * D,)
+        for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj", "to_out.0", "to_add_out"):
+            inv[f"{p}.attn.{n}.weight"] = (D, D)
+            inv[f"{p}.attn.{n}.bias"] = (D,)
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            inv[f"{p}.attn.{n}.weight"] = (HD,)
+        for ff in ("ff", "ff_context"):
+            inv[f"{p}.{ff}.net.0.proj.weight"] = (MLP, D)
+            inv[f"{p}.{ff}.net.0.proj.bias"] = (MLP,)
+            inv[f"{p}.{ff}.net.2.weight"] = (D, MLP)
+            inv[f"{p}.{ff}.net.2.bias"] = (D,)
+    for i in range(16):
+        p = f"single_transformer_blocks.{i}"
+        inv[f"{p}.norm.linear.weight"] = (3 * D, D)
+        inv[f"{p}.norm.linear.bias"] = (3 * D,)
+        for n in ("to_q", "to_k", "to_v"):
+            inv[f"{p}.attn.{n}.weight"] = (D, D)
+            inv[f"{p}.attn.{n}.bias"] = (D,)
+        inv[f"{p}.attn.norm_q.weight"] = (HD,)
+        inv[f"{p}.attn.norm_k.weight"] = (HD,)
+        inv[f"{p}.proj_mlp.weight"] = (MLP, D)
+        inv[f"{p}.proj_mlp.bias"] = (MLP,)
+        inv[f"{p}.proj_out.weight"] = (D, D + MLP)
+        inv[f"{p}.proj_out.bias"] = (D,)
+    return inv
+
+
+def test_flux_klein_inventory_round_trip():
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert_dit import convert_flux
+    from yat_tpu.models.flux import FLUX2_KLEIN, FluxTransformer
+
+    inv = flux_klein_inventory()
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    tree = convert_flux(sd, num_double=8, num_single=16)
+
+    unconsumed = sorted(set(sd) - sd.consumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    cfg = FLUX2_KLEIN
+    model = FluxTransformer(cfg=cfg, dtype=jnp.bfloat16)
+    n_img, n_txt = 64, 16
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, n_img, cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1, n_txt, cfg.text_dim), jnp.bfloat16),
+            jnp.zeros((1,)), jnp.zeros((n_img, 3), jnp.int32),
+            jnp.zeros((n_txt, 3), jnp.int32),
+            guidance=jnp.ones((1,))),
+        jax.random.PRNGKey(0))
+    _assert_fills(tree, abstract["params"])
+
+
+# ---------------------------------------------------------------------------
 # SD3.5-medium (stabilityai/stable-diffusion-3.5-medium, transformer/)
 # ---------------------------------------------------------------------------
 
