@@ -1,0 +1,115 @@
+"""Resume data fast-forward: a resumed run must continue the deterministic
+data stream where the checkpointed run stopped (the reference persists no
+data position — trainer.py:86 restarts both global_step and the stream)."""
+
+import numpy as np
+
+from yat_tpu.data.sampler import Batch, FeatureBucketSampler, LocalShardSource
+from yat_tpu.data.tar import TarShardWriter
+
+
+def _write_shard(path, n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    with TarShardWriter(str(path)) as w:
+        for i in range(n):
+            w.write({"__key__": f"{i:06d}", "ratio": "1.0",
+                     "latent.npy": rng.standard_normal((4, 4, 4),
+                                                       np.float32)
+                     .astype(np.float32),
+                     "emb.npy": rng.standard_normal((5, 8), np.float32)})
+    return str(path)
+
+
+def _sampler(shard, seed=3):
+    return FeatureBucketSampler(LocalShardSource([shard], seed=seed),
+                                batch_size=4, max_caption_len=8,
+                                shuffle_buffer=8, seed=seed)
+
+
+def test_generic_fastforward_resumes_stream_position(tmp_path):
+    """Engine._fastforward_data over a feature sampler lands on exactly the
+    batch a continuous run would see next."""
+    from yat_tpu.train.engine import Trainer
+
+    shard = _write_shard(tmp_path / "s.tar")
+
+    # continuous run: drain 5, remember batches 6-7
+    it = iter(_sampler(shard))
+    for _ in range(5):
+        next(it)
+    want = [next(it).latents for _ in range(2)]
+
+    # resumed run: fresh objects, fast-forward 5
+    t = Trainer.__new__(Trainer)
+    t.sampler = _sampler(shard)
+    it2 = t._fastforward_data(5)
+    got = [next(it2).latents for _ in range(2)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_skip_batches_is_encode_free():
+    from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+
+    def image_batches():
+        for i in range(6):
+            yield Batch(ratio="1.0",
+                        images=np.full((2, 8, 8, 3), i, np.uint8),
+                        captions=[f"c{i}", f"c{i}"])
+
+    calls = []
+
+    def encode_images(imgs):
+        calls.append(int(imgs[0, 0, 0, 0]))
+        return np.zeros((len(imgs), 2, 2, 4), np.float32)
+
+    def encode_captions(caps):
+        return [np.zeros((3, 8), np.float32) for _ in caps]
+
+    class Imgs:
+        def __iter__(self):
+            return image_batches()
+
+    enc = OnTheFlyEncodingSampler(Imgs(), encode_images, encode_captions,
+                                  max_caption_len=8)
+    cache = FeatureCache(enc, cache_size=4)
+    cache.skip_batches(3)          # delegated, encode-free
+    out = [b for b in cache]
+    assert calls == [3, 4, 5], f"encoder ran on skipped batches: {calls}"
+    assert len(out) == 3
+
+
+def test_skip_batches_partial_repeat():
+    from yat_tpu.train.encode import OnTheFlyEncodingSampler
+
+    def image_batches():
+        for i in range(3):
+            yield Batch(ratio="1.0",
+                        images=np.full((1, 4, 4, 3), i, np.uint8),
+                        captions=[f"c{i}"])
+
+    class Imgs:
+        def __iter__(self):
+            return image_batches()
+
+    enc = OnTheFlyEncodingSampler(
+        Imgs(),
+        lambda im: np.full((len(im), 2, 2, 4), float(im[0, 0, 0, 0]),
+                           np.float32),
+        lambda caps: [np.zeros((3, 8), np.float32) for _ in caps],
+        max_caption_len=8, repeat=2)
+    # continuous stream: b0,b0,b1,b1,b2,b2 — skip 3 → expect b1,b2,b2
+    enc.skip_batches(3)
+    got = [int(b.latents[0, 0, 0, 0]) for b in enc]
+    assert got == [1, 2, 2], got
+
+
+def test_config_key_parses():
+    from yat_tpu.config import TrainingParameters
+    base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "10",
+            "validation_prompts": []}
+    assert TrainingParameters.from_dict(base).resume_data_fastforward
+    p = TrainingParameters.from_dict(
+        {**base, "resume_data_fastforward": "false"})
+    assert not p.resume_data_fastforward

@@ -63,6 +63,7 @@ _KNOWN_KEYS = frozenset({
     "r2_bucket_name", "r2_dataset_folder", "r2_endpoint", "r2_secret_key",
     "r2_tar_files", "r2_upload_key", "r2_upload_shard_size", "repa_lambda",
     "repa_pretrained_model", "repa_target_modules", "resume",
+    "resume_data_fastforward",
     "save_to_disk", "steps", "text_encoder_max_batch_size", "timesteps",
     "train_unconditional_prob", "unfreeze_modules", "url_probs", "urls",
     "use_adamw_8bit", "use_adamw_8bit ", "use_calculated_features",
@@ -221,6 +222,11 @@ class TrainingParameters:
     mesh_shape: Optional[dict] = None       # e.g. {'dp': 8} or {'dp': 2, 'fsdp': 4}
     checkpoint_dir: Optional[str] = None    # orbax full-state checkpoints
     resume: bool = False                    # resume full train state
+    # on resume, skip the batches the checkpointed run already consumed so
+    # the deterministic data stream continues where it stopped (the
+    # reference persists no data position at all — trainer.py:86 restarts
+    # global_step AND the stream)
+    resume_data_fastforward: bool = True
     profile_dir: Optional[str] = None       # jax.profiler trace output
     model_family: Optional[str] = None      # sana/pixart/sd15/sdxl/sd35/flux/pixeldit
     model_config_overrides: dict = field(default_factory=dict)
@@ -411,6 +417,10 @@ class TrainingParameters:
         if "lora_fused_matmul" in raw:
             p.lora_fused_matmul = str(
                 raw["lora_fused_matmul"]).lower() not in ("0", "false", "no")
+        if "resume_data_fastforward" in raw:
+            p.resume_data_fastforward = str(
+                raw["resume_data_fastforward"]).lower() not in (
+                    "0", "false", "no")
         p.unfreeze_modules = raw.get("unfreeze_modules")
         if isinstance(p.unfreeze_modules, str):
             p.unfreeze_modules = [p.unfreeze_modules]

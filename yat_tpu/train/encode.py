@@ -59,6 +59,8 @@ class OnTheFlyEncodingSampler:
         # re-serves cached feature batches, bucket_sampler_cache.py:115);
         # repeating raw images upstream would re-run the VAE/TE N times
         self.repeat = max(1, int(repeat))
+        self._resume_iter = None       # set by skip_batches
+        self._resume_partial = 0
 
     def _encode_batch(self, batch: Batch) -> Batch:
         images, captions = batch.images, batch.captions
@@ -85,11 +87,41 @@ class OnTheFlyEncodingSampler:
             out.pooled_text = np.asarray(self.encode_pooled(captions))
         return out
 
+    def skip_batches(self, n: int) -> None:
+        """Encode-free resume fast-forward: advance the raw image stream
+        past the batches a previous run already consumed WITHOUT running
+        the VAE/TE (the engine's generic fallback would re-encode every
+        skipped batch).  Encoded output is 1:1 with image batches times
+        ``repeat``; a partial-repeat boundary re-encodes one image batch
+        and yields only its remaining repeats."""
+        it = self._resume_iter
+        if it is None:
+            it = iter(self.image_sampler)
+        k, r = divmod(int(n), self.repeat)
+        try:
+            for _ in range(k):
+                next(it)
+        except StopIteration:
+            raise RuntimeError(
+                f"image stream exhausted after skipping fewer than {n} "
+                "batches — the dataset shrank since the checkpoint was "
+                "written (disable resume_data_fastforward to start the "
+                "stream over)") from None
+        self._resume_iter = it
+        self._resume_partial = r
+
     def __iter__(self) -> Iterator[Batch]:
-        for batch in self.image_sampler:
+        it = self._resume_iter
+        partial = getattr(self, "_resume_partial", 0)
+        self._resume_iter = None
+        self._resume_partial = 0
+        if it is None:
+            it = iter(self.image_sampler)
+        for batch in it:
             encoded = self._encode_batch(batch)
-            for _ in range(self.repeat):
+            for _ in range(self.repeat - partial):
                 yield encoded
+            partial = 0
 
     def stop(self):
         stop = getattr(self.image_sampler, "stop", None)
@@ -173,6 +205,18 @@ class FeatureCache:
             self.q.put(self._END)
         except Exception as e:  # noqa: BLE001
             self.q.put(e)
+
+    def skip_batches(self, n: int) -> None:
+        """Resume fast-forward, delegated to the encoding sampler so the
+        skip stays encode-free.  Must run before iteration starts (the
+        worker thread consumes the underlying stream)."""
+        if self._started:
+            raise RuntimeError("skip_batches must be called before "
+                               "iteration starts")
+        skip = getattr(self.sampler, "skip_batches", None)
+        if skip is None:
+            raise TypeError("underlying sampler has no skip_batches")
+        skip(n)
 
     def stop(self):
         self._stop.set()

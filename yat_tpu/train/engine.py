@@ -324,7 +324,11 @@ class Trainer:
 
         self._maybe_warmup()
 
-        rng = jax.random.PRNGKey(params.dataset_seed + 1)
+        # fold the start step into the noise/dropout key stream so a
+        # resumed run draws FRESH keys instead of replaying the sequence
+        # the checkpointed run already consumed
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(params.dataset_seed + 1), self.global_step)
         accum = params.gradient_accumulation_steps
         micro = 0
         pending_metrics = None
@@ -333,7 +337,11 @@ class Trainer:
         t_last = t_start
         profiling = False
 
-        sampler_iter = iter(self.sampler)
+        sampler_iter = None
+        if self.global_step > 0 and params.resume_data_fastforward:
+            sampler_iter = self._fastforward_data(self.global_step * accum)
+        if sampler_iter is None:
+            sampler_iter = iter(self.sampler)
         try:
             self._run_loop(sampler_iter, rng, accum, micro, pending_metrics,
                            t_start, t_last, profiling)
@@ -347,6 +355,47 @@ class Trainer:
             # trainers in the same process
             from yat_tpu.parallel.mesh import set_active_mesh
             set_active_mesh(None)
+
+    def _fastforward_data(self, n_batches: int):
+        """Resume the DATA position, not just the train state: the samplers
+        replay a deterministic stream (shared-seed shuffle + bucket drain),
+        so skipping the batches consumed before the checkpoint continues
+        training on unseen data — position state the reference never
+        persists (trainer.py:86 restarts the stream with global_step).
+
+        Encode-path samplers expose ``skip_batches`` (encode-free); anything
+        else is drained generically.  Opt out with
+        ``resume_data_fastforward: false``."""
+        t0 = time.monotonic()
+        skip = getattr(self.sampler, "skip_batches", None)
+        if skip is not None:
+            try:
+                skip(n_batches)
+                print(f"[engine] data fast-forward: skipped {n_batches} "
+                      f"batches (encode-free) in "
+                      f"{time.monotonic() - t0:.1f}s")
+                return iter(self.sampler)
+            except TypeError:
+                pass         # wrapper without underlying skip support
+        it = iter(self.sampler)
+        done, dry = 0, 0
+        while done < n_batches:
+            try:
+                next(it)
+                done += 1
+                dry = 0
+            except StopIteration:
+                dry += 1
+                if dry >= 2:
+                    raise RuntimeError(
+                        f"data fast-forward stalled at {done}/{n_batches} "
+                        "batches — the dataset no longer yields what the "
+                        "checkpointed run consumed (disable "
+                        "resume_data_fastforward to start the stream over)")
+                it = iter(self.sampler)
+        print(f"[engine] data fast-forward: skipped {n_batches} batches in "
+              f"{time.monotonic() - t0:.1f}s")
+        return it
 
     def _held_buckets(self):
         """Dig partial-bucket state out of the (possibly wrapped) sampler
