@@ -104,6 +104,45 @@ def test_skip_batches_partial_repeat():
     assert got == [1, 2, 2], got
 
 
+def test_engine_resume_fastforwards_and_continues(tmp_path, capsys):
+    """Full path: train 2 steps with checkpoint_dir, then a fresh trainer
+    with resume restores step 2, fast-forwards the stream, and finishes
+    the remaining steps."""
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.sana import make_trainer
+
+    shard = _write_shard(tmp_path / "s.tar", n=16)
+    overrides = {"hidden_dim": "32", "num_layers": "1",
+                 "num_attention_heads": "2", "attention_head_dim": "16",
+                 "caption_channels": "8", "max_caption_len": "8",
+                 "mlp_ratio": "1.0", "num_cross_attention_heads": "2",
+                 "cross_attention_head_dim": "16", "in_channels": "4",
+                 "out_channels": "4", "sample_size": "4"}
+    def params(steps):
+        return TrainingParameters.from_dict(dict(
+            local_shard_paths=[shard], batch_size="4",
+            learning_rate="1e-3", steps=str(steps),
+            num_steps_per_validation="100", validation_prompts=[],
+            output_dir=str(tmp_path / "models"),
+            mesh_shape={"dp": "2"},
+            checkpoint_dir=str(tmp_path / "ckpt"), resume="1",
+            model_config_overrides=overrides))
+
+    t1 = make_trainer(params(2))
+    t1.run()
+    assert t1.global_step == 2
+    t1.save_checkpoint()
+    from yat_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints(str(tmp_path / "ckpt"))
+
+    t2 = make_trainer(params(4))
+    t2.run()
+    out = capsys.readouterr().out
+    assert t2.global_step == 4
+    assert "resumed from step 2" in out
+    assert "data fast-forward: skipped 2 batches" in out
+
+
 def test_config_key_parses():
     from yat_tpu.config import TrainingParameters
     base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
