@@ -141,6 +141,76 @@ def test_sana_600m_inventory_round_trip():
 
 
 # ---------------------------------------------------------------------------
+# PixArt-Sigma XL-2 (PixArt-alpha/PixArt-Sigma-XL-2-512-MS, transformer/) —
+# inventory from the published config (28 layers, D=1152, 16x72 heads,
+# caption_channels 4096, mlp_ratio 4, patch 2, learned sigma out 8) and the
+# diffusers PixArtTransformer2DModel module structure.
+# ---------------------------------------------------------------------------
+
+def pixart_sigma_inventory():
+    D, L, CAP = 1152, 28, 4096
+    FF = 4 * D
+    inv = {
+        "pos_embed.proj.weight": (D, 4, 2, 2),
+        "pos_embed.proj.bias": (D,),
+        "adaln_single.emb.timestep_embedder.linear_1.weight": (D, 256),
+        "adaln_single.emb.timestep_embedder.linear_1.bias": (D,),
+        "adaln_single.emb.timestep_embedder.linear_2.weight": (D, D),
+        "adaln_single.emb.timestep_embedder.linear_2.bias": (D,),
+        "adaln_single.linear.weight": (6 * D, D),
+        "adaln_single.linear.bias": (6 * D,),
+        "caption_projection.linear_1.weight": (D, CAP),
+        "caption_projection.linear_1.bias": (D,),
+        "caption_projection.linear_2.weight": (D, D),
+        "caption_projection.linear_2.bias": (D,),
+        "scale_shift_table": (2, D),
+        "proj_out.weight": (2 * 2 * 8, D),
+        "proj_out.bias": (2 * 2 * 8,),
+    }
+    for i in range(L):
+        p = f"transformer_blocks.{i}"
+        inv[f"{p}.scale_shift_table"] = (6, D)
+        for attn in ("attn1", "attn2"):
+            for n in ("to_q", "to_k", "to_v"):
+                inv[f"{p}.{attn}.{n}.weight"] = (D, D)
+                inv[f"{p}.{attn}.{n}.bias"] = (D,)
+            inv[f"{p}.{attn}.to_out.0.weight"] = (D, D)
+            inv[f"{p}.{attn}.to_out.0.bias"] = (D,)
+        inv[f"{p}.ff.net.0.proj.weight"] = (FF, D)
+        inv[f"{p}.ff.net.0.proj.bias"] = (FF,)
+        inv[f"{p}.ff.net.2.weight"] = (D, FF)
+        inv[f"{p}.ff.net.2.bias"] = (D,)
+    return inv
+
+
+def test_pixart_sigma_inventory_round_trip():
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert_dit import convert_pixart
+    from yat_tpu.models.pixart import PIXART_SIGMA_XL2, PixArtTransformer2D
+
+    inv = pixart_sigma_inventory()
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    tree = convert_pixart(sd, num_layers=28)
+
+    unconsumed = sorted(set(sd) - sd.consumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    cfg = PIXART_SIGMA_XL2
+    model = PixArtTransformer2D(cfg=cfg, dtype=jnp.bfloat16)
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, 16, 16, cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels),
+                      jnp.bfloat16),
+            jnp.zeros((1,)), jnp.ones((1, cfg.max_caption_len), jnp.int32)),
+        jax.random.PRNGKey(0))
+    _assert_fills(tree, abstract["params"])
+
+
+# ---------------------------------------------------------------------------
 # Flux-2 Klein (black-forest-labs Flux2 distilled variant, transformer/) —
 # inventory from the diffusers FluxTransformer2DModel module structure at
 # Klein's published size (8 double + 16 single blocks, D=3072, 24x128
