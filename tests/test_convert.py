@@ -56,6 +56,41 @@ def test_clip_text_parity():
                                atol=2e-4, rtol=2e-3)
 
 
+def test_clip_with_projection_parity():
+    """CLIPTextModelWithProjection (SDXL TE2, SD3.5 TE1/TE2): the pooled
+    output must go through the learned bias-free text_projection — the
+    pretrained add_embedding/pooled conditioning was trained on PROJECTED
+    vectors."""
+    from transformers import (CLIPTextConfig as HFCfg,
+                              CLIPTextModelWithProjection as HFModel)
+
+    from yat_tpu.models.text_encoders import CLIPTextConfig, CLIPTextModel
+
+    hf_cfg = HFCfg(vocab_size=99, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=2,
+                   max_position_embeddings=16, hidden_act="gelu",
+                   projection_dim=24, eos_token_id=98, bos_token_id=97)
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+
+    ids = torch.tensor([[5, 9, 13, 98, 1, 1, 1, 1]])
+    with torch.no_grad():
+        hf_out = hf(ids)
+    hf_proj = hf_out.text_embeds.numpy()
+
+    cfg = CLIPTextConfig(vocab_size=99, hidden_dim=32, num_layers=2,
+                         num_heads=2, mlp_ratio=2.0, max_length=16,
+                         act="gelu", projection_dim=24)
+    m = CLIPTextModel(cfg=cfg, dtype=jnp.float32)
+    init = m.init(jax.random.PRNGKey(0), jnp.asarray(ids.numpy()))
+    converted = convert_clip_text(torch_sd_to_numpy(hf), num_layers=2)
+    params = merge_into(init["params"], converted)
+    _, pooled = m.apply({"params": params}, jnp.asarray(ids.numpy()))
+    assert pooled.shape == (1, 24)
+    np.testing.assert_allclose(np.asarray(pooled), hf_proj,
+                               atol=2e-4, rtol=2e-3)
+
+
 def test_t5_encoder_parity():
     from transformers import T5Config as HFCfg, T5EncoderModel as HFModel
     from yat_tpu.models.text_encoders import T5Config, T5Encoder

@@ -383,7 +383,8 @@ def override_config(cfg, overrides: dict, mirror_out_channels: bool = False):
 def build_clip_vae_encoders(params: TrainingParameters,
                             max_caption_len: int = 77,
                             compress: bool = True,
-                            include_vae: bool = True):
+                            include_vae: bool = True,
+                            clip_l_projection: bool = False):
     """CLIP-L + KL-VAE encoder callables for the SD1.5/SDXL frontends
     (extract_latents / extract_embeddings parity, train_sd15.py:52-78,
     incl. caption compression to fit CLIP-77 :66-78).
@@ -394,7 +395,7 @@ def build_clip_vae_encoders(params: TrainingParameters,
     import jax
 
     from yat_tpu.models.text_encoders import (
-        CLIP_L_14, CLIP_TINY_TEST, CLIPTextModel)
+        CLIP_L_14, CLIP_L_14_PROJ, CLIP_TINY_TEST, CLIPTextModel)
     from yat_tpu.models.vae import (
         KLVAE_SD15, KLVAE_TINY_TEST, AutoencoderKL)
     from yat_tpu.utils.compress_caption import compress_caption
@@ -403,8 +404,11 @@ def build_clip_vae_encoders(params: TrainingParameters,
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     vae = AutoencoderKL(cfg=KLVAE_TINY_TEST if tiny else KLVAE_SD15) \
         if include_vae else None
-    te = CLIPTextModel(cfg=CLIP_TINY_TEST if tiny else CLIP_L_14,
-                       dtype=jnp.float32)
+    # SD3.5's CLIP-L is CLIPTextModelWithProjection (pooled goes through a
+    # learned bias-free projection); SD1.5/SDXL TE1 is the plain model
+    te_cfg = CLIP_TINY_TEST if tiny else (
+        CLIP_L_14_PROJ if clip_l_projection else CLIP_L_14)
+    te = CLIPTextModel(cfg=te_cfg, dtype=jnp.float32)
     rng = jax.random.PRNGKey(params.dataset_seed)
     px = 16 if tiny else 256
     ml = min(max_caption_len, te.cfg.max_length)

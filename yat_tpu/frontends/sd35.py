@@ -40,7 +40,8 @@ def build_sd35_encoders(params: TrainingParameters, cfg):
     import numpy as np
 
     _, enc_clip_cap, enc_pool_g, _, enc_pool_l = build_sdxl_encoders(
-        params, return_pool_l=True, include_vae=False)
+        params, return_pool_l=True, include_vae=False,
+        clip_l_projection=True)
 
     def enc_pool(captions):
         return np.concatenate([enc_pool_l(list(captions)),

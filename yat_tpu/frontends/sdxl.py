@@ -33,7 +33,7 @@ def make_time_ids(bucket_hw, batch_size: int) -> np.ndarray:
 
 
 def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False,
-                        include_vae=True):
+                        include_vae=True, clip_l_projection=False):
     """Dual text encoders (CLIP-L hidden + CLIP-G penultimate, concatenated
     to 2048; pooled from CLIP-G) + KL-VAE — the SDXL prompt pipeline
     (train_sdxl.py:60-73).  ``return_pool_l`` appends the CLIP-L pooled
@@ -48,7 +48,8 @@ def build_sdxl_encoders(params: TrainingParameters, return_pool_l=False,
 
     # TE1 (+VAE) rides the shared CLIP-L builder
     enc_img, enc_cap1, enc_pool_l, dec = build_clip_vae_encoders(
-        params, CLIP_MAX_LEN, include_vae=include_vae)
+        params, CLIP_MAX_LEN, include_vae=include_vae,
+        clip_l_projection=clip_l_projection)
 
     tiny = bool(params.model_config_overrides.get("tiny_encoders"))
     import dataclasses

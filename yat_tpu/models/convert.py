@@ -101,6 +101,11 @@ def convert_clip_text(sd: Dict[str, np.ndarray],
         _linear(sd, f"{p}.mlp.fc1", tree, f"{q}.fc1")
         _linear(sd, f"{p}.mlp.fc2", tree, f"{q}.fc2")
     _norm(sd, f"{t}final_layer_norm", tree, "final_layer_norm")
+    # CLIPTextModelWithProjection (SDXL TE2, SD3.5 TE1/TE2): bias-free
+    # pooled projection, stored at the top level (outside text_model.)
+    if "text_projection.weight" in sd:
+        _set(tree, "text_projection.kernel",
+             np.ascontiguousarray(sd["text_projection.weight"].T))
     return tree
 
 

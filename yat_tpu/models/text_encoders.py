@@ -40,11 +40,20 @@ class CLIPTextConfig:
     act: str = "quick_gelu"
     # SDXL/SD3.5 take the penultimate layer's hidden states
     penultimate: bool = False
+    # CLIPTextModelWithProjection: pooled output goes through a learned
+    # bias-free projection (SDXL text_encoder_2, SD3.5 text_encoder/_2) —
+    # pretrained add_embedding / pooled conditioning was trained on the
+    # PROJECTED vectors, so omitting it feeds out-of-distribution pooled
+    # inputs to a pretrained backbone
+    projection_dim: Optional[int] = None
 
 
 CLIP_L_14 = CLIPTextConfig()
+# SD3.5's CLIP-L is the WithProjection variant; SD1.5/SDXL TE1 is plain
+CLIP_L_14_PROJ = CLIPTextConfig(projection_dim=768)
 CLIP_G_14 = CLIPTextConfig(hidden_dim=1280, num_layers=32, num_heads=20,
-                           act="gelu", penultimate=True)
+                           act="gelu", penultimate=True,
+                           projection_dim=1280)
 CLIP_TINY_TEST = CLIPTextConfig(vocab_size=256, hidden_dim=32, num_layers=2,
                                 num_heads=2, max_length=16)
 
@@ -109,6 +118,10 @@ class CLIPTextModel(nn.Module):
         final = LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         eot = jnp.argmax(input_ids, axis=-1)
         pooled = final[jnp.arange(b), eot]
+        if c.projection_dim is not None:
+            pooled = AdapterDense(c.projection_dim, use_bias=False,
+                                  name="text_projection",
+                                  dtype=self.dtype)(pooled)
         hidden = penult if c.penultimate else final
         return hidden, pooled
 
