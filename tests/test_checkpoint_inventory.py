@@ -561,3 +561,101 @@ def test_sd35_medium_inventory_round_trip():
             pooled_text=jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)),
         jax.random.PRNGKey(0))
     _assert_fills(tree, abstract["params"])
+
+
+# ---------------------------------------------------------------------------
+# PixelDiT (NVlabs, pixel-space t2i) — the 7th denoiser family.  The NVlabs
+# submodule is EMPTY in the reference snapshot (SURVEY §1: .gitmodules points
+# at github.com/NVlabs/PixelDiT), so unlike the six families above this
+# inventory cannot be transcribed from published diffusers module structure;
+# it is synthesized from the standard-DiT naming conventions the converter
+# documents (convert_dit.py:convert_pixeldit docstring: x_embedder.proj,
+# t_embedder.mlp.0/.2, fused blocks.{i}.attn.qkv, PixArt-style
+# cross_attn.q_linear/kv_linear, adaLN_modulation.1, final_layer.linear).
+# Assertion 1 (consume-everything) therefore only pins converter-internal
+# drift; assertion 2 (fill-every-model-param at the full PIXELDIT_BASE size)
+# is the real guard — a param added to the model that the converter misses
+# fails here.
+# ---------------------------------------------------------------------------
+
+def pixeldit_base_inventory():
+    from yat_tpu.models.pixeldit import PIXELDIT_BASE as c
+
+    D, PD = c.hidden_dim, c.pixel_hidden_dim
+    expand = PD * (c.patch_size // c.pixel_patch) ** 2
+    inv = {
+        "x_embedder.proj.weight": (D, c.in_channels,
+                                   c.patch_size, c.patch_size),
+        "x_embedder.proj.bias": (D,),
+        "t_embedder.mlp.0.weight": (D, 256),
+        "t_embedder.mlp.0.bias": (D,),
+        "t_embedder.mlp.2.weight": (D, D),
+        "t_embedder.mlp.2.bias": (D,),
+        "cap_embedder.1.weight": (D, c.caption_channels),
+        "cap_embedder.1.bias": (D,),
+        "token_expand.weight": (expand, D),
+        "token_expand.bias": (expand,),
+        "pixel_time_proj.weight": (PD, D),
+        "pixel_time_proj.bias": (PD,),
+        "final_layer.linear.weight": (c.pixel_patch ** 2 * c.out_channels,
+                                      PD),
+        "final_layer.linear.bias": (c.pixel_patch ** 2 * c.out_channels,),
+    }
+
+    def block(p, d, ff, cross):
+        inv[f"{p}.attn.qkv.weight"] = (3 * d, d)
+        inv[f"{p}.attn.qkv.bias"] = (3 * d,)
+        inv[f"{p}.attn.proj.weight"] = (d, d)
+        inv[f"{p}.attn.proj.bias"] = (d,)
+        if cross:
+            inv[f"{p}.cross_attn.q_linear.weight"] = (d, d)
+            inv[f"{p}.cross_attn.q_linear.bias"] = (d,)
+            inv[f"{p}.cross_attn.kv_linear.weight"] = (2 * d, d)
+            inv[f"{p}.cross_attn.kv_linear.bias"] = (2 * d,)
+            inv[f"{p}.cross_attn.proj.weight"] = (d, d)
+            inv[f"{p}.cross_attn.proj.bias"] = (d,)
+        inv[f"{p}.adaLN_modulation.1.weight"] = (6 * d, d)
+        inv[f"{p}.adaLN_modulation.1.bias"] = (6 * d,)
+        inv[f"{p}.mlp.fc1.weight"] = (ff, d)
+        inv[f"{p}.mlp.fc1.bias"] = (ff,)
+        inv[f"{p}.mlp.fc2.weight"] = (d, ff)
+        inv[f"{p}.mlp.fc2.bias"] = (d,)
+
+    for i in range(c.num_layers):
+        block(f"blocks.{i}", D, int(D * c.mlp_ratio), cross=True)
+    for i in range(c.num_pixel_layers):
+        block(f"pixel_blocks.{i}", PD, int(PD * c.mlp_ratio), cross=False)
+    return inv
+
+
+def test_pixeldit_inventory_round_trip():
+    import jax
+    import jax.numpy as jnp
+
+    from yat_tpu.models.convert_dit import convert_pixeldit
+    from yat_tpu.models.pixeldit import PIXELDIT_BASE, PixelDiT
+
+    inv = pixeldit_base_inventory()
+    sd = TrackingDict({k: np.zeros(s, np.float32) for k, s in inv.items()})
+    cfg = PIXELDIT_BASE
+    tree = convert_pixeldit(sd, num_layers=cfg.num_layers,
+                            num_pixel_layers=cfg.num_pixel_layers)
+
+    unconsumed = sorted(set(sd) - sd.consumed)
+    assert not unconsumed, \
+        f"checkpoint keys the converter silently drops: {unconsumed[:10]}"
+
+    model = PixelDiT(cfg=cfg, dtype=jnp.bfloat16)
+    abstract = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, cfg.patch_size * 2, cfg.patch_size * 2,
+                          cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels),
+                      jnp.bfloat16),
+            jnp.zeros((1,)), jnp.ones((1, cfg.max_caption_len), jnp.int32),
+            return_repa=True),
+        jax.random.PRNGKey(0))
+    # repa_projector: auxiliary REPA head, trained from scratch (the NVlabs
+    # projector naming is unknowable offline; the head is an aux loss, not
+    # part of the denoising function)
+    _assert_fills(tree, abstract["params"], allowed=("repa_projector",))
