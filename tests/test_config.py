@@ -169,6 +169,38 @@ def test_in_channels_override_mirrors_out_channels():
     assert cfg3.out_channels == PIXART_SIGMA_XL2.out_channels
 
 
+def test_sana_config_read_from_pipe_path(tmp_path):
+    """Architecture flags (qk_norm, modified_blocks) must load from the
+    SAME directory the weights load from: a pipeline laid out as
+    pipe/transformer/{config.json, weights} previously built the model
+    from preset defaults, and the orphan-leaf check then refused the
+    checkpoint's qk-norm weights (review finding)."""
+    import json
+    import os
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.sana import build_sana_config
+
+    tdir = tmp_path / "pipe" / "transformer"
+    os.makedirs(tdir)
+    (tdir / "config.json").write_text(json.dumps({
+        "num_layers": 2, "num_attention_heads": 2, "attention_head_dim": 8,
+        "qk_norm": "rms_norm_across_heads", "modified_blocks": [1],
+    }))
+    (tdir / "diffusion_pytorch_model.safetensors").write_bytes(b"")
+
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [],
+        "pretrained_pipe_path": str(tmp_path / "pipe"),
+    })
+    cfg = build_sana_config(params)
+    assert cfg.qk_norm == "rms_norm_across_heads"
+    assert cfg.num_layers == 2 and cfg.hidden_dim == 16
+    assert cfg.softmax_self_attn_blocks == (1,)
+
+
 def test_int8_w8a8_requires_8bit_base(tmp_path):
     import pytest
     from yat_tpu.config import ConfigError, TrainingParameters
@@ -186,6 +218,29 @@ def test_int8_w8a8_requires_8bit_base(tmp_path):
          "lora_algo": "lora", "lora_target_modules": ["to_q"],
          "lora_base_model_8bit": "1"})
     assert p.int8_w8a8 and p.lora_base_model_8bit
+
+
+def test_tpu_extension_flags_parse_their_value():
+    """TPU-extension booleans are VALUE-parsed, not presence-keys: an
+    explicit `int8_w8a8: false` must not silently enable the
+    numerics-changing int8 MXU path (review finding)."""
+    from yat_tpu.config import TrainingParameters
+    base = {"urls": [], "batch_size": "2", "learning_rate": "1e-4",
+            "steps": "1", "num_steps_per_validation": "10",
+            "validation_prompts": [], "lora_rank": "8", "lora_alpha": "8",
+            "lora_algo": "lora", "lora_target_modules": ["to_q"],
+            "lora_base_model_8bit": "1"}
+    for off in ("false", "0", "no", "off", "False"):
+        p = TrainingParameters.from_dict({**base, "int8_w8a8": off,
+                                          "caption_length_bucketing": off,
+                                          "warmup_compile": off})
+        assert not p.int8_w8a8, off
+        assert not p.caption_length_bucketing, off
+        assert not p.warmup_compile, off
+    p = TrainingParameters.from_dict({**base, "int8_w8a8": "true",
+                                      "caption_length_bucketing": "1",
+                                      "warmup_compile": "yes"})
+    assert p.int8_w8a8 and p.caption_length_bucketing and p.warmup_compile
 
 
 def test_example_configs_parse_clean(capsys):

@@ -2,6 +2,7 @@
 data stream where the checkpointed run stopped (the reference persists no
 data position — trainer.py:86 restarts both global_step and the stream)."""
 
+import pytest
 import numpy as np
 
 from yat_tpu.data.sampler import Batch, FeatureBucketSampler, LocalShardSource
@@ -152,3 +153,67 @@ def test_config_key_parses():
     p = TrainingParameters.from_dict(
         {**base, "resume_data_fastforward": "false"})
     assert not p.resume_data_fastforward
+
+
+def test_skip_batches_wraps_finite_stream_multi_epoch():
+    """A checkpoint past one epoch of a finite image stream resumes by
+    wrapping (the engine re-iterates finite samplers), not by dying with
+    a false 'dataset shrank' error (review finding)."""
+    from yat_tpu.train.encode import OnTheFlyEncodingSampler
+
+    class Imgs:
+        def __iter__(self):
+            for i in range(3):
+                yield Batch(ratio="1.0",
+                            images=np.full((1, 4, 4, 3), i, np.uint8),
+                            captions=[f"c{i}"])
+
+    enc = OnTheFlyEncodingSampler(
+        Imgs(),
+        lambda im: np.full((len(im), 2, 2, 4), float(im[0, 0, 0, 0]),
+                           np.float32),
+        lambda caps: [np.zeros((3, 8), np.float32) for _ in caps],
+        max_caption_len=8)
+    enc.skip_batches(7)            # 2 full epochs + 1
+    got = [int(b.latents[0, 0, 0, 0]) for b in enc]
+    assert got == [1, 2], got      # resumes at batch 1 of epoch 3
+
+
+def test_skip_batches_empty_stream_fails_fast():
+    from yat_tpu.train.encode import OnTheFlyEncodingSampler
+
+    class Empty:
+        def __iter__(self):
+            return iter(())
+
+    enc = OnTheFlyEncodingSampler(
+        Empty(), lambda im: np.zeros((0,)), lambda caps: [],
+        max_caption_len=8)
+    with pytest.raises(RuntimeError, match="no batches"):
+        enc.skip_batches(4)
+
+
+def test_engine_fastforward_falls_back_only_on_skip_unsupported():
+    """Only the dedicated SkipUnsupported signal selects the generic
+    drain; a real TypeError inside the skip path propagates instead of
+    silently degrading resume to a full re-encode (review finding)."""
+    from yat_tpu.train.encode import FeatureCache, OnTheFlyEncodingSampler
+
+    class Imgs:
+        def __iter__(self):
+            yield Batch(ratio="1.0", images=np.zeros((1, 4, 4, 3), np.uint8),
+                        captions=["c"])
+
+    def broken_encode(imgs):
+        raise AssertionError("encoder must not run during skip")
+
+    class BadSkipSampler(OnTheFlyEncodingSampler):
+        def skip_batches(self, n):
+            raise TypeError("real bug inside the skip path")
+
+    enc = BadSkipSampler(Imgs(), broken_encode,
+                         lambda caps: [np.zeros((3, 8), np.float32)],
+                         max_caption_len=8)
+    cache = FeatureCache(enc, cache_size=2)
+    with pytest.raises(TypeError, match="real bug"):
+        cache.skip_batches(1)

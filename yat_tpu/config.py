@@ -27,11 +27,22 @@ import yaml
 _PRESENCE_KEYS = frozenset({
     "compute_features", "extract_features", "dual_gpu", "bfloat16",
     "use_ema", "lora_use_dora", "lora_use_rslora", "lora_bias",
-    "lora_base_model_8bit", "lora_base_model_4bit", "int8_w8a8",
+    "lora_base_model_8bit", "lora_base_model_4bit",
     "use_adamw_8bit",
     "use_adamw_8bit ", "low_vram", "use_calculated_features", "use_repa",
     "save_to_disk", "use_preservation",
 })
+
+
+def _truthy(raw: dict, key: str, default: bool = False) -> bool:
+    """TPU-extension booleans parse their VALUE (``key: false`` disables),
+    unlike the reference's presence-keys above — extensions have no
+    reference semantics to preserve, and presence-semantics on a
+    numerics-changing flag like int8_w8a8 would turn an explicit
+    ``int8_w8a8: false`` into silently enabling it."""
+    if key not in raw:
+        return default
+    return str(raw[key]).lower() not in ("0", "false", "no", "off")
 
 _VALID_LORA_ALGOS = ("lora", "loha", "lokr", "fourierft", "full")
 
@@ -346,7 +357,7 @@ class TrainingParameters:
             p.lora_alpha = _as_int(raw, "lora_alpha", p.lora_rank)
             p.lora_base_model_8bit = "lora_base_model_8bit" in raw
             p.lora_base_model_4bit = "lora_base_model_4bit" in raw
-            p.int8_w8a8 = "int8_w8a8" in raw
+            p.int8_w8a8 = _truthy(raw, "int8_w8a8")
             if p.int8_w8a8 and not p.lora_base_model_8bit:
                 raise ConfigError("'int8_w8a8' requires "
                                   "'lora_base_model_8bit'")
@@ -411,16 +422,13 @@ class TrainingParameters:
 
         p.output_repo = _as_str(raw, "output_repo")
 
-        # TPU extensions
-        p.caption_length_bucketing = "caption_length_bucketing" in raw
-        p.warmup_compile = "warmup_compile" in raw
+        # TPU extensions (value-parsed: `key: false` disables, see _truthy)
+        p.caption_length_bucketing = _truthy(raw, "caption_length_bucketing")
+        p.warmup_compile = _truthy(raw, "warmup_compile")
         if "lora_fused_matmul" in raw:
-            p.lora_fused_matmul = str(
-                raw["lora_fused_matmul"]).lower() not in ("0", "false", "no")
+            p.lora_fused_matmul = _truthy(raw, "lora_fused_matmul")
         if "resume_data_fastforward" in raw:
-            p.resume_data_fastforward = str(
-                raw["resume_data_fastforward"]).lower() not in (
-                    "0", "false", "no")
+            p.resume_data_fastforward = _truthy(raw, "resume_data_fastforward")
         p.unfreeze_modules = raw.get("unfreeze_modules")
         if isinstance(p.unfreeze_modules, str):
             p.unfreeze_modules = [p.unfreeze_modules]

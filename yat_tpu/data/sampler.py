@@ -242,6 +242,15 @@ def caption_length_buckets(max_len: int, step: int = 128) -> Tuple[int, ...]:
     return tuple(rungs)
 
 
+def caption_rung(real: int, budget: int, multiple: int = 64) -> int:
+    """Smallest ``multiple``-token rung covering ``real`` tokens, capped at
+    the padded ``budget`` — THE rung formula, shared by the host-side
+    token slicer (frontends.common.slice_caption_rung) and the device-side
+    embedding fetch (models.text_encoders.compress_embeddings) so the two
+    can never disagree on rung granularity."""
+    return min(budget, max(multiple, -(-int(real) // multiple) * multiple))
+
+
 def pad_embeddings(embs: Sequence[np.ndarray], max_len: int,
                    dtype=np.float32,
                    length_buckets: Optional[Sequence[int]] = None

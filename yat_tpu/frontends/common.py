@@ -147,9 +147,11 @@ def slice_caption_rung(ids, mask, multiple: int = 64):
     mask-compression would keep.  One extra compile per distinct rung
     (≤ budget/multiple rungs total)."""
     import numpy as np
+
+    from yat_tpu.data.sampler import caption_rung
     m = np.asarray(mask)
     real = int(m.sum(axis=1).max()) if m.any() else 1
-    rung = min(ids.shape[1], max(multiple, -(-real // multiple) * multiple))
+    rung = caption_rung(real, ids.shape[1], multiple)
     if rung == ids.shape[1]:
         return ids, mask
     return ids[:, :rung], mask[:, :rung]
@@ -175,6 +177,27 @@ def _find_denoiser_dir(params: TrainingParameters):
                 os.path.exists(os.path.join(c, n)) for n in _CKPT_NAMES):
             return c
     return None
+
+
+def find_model_config_json(params: TrainingParameters):
+    """The diffusers-format ``config.json`` next to the denoiser weights,
+    or None.  Must look in the SAME directories as ``_find_denoiser_dir``:
+    weights loaded from ``pretrained_pipe_path/transformer`` carry their
+    architecture flags (qk_norm, modified_blocks, ...) in that directory's
+    config.json — reading the config only from ``pretrained_model_path``
+    while loading weights from the pipe path builds a model that cannot
+    accept the checkpoint (the orphan-leaf check then refuses a perfectly
+    valid load)."""
+    import json
+    import os
+    dirpath = _find_denoiser_dir(params)
+    if dirpath is None:
+        return None
+    cfg_path = os.path.join(dirpath, "config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    with open(cfg_path) as f:
+        return json.load(f)
 
 
 def load_pretrained_backbone(params: TrainingParameters, family: str,
@@ -798,10 +821,21 @@ def make_tiling_decoder(vae, vae_vars, decode_jit, low_vram: bool):
         comp = vae.cfg.compression
         px = max(int(z.shape[1]), int(z.shape[2])) * comp
         if low_vram or px >= 2048:
+            import jax
+
             from yat_tpu.models.vae import decode_tiled
-            return decode_tiled(vae, vae_vars, z,
-                                tile_latent=64 if low_vram else 128,
-                                decode_fn=decode_jit)
+            # One weights upload for the WHOLE decode: under low_vram the
+            # tree is host numpy, and per-tile decode_fn calls would each
+            # re-transfer the full decoder (review finding — ~36 uploads
+            # for a 2048px decode).  The device copy frees when this
+            # call's reference drops, preserving the weights-at-rest-on-
+            # host guarantee.
+            dev_vars = jax.device_put(vae_vars)
+            out = decode_tiled(vae, dev_vars, z,
+                               tile_latent=64 if low_vram else 128,
+                               decode_fn=decode_jit)
+            del dev_vars
+            return out
         return decode_jit(vae_vars, z)
 
     return decode_latents

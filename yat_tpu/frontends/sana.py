@@ -8,7 +8,6 @@ to 512 with mask (here in the data plane so shapes stay static), MSE in fp32.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional
 
@@ -34,12 +33,14 @@ def build_sana_config(params: TrainingParameters) -> SanaConfig:
     preset = over.pop("preset", None)
     if preset:
         cfg = PRESETS[preset]
-    # a local diffusers-format transformer config maps onto our fields
-    if params.pretrained_model_path:
-        cfg_path = os.path.join(params.pretrained_model_path, "config.json")
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                dj = json.load(f)
+    # a local diffusers-format transformer config maps onto our fields —
+    # looked up next to wherever the WEIGHTS will load from (model path or
+    # pipe_path/transformer), so architecture flags like qk_norm /
+    # modified_blocks are honored for pipe-path loads too
+    if params.pretrained_model_path or params.pretrained_pipe_path:
+        from yat_tpu.frontends.common import find_model_config_json
+        dj = find_model_config_json(params)
+        if dj is not None:
             cfg = SanaConfig(
                 in_channels=dj.get("in_channels", cfg.in_channels),
                 out_channels=dj.get("out_channels", cfg.out_channels),

@@ -344,10 +344,11 @@ def compress_embeddings(hidden: jnp.ndarray, mask: jnp.ndarray):
     import numpy as np
 
     import jax
+    from yat_tpu.data.sampler import caption_rung
     mask_np = np.asarray(mask).astype(bool)
     if isinstance(hidden, jax.Array):
         real = int(mask_np.sum(axis=1).max()) if mask_np.any() else 1
-        rung = min(hidden.shape[1], -(-real // 64) * 64)
+        rung = caption_rung(real, hidden.shape[1])
         if rung < hidden.shape[1]:
             hidden = hidden[:, :rung]
             mask_np = mask_np[:, :rung]

@@ -32,6 +32,14 @@ import numpy as np
 from yat_tpu.data.sampler import Batch, pad_embeddings
 
 
+class SkipUnsupported(Exception):
+    """Raised by ``skip_batches`` when the wrapped sampler cannot skip
+    encode-free; the engine then falls back to the generic drain.  A
+    dedicated type so real ``TypeError``s from inside the skip path (bad
+    dtype, decode bug) propagate instead of silently degrading resume to
+    hours of redundant re-encoding."""
+
+
 class OnTheFlyEncodingSampler:
     def __init__(
         self,
@@ -98,15 +106,28 @@ class OnTheFlyEncodingSampler:
         if it is None:
             it = iter(self.image_sampler)
         k, r = divmod(int(n), self.repeat)
-        try:
-            for _ in range(k):
+        skipped = 0
+        yielded_this_pass = False
+        while skipped < k:
+            try:
                 next(it)
-        except StopIteration:
-            raise RuntimeError(
-                f"image stream exhausted after skipping fewer than {n} "
-                "batches — the dataset shrank since the checkpoint was "
-                "written (disable resume_data_fastforward to start the "
-                "stream over)") from None
+                skipped += 1
+                yielded_this_pass = True
+            except StopIteration:
+                # Epoch boundary: the engine re-iterates finite samplers
+                # (engine.py _run_loop), so a checkpoint past one epoch of
+                # a finite image stream is normal — wrap, don't fail.
+                # Only a pass that yields NOTHING means the stream is
+                # empty/mis-keyed and the resume can never make progress.
+                if not yielded_this_pass:
+                    raise RuntimeError(
+                        f"image stream yielded no batches while skipping "
+                        f"{n} already-consumed batches ({skipped} skipped) "
+                        "— empty or mis-keyed dataset (disable "
+                        "resume_data_fastforward to start the stream "
+                        "over)") from None
+                it = iter(self.image_sampler)
+                yielded_this_pass = False
         self._resume_iter = it
         self._resume_partial = r
 
@@ -215,7 +236,7 @@ class FeatureCache:
                                "iteration starts")
         skip = getattr(self.sampler, "skip_batches", None)
         if skip is None:
-            raise TypeError("underlying sampler has no skip_batches")
+            raise SkipUnsupported("underlying sampler has no skip_batches")
         skip(n)
 
     def stop(self):

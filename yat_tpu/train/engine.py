@@ -369,13 +369,14 @@ class Trainer:
         t0 = time.monotonic()
         skip = getattr(self.sampler, "skip_batches", None)
         if skip is not None:
+            from yat_tpu.train.encode import SkipUnsupported
             try:
                 skip(n_batches)
                 print(f"[engine] data fast-forward: skipped {n_batches} "
                       f"batches (encode-free) in "
                       f"{time.monotonic() - t0:.1f}s")
                 return iter(self.sampler)
-            except TypeError:
+            except SkipUnsupported:
                 pass         # wrapper without underlying skip support
         it = iter(self.sampler)
         done, dry = 0, 0

@@ -15,7 +15,6 @@ copy dance.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -76,29 +75,24 @@ class ValidationPipeline:
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
 
-    # The jit is keyed on ``self`` as a STATIC argument whose hash covers
-    # every STRUCTURAL sampling tunable (num_steps is a scan length,
-    # guidance selects the single-pass vs batch-doubled program,
-    # pag/sampler/slice change the graph), so mutating them after a first
-    # validation re-traces instead of silently reusing the old settings
-    # (generate.py mutates these; ADVICE r2).  ``seed`` is pure data and
-    # travels as a TRACED argument — a seed sweep reuses one compiled
-    # program instead of recompiling the whole sampling scan per seed
-    # (review finding).  Variables and conditioning remain ARGUMENTS so
-    # big weight trees never lower as baked-in constants (the axon
+    # The compiled sampler is PER-INSTANCE and keyed on every STRUCTURAL
+    # sampling tunable (num_steps is a scan length, guidance selects the
+    # single-pass vs batch-doubled program, pag/sampler/slice change the
+    # graph), so mutating them after a first validation re-traces instead
+    # of silently reusing the old settings (generate.py mutates these;
+    # ADVICE r2).  Per-instance (not a class-level jit with static self):
+    # a class-level jit cache lives for the process and holds every
+    # pipeline — and the encoder weight trees its encode_prompts /
+    # decode_latents closures pin — forever (review finding).  ``seed``
+    # is pure data and travels as a TRACED argument — a seed sweep reuses
+    # one compiled program.  Variables and conditioning remain ARGUMENTS
+    # so big weight trees never lower as baked-in constants (the axon
     # remote-compile body limit).
     def _tunables(self):
         return (id(self.model), id(self.schedule), self.latent_shape,
                 self.guidance_scale, self.num_steps,
                 self.active_timesteps, self.pag_scale, self.sampler,
                 self.pred_slice)
-
-    def __hash__(self):
-        return hash(self._tunables())
-
-    def __eq__(self, other):
-        return (isinstance(other, ValidationPipeline)
-                and self._tunables() == other._tunables())
 
     # ------------------------------------------------------------------
     def _variables_for(self, trainer) -> Dict[str, Any]:
@@ -110,13 +104,11 @@ class ValidationPipeline:
         return state.variables()
 
     def _sample_latents(self, variables, cond, uncond) -> jnp.ndarray:
-        return ValidationPipeline._jit_sample(self, variables, cond, uncond,
-                                              jnp.int32(self.seed))
-
-    @staticmethod
-    @functools.partial(jax.jit, static_argnums=0)
-    def _jit_sample(self, variables, cond, uncond, seed):
-        return self._sample_impl(variables, cond, uncond, seed)
+        key = self._tunables()
+        if getattr(self, "_jit_key", None) != key:
+            self._jit_fn = jax.jit(self._sample_impl)
+            self._jit_key = key
+        return self._jit_fn(variables, cond, uncond, jnp.int32(self.seed))
 
     def _sample_impl(self, variables, cond, uncond, seed) -> jnp.ndarray:
         shape = (1, *self.latent_shape)
