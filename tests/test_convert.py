@@ -154,3 +154,42 @@ def test_gemma2_parity():
     hidden = m.apply({"params": params}, jids, jmask)
     np.testing.assert_allclose(np.asarray(hidden), hf_hidden,
                                atol=3e-4, rtol=3e-3)
+
+
+def test_sana_qk_norm_across_heads_round_trip():
+    """SANA-1.5/Sprint lineage: qk_norm='rms_norm_across_heads' creates
+    full-inner-dim RMS norms on BOTH the linear self-attention and the
+    softmax cross-attention (diffusers passes the block's qk_norm to
+    both), and convert_sana fills them from the checkpoint's
+    norm_q/norm_k weights — previously the unknown string silently built
+    no norm params and the orphan-leaf check refused the load."""
+    import dataclasses
+
+    from yat_tpu.models.sana import SANA_TINY_TEST, SanaTransformer2D
+
+    cfg = dataclasses.replace(SANA_TINY_TEST,
+                              qk_norm="rms_norm_across_heads")
+    m = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    b, s = 1, cfg.sample_size
+    init = m.init(jax.random.PRNGKey(0),
+                  jnp.zeros((b, s, s, cfg.in_channels), jnp.float32),
+                  jnp.zeros((b, cfg.max_caption_len, cfg.caption_channels),
+                            jnp.float32),
+                  jnp.zeros((b,)),
+                  jnp.ones((b, cfg.max_caption_len), jnp.int32))
+    inner_self = cfg.num_attention_heads * cfg.attention_head_dim
+    inner_cross = cfg.num_cross_attention_heads * cfg.cross_attention_head_dim
+    p0 = init["params"]["blocks_0"]
+    assert p0["attn1"]["norm_q"]["scale"].shape == (inner_self,)
+    assert p0["attn2"]["norm_q"]["scale"].shape == (inner_cross,)
+
+    # unknown strings fail loudly instead of silently skipping the norm
+    bad = dataclasses.replace(SANA_TINY_TEST, qk_norm="layer_norm")
+    mb = SanaTransformer2D(cfg=bad, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="qk_norm"):
+        mb.init(jax.random.PRNGKey(0),
+                jnp.zeros((b, s, s, cfg.in_channels), jnp.float32),
+                jnp.zeros((b, cfg.max_caption_len, cfg.caption_channels),
+                          jnp.float32),
+                jnp.zeros((b,)),
+                jnp.ones((b, cfg.max_caption_len), jnp.int32))

@@ -207,6 +207,58 @@ def test_sana_pretrained_backbone_loads(tmp_path):
     _assert_loaded(trainer._init_variables, expected, check=0)
 
 
+def test_sana_qk_norm_loads_from_pipe_path(tmp_path):
+    """End-to-end regression for the review finding: a SANA-1.5-lineage
+    pipeline (qk_norm='rms_norm_across_heads', norm weights in the
+    checkpoint) configured with pretrained_pipe_path ONLY.  The
+    architecture flag must be read from pipe/transformer/config.json so
+    the model accepts the checkpoint's norm_q/norm_k leaves instead of
+    the orphan-leaf check refusing a valid load."""
+    import dataclasses
+
+    from yat_tpu.frontends.sana import make_trainer
+    from yat_tpu.models.sana import SANA_TINY_TEST, SanaTransformer2D
+
+    cfg = dataclasses.replace(SANA_TINY_TEST,
+                              qk_norm="rms_norm_across_heads")
+    m = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0),
+               jnp.zeros((1, cfg.sample_size, cfg.sample_size,
+                          cfg.in_channels)),
+               jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels)),
+               jnp.zeros((1,)),
+               jnp.ones((1, cfg.max_caption_len), jnp.int32))
+    sd, expected = synth_from_rules(v["params"], SANA_RULES,
+                                    np.random.default_rng(1))
+    assert any(".norm_q." in k for k in sd), "fixture must carry qk norms"
+
+    tdir = tmp_path / "pipe" / "transformer"
+    tdir.mkdir(parents=True)
+    save_file(sd, str(tdir / "diffusion_pytorch_model.safetensors"))
+    with open(tdir / "config.json", "w") as f:
+        json.dump({"in_channels": cfg.in_channels,
+                   "out_channels": cfg.out_channels,
+                   "num_layers": cfg.num_layers,
+                   "num_attention_heads": cfg.num_attention_heads,
+                   "attention_head_dim": cfg.attention_head_dim,
+                   "num_cross_attention_heads": cfg.num_cross_attention_heads,
+                   "cross_attention_head_dim": cfg.cross_attention_head_dim,
+                   "caption_channels": cfg.caption_channels,
+                   "mlp_ratio": cfg.mlp_ratio,
+                   "patch_size": cfg.patch_size,
+                   "sample_size": cfg.sample_size,
+                   "qk_norm": "rms_norm_across_heads"}, f)
+
+    params = TrainingParameters.from_dict({
+        "batch_size": "1", "learning_rate": "1e-4", "steps": "1",
+        "num_steps_per_validation": "10",
+        "pretrained_pipe_path": str(tmp_path / "pipe"),
+        "model_config_overrides": {"max_caption_len": str(cfg.max_caption_len)},
+    })
+    trainer = make_trainer(params)
+    _assert_loaded(trainer._init_variables, expected, check=0)
+
+
 def test_missing_checkpoint_raises(tmp_path):
     """A configured pretrained path with no denoiser weights must raise,
     never silently train random weights (ADVICE r1 high)."""

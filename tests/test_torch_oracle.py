@@ -240,7 +240,9 @@ def test_klvae_attn_matches_torch():
 # Full SANA transformer block (flagship family)
 # ---------------------------------------------------------------------------
 
-def _torch_rms_lastdim(t, weight, eps=1e-6):
+def _torch_rms_lastdim(t, weight, eps=1e-5):
+    # eps 1e-5 = diffusers Attention's default eps, which its qk-norm
+    # RMSNorms inherit (both 'rms_norm' and 'rms_norm_across_heads')
     x = t.float()
     return (x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)) * weight
 

@@ -248,12 +248,16 @@ def make_trainer(params: TrainingParameters,
     trainer.sana_config = cfg
     trainer.family_spec = spec
     trainer.schedule = schedule
-    if cfg.softmax_self_attn_blocks:
-        # exported checkpoints record the patched set so a reload
-        # re-applies it (patch_sana_attention_layers.py:117-137)
-        trainer.model_config_json = {
-            "modified_blocks": [int(i) for i in
-                                cfg.softmax_self_attn_blocks]}
+    if cfg.softmax_self_attn_blocks or cfg.qk_norm:
+        # exported checkpoints record architecture flags so a reload
+        # rebuilds the same structure (patch_sana_attention_layers.py:
+        # 117-137 for modified_blocks; qk_norm for the 1.5 lineage)
+        trainer.model_config_json = {}
+        if cfg.softmax_self_attn_blocks:
+            trainer.model_config_json["modified_blocks"] = [
+                int(i) for i in cfg.softmax_self_attn_blocks]
+        if cfg.qk_norm:
+            trainer.model_config_json["qk_norm"] = cfg.qk_norm
     if repa_cfg is not None:
         from yat_tpu.ops.repa import init_repa_head
         trainer.repa_head_init = init_repa_head(

@@ -407,13 +407,27 @@ class Attention(nn.Module):
 
         b, nq = q.shape[0], q.shape[1]
         nk = k.shape[1]
+        # diffusers qk-norm variants (Attention eps=1e-5):
+        #  - "rms"/"rms_norm": per-head RMS over head_dim, weight [D]
+        #  - "rms_norm_across_heads" (SANA-1.5/Sprint lineage): RMS over the
+        #    FULL inner dim, weight [H*D] — applied before the head split.
+        # Unknown strings hard-fail: a passed-through config value silently
+        # building no norm params makes the orphan-leaf check refuse the
+        # checkpoint with a misleading 'converter stale' error.
+        if self.qk_norm == "rms_norm_across_heads":
+            q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
+            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
+        elif self.qk_norm not in (None, "rms", "rms_norm"):
+            raise ValueError(f"unsupported qk_norm {self.qk_norm!r}; "
+                             "expected None, 'rms'/'rms_norm', or "
+                             "'rms_norm_across_heads'")
         q = q.reshape(b, nq, self.num_heads, self.head_dim)
         k = k.reshape(b, nk, self.num_heads, self.head_dim)
         v = v.reshape(b, nk, self.num_heads, self.head_dim)
 
-        if self.qk_norm == "rms":
-            q = RMSNorm(name="norm_q")(q)
-            k = RMSNorm(name="norm_k")(k)
+        if self.qk_norm in ("rms", "rms_norm"):
+            q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
+            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
 
         if perturbed:
             # Perturbed-Attention Guidance: identity attention map — each
@@ -440,6 +454,7 @@ class LiteLinearAttention(nn.Module):
     head_dim: int
     dtype: Optional[Dtype] = None
     eps: float = 1e-15
+    qk_norm: Optional[str] = None    # None | 'rms_norm_across_heads'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -452,6 +467,20 @@ class LiteLinearAttention(nn.Module):
                          name="to_k")(x, deterministic=deterministic)
         v = AdapterDense(inner, use_bias=False, dtype=self.dtype,
                          name="to_v")(x, deterministic=deterministic)
+
+        # SANA-1.5/Sprint lineage: diffusers passes the block's qk_norm to
+        # the linear self-attention too — across-heads RMS on the full
+        # inner dim before the head split.  The per-head 'rms'/'rms_norm'
+        # variant stays a softmax-attention feature (no published linear-
+        # attention checkpoint carries per-head norms; a checkpoint that
+        # did would fail the orphan-leaf check loudly).
+        if self.qk_norm == "rms_norm_across_heads":
+            q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
+            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
+        elif self.qk_norm not in (None, "rms", "rms_norm"):
+            raise ValueError(f"unsupported qk_norm {self.qk_norm!r}; "
+                             "expected None, 'rms'/'rms_norm', or "
+                             "'rms_norm_across_heads'")
 
         q = q.reshape(b, n, self.num_heads, self.head_dim)
         k = k.reshape(b, n, self.num_heads, self.head_dim)

@@ -102,12 +102,13 @@ class SanaBlock(nn.Module):
             h = Attention(
                 num_heads=c.num_attention_heads,
                 head_dim=c.attention_head_dim, out_features=c.hidden_dim,
+                qk_norm=c.qk_norm,
                 dtype=self.dtype, name="attn1")(
                     h, deterministic=deterministic)
         else:
             h = LiteLinearAttention(
                 num_heads=c.num_attention_heads,
-                head_dim=c.attention_head_dim,
+                head_dim=c.attention_head_dim, qk_norm=c.qk_norm,
                 dtype=self.dtype, name="attn1")(h, deterministic=deterministic)
         x = x + gate_msa * h
 
