@@ -175,3 +175,13 @@ class TestLinearAttention:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4)
+
+
+def test_linear_attention_unknown_implementation_raises():
+    import jax.numpy as jnp
+    import pytest
+
+    from yat_tpu.ops.attention import linear_attention
+    q = jnp.ones((1, 8, 2, 4))
+    with pytest.raises(ValueError, match="linear-attention implementation"):
+        linear_attention(q, q, q, implementation="palas")

@@ -335,6 +335,12 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     when the whole per-head sequence fits VMEM.
     """
     b, n, h, d = q.shape
+    if implementation not in ("auto", "xla", "pallas"):
+        # mirror dot_product_attention: a typo'd string must not silently
+        # select the fallback path (ADVICE r2)
+        raise ValueError(f"unknown linear-attention implementation "
+                         f"{implementation!r}; expected 'auto', 'xla', or "
+                         "'pallas'")
     # Measured on v5e: at D=32 the kernel's MXU padding loses to XLA's
     # einsum fusion for short sequences; it pays off when the per-head
     # sequence is long (4096 tokens at 2048px) and HBM traffic dominates.

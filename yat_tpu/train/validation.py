@@ -71,6 +71,10 @@ class ValidationPipeline:
             if active_timesteps else None
         self.extra_cond = extra_cond or {}
         self.pag_scale = pag_scale
+        if sampler not in ("auto", "dpm"):
+            # a typo'd sampler must not silently pick the default program
+            raise ValueError(f"unknown sampler {sampler!r}; "
+                             "expected 'auto' or 'dpm'")
         self.sampler = sampler
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
