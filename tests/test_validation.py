@@ -48,11 +48,11 @@ def test_validation_generates_images():
                        adapters_meta=None, opt_state=None, ema=None)
 
     def encode_prompts(prompts):
-        # deterministic fake text encoder
-        seed = sum(len(p) for p in prompts)
-        emb = jax.random.normal(jax.random.PRNGKey(seed), (1, 16, 32)) * 0.1
-        return {"embeddings": emb,
-                "text_mask": jnp.ones((1, 16), jnp.int32)}
+        # deterministic fake text encoder, per-prompt like the real ones
+        embs = [jax.random.normal(jax.random.PRNGKey(len(p)),
+                                  (16, 32)) * 0.1 for p in prompts]
+        return {"embeddings": jnp.stack(embs),
+                "text_mask": jnp.ones((len(prompts), 16), jnp.int32)}
 
     pipe = ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
                               latent_shape=(8, 8, 4),
@@ -81,8 +81,8 @@ def test_validation_uses_ema_weights():
                        opt_state=None, ema=variables["params"])
 
     def encode_prompts(prompts):
-        return {"embeddings": jnp.ones((1, 16, 32)) * 0.1,
-                "text_mask": jnp.ones((1, 16), jnp.int32)}
+        return {"embeddings": jnp.ones((len(prompts), 16, 32)) * 0.1,
+                "text_mask": jnp.ones((len(prompts), 16), jnp.int32)}
 
     pipe = ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
                               latent_shape=(8, 8, 4),
@@ -112,3 +112,46 @@ def test_flux_token_space_sampling():
     # distilled path (no CFG doubling)
     out2 = sample_flux(m, vs, sched, (4, 4), txt, num_steps=3)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_batched_validation_matches_per_prompt():
+    """Batched sampling (all prompts in one CFG scan) produces IDENTICAL
+    per-prompt images to the sequential loop: every prompt starts from
+    the same seed-42 noise (ops/sampling.seed_noise tiles one batch-1
+    draw), so batching is a pure throughput change.  low_vram selects the
+    sequential path."""
+    from yat_tpu.train.state import TrainState
+    cfg = SANA_TINY_TEST
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                           jnp.zeros((1, 16, 32)), jnp.zeros((1,)),
+                           jnp.ones((1, 16), jnp.int32))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], adapters=None,
+                       adapters_meta=None, opt_state=None, ema=None)
+
+    def encode_prompts(prompts):
+        embs = [jax.random.normal(jax.random.PRNGKey(len(p)),
+                                  (16, 32)) * 0.1 for p in prompts]
+        return {"embeddings": jnp.stack(embs),
+                "text_mask": jnp.ones((len(prompts), 16), jnp.int32)}
+
+    def make_pipe():
+        return ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
+                                  latent_shape=(8, 8, 4),
+                                  encode_prompts=encode_prompts,
+                                  guidance_scale=5.0, num_steps=3)
+
+    prompts = ["a cat", "a much longer dog prompt", "xy"]
+    batched = make_pipe()(DummyTrainer(state, prompts))
+
+    class LowVramTrainer(DummyTrainer):
+        def __init__(self, state, prompts):
+            super().__init__(state, prompts)
+            self.params.low_vram = True
+
+    sequential = make_pipe()(LowVramTrainer(state, prompts))
+    assert set(batched) == set(sequential)
+    for k in batched:
+        np.testing.assert_allclose(batched[k], sequential[k],
+                                   atol=1e-5, rtol=1e-4)

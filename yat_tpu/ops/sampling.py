@@ -39,6 +39,19 @@ def gate_adapter_meta(meta: Any, gate: jnp.ndarray) -> Any:
     return walk(meta)
 
 
+def seed_noise(seed: int, latent_shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Initial noise for sampling: ONE seed-keyed batch-1 draw, tiled over
+    the batch.  The reference seeds its generator to 42 for EVERY prompt
+    (train_sana.py:134-147), so each prompt starts from the same noise;
+    batched validation (all prompts in one CFG scan) must reproduce that —
+    a per-batch-element draw would give every prompt different noise and
+    break parity with the per-prompt loop.  At batch 1 this is bit-identical
+    to the old direct draw."""
+    one = jax.random.normal(jax.random.PRNGKey(seed),
+                            (1, *latent_shape[1:]), jnp.float32)
+    return jnp.broadcast_to(one, latent_shape)
+
+
 def timestep_gate(timestep: jnp.ndarray,
                   active_timesteps: Sequence[int]) -> jnp.ndarray:
     """1.0 when the integer timestep is in the refiner list, else 0.0."""
@@ -58,8 +71,7 @@ def sample_flow_match(
 ) -> jnp.ndarray:
     """Euler integration from noise; ``denoise_fn`` already folds in CFG."""
     sigmas = schedule.inference_sigmas(num_steps, mu)
-    x0 = jax.random.normal(jax.random.PRNGKey(seed), latent_shape,
-                           jnp.float32)
+    x0 = seed_noise(seed, latent_shape)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -84,8 +96,7 @@ def sample_ddim(
     n = schedule.num_train_timesteps
     ts = jnp.linspace(n - 1, 0, num_steps).astype(jnp.int32)
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
-    x0 = jax.random.normal(jax.random.PRNGKey(seed), latent_shape,
-                           jnp.float32)
+    x0 = seed_noise(seed, latent_shape)
 
     def body(x, i):
         t, t_prev = ts[i], ts_prev[i]
@@ -114,8 +125,7 @@ def sample_dpm_solver_2m(
     sigma = jnp.sqrt(1.0 - abar)
     lam = jnp.log(alpha) - jnp.log(sigma)
 
-    x_init = jax.random.normal(jax.random.PRNGKey(seed), latent_shape,
-                               jnp.float32)
+    x_init = seed_noise(seed, latent_shape)
 
     def x0_of(x, t):
         eps = denoise_fn(x, jnp.full((latent_shape[0],), t), jnp.float32(1.0))
@@ -165,8 +175,7 @@ def sample_dpm_solver_2m_flow(
     x <- (s_next/s) x - (1-s_next) expm1(-h) x0_eff."""
     sigmas = schedule.inference_sigmas(num_steps)       # 1 → 0 ladder
     eps_s = 1e-6
-    x_init = jax.random.normal(jax.random.PRNGKey(seed), latent_shape,
-                               jnp.float32)
+    x_init = seed_noise(seed, latent_shape)
 
     def lam(s):
         s = jnp.clip(s, eps_s, 1.0 - eps_s)

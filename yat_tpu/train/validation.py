@@ -115,7 +115,7 @@ class ValidationPipeline:
         return self._jit_fn(variables, cond, uncond, jnp.int32(self.seed))
 
     def _sample_impl(self, variables, cond, uncond, seed) -> jnp.ndarray:
-        shape = (1, *self.latent_shape)
+        shape = (cond["embeddings"].shape[0], *self.latent_shape)
 
         def apply_fn(vs, x, timesteps, **kw):
             out = self.model.apply(vs, x, kw.pop("embeddings"), timesteps,
@@ -149,28 +149,53 @@ class ValidationPipeline:
 
     # ------------------------------------------------------------------
     def __call__(self, trainer) -> Dict[str, np.ndarray]:
+        """All prompts sample in ONE jitted CFG scan (batch = #prompts):
+        batch-1 inference leaves the MXU mostly idle, and the reference's
+        per-prompt pipeline calls serialize P full sampling programs.
+        Per-prompt results are IDENTICAL to the sequential loop — every
+        prompt starts from the same seed-42 noise either way
+        (ops/sampling.seed_noise), pinned by
+        tests/test_validation.py::test_batched_validation_matches_per_prompt.
+        Under ``low_vram`` prompts go one at a time (sampling activations
+        scale with the batch)."""
         prompts = trainer.params.validation_prompts or []
         if not prompts:
             return {}
         variables = self._variables_for(trainer)
         images: Dict[str, np.ndarray] = {}
-        uncond_all = self.encode_prompts([""] * 1)
-        for idx, prompt in enumerate(prompts):
-            enhanced = self.prompt_transform(prompt) \
-                if self.prompt_transform else prompt
-            cond = self.encode_prompts([enhanced])
-            cond = {**cond, **self.extra_cond}
-            uncond = {**uncond_all, **self.extra_cond}
+        uncond1 = self.encode_prompts([""] * 1)
+        chunk = 1 if getattr(trainer.params, "low_vram", False) \
+            else len(prompts)
+
+        def tile(tree, p):
+            return {k: (jnp.repeat(jnp.asarray(v), p, axis=0)
+                        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+                        and v.shape[0] == 1 and p > 1 else v)
+                    for k, v in tree.items()}
+
+        for start in range(0, len(prompts), chunk):
+            group = prompts[start:start + chunk]
+            enhanced = [self.prompt_transform(p) if self.prompt_transform
+                        else p for p in group]
+            cond = tile({**self.encode_prompts(enhanced),
+                         **self.extra_cond}, len(group))
+            uncond = tile({**uncond1, **self.extra_cond}, len(group))
             latents = self._sample_latents(variables, cond, uncond)
             if self.decode_latents is not None:
-                img = np.asarray(self.decode_latents(latents))[0]
+                decoded = np.asarray(self.decode_latents(latents))
             else:
-                # no decoder: visualize first three latent channels
-                lat = np.asarray(latents)[0]
-                img = lat[..., :3]
-                img = (img - img.min()) / (img.max() - img.min() + 1e-8)
-            img = np.clip((img + 1) / 2 if img.min() < -0.01 else img, 0, 1)
-            images[f"validation/{idx}/{prompt}"] = img
+                decoded = None
+            for j, prompt in enumerate(group):
+                if decoded is not None:
+                    img = decoded[j]
+                else:
+                    # no decoder: visualize first three latent channels
+                    lat = np.asarray(latents)[j]
+                    img = lat[..., :3]
+                    img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+                img = np.clip((img + 1) / 2 if img.min() < -0.01 else img,
+                              0, 1)
+                images[f"validation/{start + j}/{prompt}"] = img
         return images
 
 
