@@ -21,7 +21,9 @@ def base(tmp_path, shard, **over):
     cfg = dict(
         local_shard_paths=[shard], batch_size="2", learning_rate="1e-3",
         steps="1", num_steps_per_validation="100",
-        validation_prompts=["a tiny red fox"],
+        # two prompts so the BATCHED sampling path (one CFG scan at
+        # batch=#prompts) is exercised for every family
+        validation_prompts=["a tiny red fox", "a blue bird"],
         output_dir=str(tmp_path / "models"), mesh_shape={"dp": "1"},
         aspect_ratio="256",
     )
@@ -34,8 +36,10 @@ def check_validates(trainer, channels=3):
     assert trainer.validate_fn is not None, "validate_fn not wired"
     images = trainer.validate_fn(trainer)
     assert images, "no validation images produced"
+    n = len(trainer.params.validation_prompts)
+    assert len(images) == n, f"expected {n} images, got {list(images)}"
     for tag, img in images.items():
-        assert tag.startswith("validation/0/")
+        assert tag.startswith("validation/")
         assert img.ndim == 3 and img.shape[-1] == channels
         assert np.isfinite(img).all()
         assert 0.0 <= img.min() and img.max() <= 1.0

@@ -225,20 +225,30 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
                     (other.num_steps, other.guidance_scale, other.seed))
 
         def __call__(self, trainer):
+            # all prompts in ONE sampling scan (batch = #prompts) like
+            # ValidationPipeline; per-prompt results identical to the
+            # sequential loop (seed_noise tiles one seed-42 draw).
+            # low_vram samples prompt-at-a-time.
             prompts = trainer.params.validation_prompts or []
             if not prompts:
                 return {}
             state = trainer.state
             variables = state.variables(trainable=state.ema) \
                 if state.ema is not None else state.variables()
-            uncond = encode([""])
+            uncond1 = encode([""])
+            chunk = 1 if getattr(trainer.params, "low_vram", False) \
+                else len(prompts)
             images = {}
-            for idx, prompt in enumerate(prompts):
-                emb = encode([prompt])
+            for start in range(0, len(prompts), chunk):
+                group = prompts[start:start + chunk]
+                emb = encode(group)
+                uncond = jnp.repeat(uncond1, len(group), axis=0) \
+                    if len(group) > 1 else uncond1
                 lat = self._sample(variables, emb, uncond)
-                img = np.asarray(holder["decode_latents"](lat))[0]
-                images[f"validation/{idx}/{prompt}"] = np.clip(
-                    (img + 1) / 2, 0, 1)
+                decoded = np.asarray(holder["decode_latents"](lat))
+                for j, prompt in enumerate(group):
+                    images[f"validation/{start + j}/{prompt}"] = np.clip(
+                        (decoded[j] + 1) / 2, 0, 1)
             return images
 
     return FluxValidate()

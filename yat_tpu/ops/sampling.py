@@ -226,12 +226,15 @@ def sample_flux(
     mu = schedule.mu_for_seq_len(gh * gw) if schedule.use_dynamic_shifting \
         else None
     sigmas = schedule.inference_sigmas(num_steps, mu)
-    x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, gh * gw, c),
-                           jnp.float32)
-    g = jnp.full((1,), guidance_scale, jnp.float32)
+    # batch follows the prompt embeddings (batched validation); every
+    # batch element starts from the same seed-42 noise like the
+    # reference's per-prompt generator (seed_noise docstring)
+    batch = text_emb.shape[0]
+    x0 = seed_noise(seed, (batch, gh * gw, c))
+    g = jnp.full((batch,), guidance_scale, jnp.float32)
 
     def denoise(x, sigma):
-        t = jnp.full((1,), sigma, jnp.float32)
+        t = jnp.full((batch,), sigma, jnp.float32)
         if uncond_emb is None or guidance_scale <= 1.0:
             return model.apply(variables, x, text_emb, t, ids, guidance=g,
                                deterministic=True)
