@@ -313,3 +313,40 @@ def test_int8_w8a8_rejects_silent_noop_combos():
     with pytest.raises(ConfigError, match="DoRA"):
         TrainingParameters.from_dict(
             {**base, "lora_algo": "lora", "lora_use_dora": "1"})
+
+
+def test_int8_w8a8_false_without_adapter_block_is_inert():
+    """`int8_w8a8: false` with adapters commented out must parse (flag
+    off), not raise the requires-an-adapter error — the requires-guard
+    must use the parsed value, not key presence (review finding)."""
+    from yat_tpu.config import TrainingParameters
+    p = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "2", "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [], "int8_w8a8": "false"})
+    assert not p.int8_w8a8
+
+
+def test_sana_config_read_from_config_only_dir(tmp_path):
+    """A config.json with no monolithic weights file beside it (weights
+    via pretrained_pipe_single_file, or sharded safetensors) must still
+    drive the architecture (review finding)."""
+    import json
+    import os
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.sana import build_sana_config
+
+    mdir = tmp_path / "model"
+    os.makedirs(mdir)
+    (mdir / "config.json").write_text(json.dumps({
+        "num_layers": 3, "qk_norm": "rms_norm_across_heads"}))
+    params = TrainingParameters.from_dict({
+        "urls": [], "batch_size": "1", "learning_rate": "1e-4",
+        "steps": "1", "num_steps_per_validation": "10",
+        "validation_prompts": [],
+        "pretrained_model_path": str(mdir),
+    })
+    cfg = build_sana_config(params)
+    assert cfg.num_layers == 3
+    assert cfg.qk_norm == "rms_norm_across_heads"

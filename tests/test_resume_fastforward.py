@@ -217,3 +217,32 @@ def test_engine_fastforward_falls_back_only_on_skip_unsupported():
     cache = FeatureCache(enc, cache_size=2)
     with pytest.raises(TypeError, match="real bug"):
         cache.skip_batches(1)
+
+
+def test_skip_batches_epoch_boundary_partial_repeat():
+    """Skip landing EXACTLY on an epoch boundary with a partial-repeat
+    remainder: the partial must carry to the next epoch's first batch
+    instead of being dropped (dropping replays repeats the checkpointed
+    run already trained on — review finding).  E=3 batches, repeat=2,
+    skip 7 → resume yields [0, 1, 1, 2, 2], not [0, 0, 1, 1, 2, 2]."""
+    from yat_tpu.train.encode import OnTheFlyEncodingSampler
+
+    class Imgs:
+        def __iter__(self):
+            for i in range(3):
+                yield Batch(ratio="1.0",
+                            images=np.full((1, 4, 4, 3), i, np.uint8),
+                            captions=[f"c{i}"])
+
+    enc = OnTheFlyEncodingSampler(
+        Imgs(),
+        lambda im: np.full((len(im), 2, 2, 4), float(im[0, 0, 0, 0]),
+                           np.float32),
+        lambda caps: [np.zeros((3, 8), np.float32) for _ in caps],
+        max_caption_len=8, repeat=2)
+    enc.skip_batches(7)            # k=3 (one full epoch), r=1
+    got = []
+    while len(got) < 5:            # engine re-iterates on StopIteration
+        for b in enc:
+            got.append(int(b.latents[0, 0, 0, 0]))
+    assert got == [0, 1, 1, 2, 2], got

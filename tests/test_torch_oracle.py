@@ -290,8 +290,13 @@ def test_sana_block_matches_torch():
         h = F.layer_norm(tx, (d,))
         h = h * (1 + sc1) + sh1
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
-        q = F.relu(h @ lin("attn1.to_q.kernel")).reshape(b, n, heads, hd)
-        k = F.relu(h @ lin("attn1.to_k.kernel")).reshape(b, n, heads, hd)
+        # per-head RMS q/k norm applies to the LINEAR attention too
+        # (diffusers passes the block's qk_norm to both attentions);
+        # norm before relu, matching LiteLinearAttention
+        q = (h @ lin("attn1.to_q.kernel")).reshape(b, n, heads, hd)
+        k = (h @ lin("attn1.to_k.kernel")).reshape(b, n, heads, hd)
+        q = F.relu(_torch_rms_lastdim(q, lin("attn1.norm_q.scale")))
+        k = F.relu(_torch_rms_lastdim(k, lin("attn1.norm_k.scale")))
         v = (h @ lin("attn1.to_v.kernel")).reshape(b, n, heads, hd)
         kv = torch.einsum("bnhd,bnhe->bhde", k, v)
         num = torch.einsum("bnhd,bhde->bnhe", q, kv)

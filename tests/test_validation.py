@@ -155,3 +155,57 @@ def test_batched_validation_matches_per_prompt():
     for k in batched:
         np.testing.assert_allclose(batched[k], sequential[k],
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_validation_batch_chunking_matches():
+    """validation_batch caps the prompts per sampling scan; chunked
+    results equal the all-at-once batch (memory cap, review finding)."""
+    from yat_tpu.train.state import TrainState
+    from yat_tpu.train.validation import validation_prompt_groups
+
+    class P:
+        low_vram = False
+        validation_batch = 2
+
+    groups = list(validation_prompt_groups(P(), ["a", "b", "c"]))
+    assert groups == [(0, ["a", "b"]), (2, ["c"])]
+    P.low_vram = True
+    assert [g for _, g in validation_prompt_groups(P(), ["a", "b"])] == \
+        [["a"], ["b"]]
+    P.low_vram = False
+    P.validation_batch = 0          # 0 = all prompts in one scan
+    assert list(validation_prompt_groups(P(), ["a", "b", "c"])) == \
+        [(0, ["a", "b", "c"])]
+
+    cfg = SANA_TINY_TEST
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                           jnp.zeros((1, 16, 32)), jnp.zeros((1,)),
+                           jnp.ones((1, 16), jnp.int32))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], adapters=None,
+                       adapters_meta=None, opt_state=None, ema=None)
+
+    def encode_prompts(prompts):
+        embs = [jax.random.normal(jax.random.PRNGKey(len(p)),
+                                  (16, 32)) * 0.1 for p in prompts]
+        return {"embeddings": jnp.stack(embs),
+                "text_mask": jnp.ones((len(prompts), 16), jnp.int32)}
+
+    def make_pipe():
+        return ValidationPipeline(model, FlowMatchSchedule(shift=1.0),
+                                  latent_shape=(8, 8, 4),
+                                  encode_prompts=encode_prompts,
+                                  guidance_scale=5.0, num_steps=2)
+
+    prompts = ["a cat", "a much longer dog prompt", "xy"]
+    t_all = DummyTrainer(state, prompts)
+    t_all.params.validation_batch = 0
+    batched = make_pipe()(t_all)
+    t_chunk = DummyTrainer(state, prompts)
+    t_chunk.params.validation_batch = 2
+    chunked = make_pipe()(t_chunk)
+    assert set(batched) == set(chunked)
+    for k in batched:
+        np.testing.assert_allclose(batched[k], chunked[k],
+                                   atol=1e-5, rtol=1e-4)

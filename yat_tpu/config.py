@@ -79,7 +79,8 @@ _KNOWN_KEYS = frozenset({
     "train_unconditional_prob", "unfreeze_modules", "url_probs", "urls",
     "use_adamw_8bit", "use_adamw_8bit ", "use_calculated_features",
     "use_ema", "use_preservation", "use_repa", "vae_max_batch_size",
-    "validation_prompts", "warmup_compile", "warmup_steps", "weight_decay",
+    "validation_batch", "validation_prompts", "warmup_compile",
+    "warmup_steps", "weight_decay",
 })
 
 
@@ -227,6 +228,10 @@ class TrainingParameters:
     caption_length_bucketing: bool = False  # pad captions to 128-multiples
     warmup_compile: bool = False            # pre-compile every bucket shape
     lora_fused_matmul: bool = True          # merged W+sAB fwd, chain bwd
+    # max prompts per batched validation sampling scan (memory cap; CFG
+    # doubles and PAG triples the effective batch).  0 = all prompts in
+    # one scan; low_vram forces 1.
+    validation_batch: int = 4
     # partial finetune: update only params whose path contains a pattern
     # (unfreeze_sana_blocks capability, patch_sana_attention_layers.py)
     unfreeze_modules: Optional[list] = None
@@ -343,7 +348,7 @@ class TrainingParameters:
         p.use_adamw_8bit = ("use_adamw_8bit" in raw) or ("use_adamw_8bit " in raw)
 
         # adapters (reader :171-196)
-        if "int8_w8a8" in raw and "lora_rank" not in raw:
+        if _truthy(raw, "int8_w8a8") and "lora_rank" not in raw:
             raise ConfigError("'int8_w8a8' requires an adapter block "
                               "('lora_rank' + 'lora_base_model_8bit')")
         if "lora_rank" in raw:
@@ -429,6 +434,10 @@ class TrainingParameters:
             p.lora_fused_matmul = _truthy(raw, "lora_fused_matmul")
         if "resume_data_fastforward" in raw:
             p.resume_data_fastforward = _truthy(raw, "resume_data_fastforward")
+        p.validation_batch = _as_int(raw, "validation_batch", 4)
+        if p.validation_batch < 0:
+            raise ConfigError("'validation_batch' must be >= 0 "
+                              "(0 = all prompts in one scan)")
         p.unfreeze_modules = raw.get("unfreeze_modules")
         if isinstance(p.unfreeze_modules, str):
             p.unfreeze_modules = [p.unfreeze_modules]

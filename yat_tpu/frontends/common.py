@@ -190,14 +190,25 @@ def find_model_config_json(params: TrainingParameters):
     valid load)."""
     import json
     import os
+    candidates = []
     dirpath = _find_denoiser_dir(params)
-    if dirpath is None:
-        return None
-    cfg_path = os.path.join(dirpath, "config.json")
-    if not os.path.exists(cfg_path):
-        return None
-    with open(cfg_path) as f:
-        return json.load(f)
+    if dirpath is not None:
+        candidates.append(dirpath)
+    # fall back to config-only directories (weights may arrive via
+    # pretrained_pipe_single_file, or as sharded safetensors the loader
+    # doesn't index): an architecture config must never be silently
+    # ignored just because no monolithic weights file sits beside it
+    if params.pretrained_model_path:
+        candidates.append(params.pretrained_model_path)
+    if params.pretrained_pipe_path:
+        candidates.append(os.path.join(params.pretrained_pipe_path,
+                                       "transformer"))
+    for c in candidates:
+        cfg_path = os.path.join(c, "config.json")
+        if os.path.isdir(c) and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                return json.load(f)
+    return None
 
 
 def load_pretrained_backbone(params: TrainingParameters, family: str,

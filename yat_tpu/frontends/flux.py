@@ -225,10 +225,12 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
                     (other.num_steps, other.guidance_scale, other.seed))
 
         def __call__(self, trainer):
-            # all prompts in ONE sampling scan (batch = #prompts) like
-            # ValidationPipeline; per-prompt results identical to the
-            # sequential loop (seed_noise tiles one seed-42 draw).
-            # low_vram samples prompt-at-a-time.
+            # prompts sample in batched scans (validation_prompt_groups
+            # chunking, shared with ValidationPipeline); per-prompt
+            # results identical to the sequential loop (seed_noise tiles
+            # one seed-42 draw).  low_vram samples prompt-at-a-time.
+            from yat_tpu.train.validation import (
+                tile_batch, validation_prompt_groups)
             prompts = trainer.params.validation_prompts or []
             if not prompts:
                 return {}
@@ -236,14 +238,11 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
             variables = state.variables(trainable=state.ema) \
                 if state.ema is not None else state.variables()
             uncond1 = encode([""])
-            chunk = 1 if getattr(trainer.params, "low_vram", False) \
-                else len(prompts)
             images = {}
-            for start in range(0, len(prompts), chunk):
-                group = prompts[start:start + chunk]
+            for start, group in validation_prompt_groups(trainer.params,
+                                                         prompts):
                 emb = encode(group)
-                uncond = jnp.repeat(uncond1, len(group), axis=0) \
-                    if len(group) > 1 else uncond1
+                uncond = tile_batch(uncond1, len(group))
                 lat = self._sample(variables, emb, uncond)
                 decoded = np.asarray(holder["decode_latents"](lat))
                 for j, prompt in enumerate(group):

@@ -470,10 +470,10 @@ class LiteLinearAttention(nn.Module):
 
         # SANA-1.5/Sprint lineage: diffusers passes the block's qk_norm to
         # the linear self-attention too — across-heads RMS on the full
-        # inner dim before the head split.  The per-head 'rms'/'rms_norm'
-        # variant stays a softmax-attention feature (no published linear-
-        # attention checkpoint carries per-head norms; a checkpoint that
-        # did would fail the orphan-leaf check loudly).
+        # inner dim before the head split; per-head 'rms'/'rms_norm' after
+        # it (same variants as Attention, both before the kernel's relu,
+        # so a checkpoint carrying linear-block norm weights always has a
+        # matching param to land in).
         if self.qk_norm == "rms_norm_across_heads":
             q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
             k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
@@ -485,6 +485,10 @@ class LiteLinearAttention(nn.Module):
         q = q.reshape(b, n, self.num_heads, self.head_dim)
         k = k.reshape(b, n, self.num_heads, self.head_dim)
         v = v.reshape(b, n, self.num_heads, self.head_dim)
+
+        if self.qk_norm in ("rms", "rms_norm"):
+            q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
+            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
 
         # fused Pallas kernel on TPU; fp32-island einsum elsewhere
         # (relu is inside the kernel)

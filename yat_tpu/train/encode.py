@@ -143,6 +143,13 @@ class OnTheFlyEncodingSampler:
             for _ in range(self.repeat - partial):
                 yield encoded
             partial = 0
+        if partial:
+            # the skip landed exactly on an epoch boundary with a partial
+            # repeat remainder: the resumed iterator is already exhausted,
+            # so carry the partial to the NEXT epoch's first batch instead
+            # of dropping it (dropping replays repeats the checkpointed
+            # run already trained on — review finding)
+            self._resume_partial = partial
 
     def stop(self):
         stop = getattr(self.image_sampler, "stop", None)

@@ -32,6 +32,33 @@ from yat_tpu.ops.sampling import (
 from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
 
 
+def validation_prompt_groups(params, prompts):
+    """Yield ``(start, group)`` chunks of validation prompts: 1 at a time
+    under ``low_vram``, else up to ``validation_batch`` prompts (default 4;
+    0 = all) per jitted sampling scan — the memory cap for batched
+    validation (CFG doubles and PAG triples the effective batch).  Shared
+    by ValidationPipeline and the flux frontend so the chunking logic
+    cannot drift."""
+    if getattr(params, "low_vram", False):
+        chunk = 1
+    else:
+        chunk = int(getattr(params, "validation_batch", 4)) or len(prompts)
+    for start in range(0, len(prompts), max(1, chunk)):
+        yield start, prompts[start:start + max(1, chunk)]
+
+
+def tile_batch(x, p: int):
+    """Tile leading batch-1 arrays (or every batch-1 leaf of a dict) to
+    batch ``p`` — broadcasts unconditional embeddings / extra conditioning
+    across a prompt group."""
+    if isinstance(x, dict):
+        return {k: tile_batch(v, p) for k, v in x.items()}
+    if (hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+            and x.shape[0] == 1 and p > 1):
+        return jnp.repeat(jnp.asarray(x), p, axis=0)
+    return x
+
+
 class ValidationPipeline:
     """Bundles denoiser + schedule + encoders/decoder into validate_fn.
 
@@ -149,12 +176,12 @@ class ValidationPipeline:
 
     # ------------------------------------------------------------------
     def __call__(self, trainer) -> Dict[str, np.ndarray]:
-        """All prompts sample in ONE jitted CFG scan (batch = #prompts):
-        batch-1 inference leaves the MXU mostly idle, and the reference's
-        per-prompt pipeline calls serialize P full sampling programs.
-        Per-prompt results are IDENTICAL to the sequential loop — every
-        prompt starts from the same seed-42 noise either way
-        (ops/sampling.seed_noise), pinned by
+        """Prompts sample in batched jitted CFG scans (up to
+        ``validation_batch`` prompts per scan): batch-1 inference leaves
+        the MXU mostly idle, and the reference's per-prompt pipeline calls
+        serialize P full sampling programs.  Per-prompt results are
+        IDENTICAL to the sequential loop — every prompt starts from the
+        same seed-42 noise either way (ops/sampling.seed_noise), pinned by
         tests/test_validation.py::test_batched_validation_matches_per_prompt.
         Under ``low_vram`` prompts go one at a time (sampling activations
         scale with the batch)."""
@@ -164,22 +191,14 @@ class ValidationPipeline:
         variables = self._variables_for(trainer)
         images: Dict[str, np.ndarray] = {}
         uncond1 = self.encode_prompts([""] * 1)
-        chunk = 1 if getattr(trainer.params, "low_vram", False) \
-            else len(prompts)
 
-        def tile(tree, p):
-            return {k: (jnp.repeat(jnp.asarray(v), p, axis=0)
-                        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
-                        and v.shape[0] == 1 and p > 1 else v)
-                    for k, v in tree.items()}
-
-        for start in range(0, len(prompts), chunk):
-            group = prompts[start:start + chunk]
+        for start, group in validation_prompt_groups(trainer.params,
+                                                     prompts):
             enhanced = [self.prompt_transform(p) if self.prompt_transform
                         else p for p in group]
-            cond = tile({**self.encode_prompts(enhanced),
-                         **self.extra_cond}, len(group))
-            uncond = tile({**uncond1, **self.extra_cond}, len(group))
+            cond = tile_batch({**self.encode_prompts(enhanced),
+                               **self.extra_cond}, len(group))
+            uncond = tile_batch({**uncond1, **self.extra_cond}, len(group))
             latents = self._sample_latents(variables, cond, uncond)
             if self.decode_latents is not None:
                 decoded = np.asarray(self.decode_latents(latents))
