@@ -357,6 +357,32 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"# {res}px rung b={b2} failed: {str(e)[:200]}")
 
+    # (measured before the older rungs: int8/w8a8 is the newest
+    # path and must not be squeezed out by a slow tunnel)
+    # int8-base + Lion-8bit rung (the bitsandbytes-parity path,
+    # ops/quant.py + ops/opt8bit.py): LoRA over an int8-quantized frozen
+    # base with blockwise-int8 momentum — regression-tests the quantized
+    # compute path's throughput, not just its numerics
+    rung_int8 = None
+    if budget_left(40.0):
+        try:
+            v, rtfi = measure(16, False, warmup=2, iters=10,
+                              int8_base=True)
+            rung_int8 = {"value": round(v / n_chips, 3),
+                         "batch_size": 16}
+            # w8a8 variant: int8 activations x int8 base on the
+            # double-rate int8 MXU (config key int8_w8a8)
+            try:
+                v8, _ = measure(16, False, warmup=2, iters=10,
+                                int8_base=True, w8a8=True)
+                rung_int8["w8a8_value"] = round(v8 / n_chips, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"# w8a8 variant failed: {str(e)[:200]}")
+        except Exception as e:  # noqa: BLE001
+            print(f"# int8-base rung failed: {str(e)[:200]}")
+    else:
+        print("# int8-base rung skipped (wall-clock budget)")
+
     # 4096-token rung from an ACTUAL train graph (VERDICT r2 weak #3): the
     # axon remote-compile helper rejects the full 28-layer 2048px graph,
     # so run 4 layers at the full 4096-token sequence — the per-layer cost
@@ -431,29 +457,6 @@ def main():
     else:
         print("# caption-128 rung skipped (wall-clock budget)")
 
-    # int8-base + Lion-8bit rung (the bitsandbytes-parity path,
-    # ops/quant.py + ops/opt8bit.py): LoRA over an int8-quantized frozen
-    # base with blockwise-int8 momentum — regression-tests the quantized
-    # compute path's throughput, not just its numerics
-    rung_int8 = None
-    if budget_left(40.0):
-        try:
-            v, rtfi = measure(16, False, warmup=2, iters=10,
-                              int8_base=True)
-            rung_int8 = {"value": round(v / n_chips, 3),
-                         "batch_size": 16}
-            # w8a8 variant: int8 activations x int8 base on the
-            # double-rate int8 MXU (config key int8_w8a8)
-            try:
-                v8, _ = measure(16, False, warmup=2, iters=10,
-                                int8_base=True, w8a8=True)
-                rung_int8["w8a8_value"] = round(v8 / n_chips, 3)
-            except Exception as e:  # noqa: BLE001
-                print(f"# w8a8 variant failed: {str(e)[:200]}")
-        except Exception as e:  # noqa: BLE001
-            print(f"# int8-base rung failed: {str(e)[:200]}")
-    else:
-        print("# int8-base rung skipped (wall-clock budget)")
 
     out = {
         "metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
