@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure data-plane math.
+
+These functions sit under every sampler and encoder path; a unit test
+pins a handful of examples, a property test pins the INVARIANTS:
+rung monotonicity/coverage, pad/mask consistency, bucket-choice
+determinism, u8 round-trip exactness.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(real=st.integers(0, 4096), budget=st.integers(1, 4096),
+       multiple=st.sampled_from([8, 32, 64, 128]))
+def test_caption_rung_invariants(real, budget, multiple):
+    from yat_tpu.data.sampler import caption_rung
+    rung = caption_rung(real, budget, multiple)
+    assert 1 <= rung <= budget
+    # covers the real length whenever the budget allows it
+    if real <= budget and budget % multiple == 0:
+        assert rung >= min(real, budget)
+    # a multiple of `multiple` unless capped by the budget
+    assert rung % multiple == 0 or rung == budget
+    # monotone in real
+    assert caption_rung(real + 1, budget, multiple) >= rung
+
+
+@settings(max_examples=100, deadline=None)
+@given(lengths=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+       max_len=st.integers(1, 48), d=st.integers(1, 8))
+def test_pad_embeddings_invariants(lengths, max_len, d):
+    from yat_tpu.data.sampler import pad_embeddings
+    rng = np.random.default_rng(0)
+    embs = [rng.standard_normal((n, d)).astype(np.float32)
+            for n in lengths]
+    out, mask = pad_embeddings(embs, max_len)
+    assert out.shape[0] == len(lengths) and out.shape[2] == d
+    assert mask.shape == out.shape[:2]
+    for i, n in enumerate(lengths):
+        keep = min(n, out.shape[1])
+        assert mask[i, :keep].all() and not mask[i, keep:].any()
+        np.testing.assert_array_equal(out[i, :keep], embs[i][:keep])
+        assert (out[i, keep:] == 0).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(ratio=st.floats(0.2, 5.0, allow_nan=False))
+def test_find_closest_ratio_is_argmin(ratio):
+    from yat_tpu.data.bins import ASPECT_RATIO_512_BIN, find_closest_ratio
+    key = find_closest_ratio(ratio, ASPECT_RATIO_512_BIN)
+    err = abs(float(key) - ratio)
+    best = min(abs(float(k) - ratio) for k in ASPECT_RATIO_512_BIN)
+    assert err == best
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_u8_unit_roundtrip_exact(seed):
+    """u8 → unit-range float → u8 must be the identity byte-for-byte
+    (the uint8-native host plane's correctness contract)."""
+    import jax
+    from yat_tpu.frontends.common import pixels_to_u8, u8_to_unit
+    rng = np.random.default_rng(seed)
+    u8 = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    # uint8 passes through untouched
+    np.testing.assert_array_equal(pixels_to_u8(u8), u8)
+    # u8 → [-1,1] on device → re-quantize on host = identity
+    unit = np.asarray(u8_to_unit(jax.numpy.asarray(u8)))
+    np.testing.assert_array_equal(pixels_to_u8(unit), u8)
