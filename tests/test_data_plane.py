@@ -149,7 +149,8 @@ class TestImageBucketSampler:
                                   [(512, 512)] * 2 + [(256, 512)] * 2)
         sampler = ImageBucketSampler(
             LocalShardSource([p], seed=0), batch_size=2,
-            aspect_ratios=ASPECT_RATIO_512_BIN)
+            aspect_ratios=ASPECT_RATIO_512_BIN,
+            shuffle_buffer=1)     # bucketing mechanics, not sample order
         batches = []
         for b in sampler:
             batches.append(b)

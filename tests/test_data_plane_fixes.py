@@ -1,0 +1,164 @@
+"""Regressions for the data-plane/distributed review findings (round 3):
+dead shuffle_buffer, corrupt-image replacement, mixed-pooled loud fail,
+UrlShardSource failure cap, Dreambooth finite reg source, distributed
+bring-up, allgather poisoning."""
+
+import os
+from collections import deque
+
+import cv2
+import numpy as np
+import pytest
+
+from yat_tpu.data.bins import ASPECT_RATIO_256_BIN
+from yat_tpu.data.sampler import (
+    FeatureBucketSampler,
+    ImageBucketSampler,
+    LocalShardSource,
+    UrlShardSource,
+)
+from yat_tpu.data.tar import TarShardWriter
+
+
+def _image_shard(path, n, hw=(256, 256)):
+    rng = np.random.default_rng(0)
+    with TarShardWriter(str(path)) as w:
+        for i in range(n):
+            img = rng.integers(0, 255, (*hw, 3), np.uint8)
+            ok, enc = cv2.imencode(".jpg", img)
+            w.write({"__key__": f"{i:04d}", "jpg": enc.tobytes(),
+                     "txt": f"caption {i:04d}"})
+    return str(path)
+
+
+def test_image_sampler_shuffles_within_buffer(tmp_path):
+    """shuffle_buffer must actually shuffle: samples previously bucketed
+    in raw tar order (dead parameter — review finding)."""
+    shard = _image_shard(tmp_path / "s.tar", n=24)
+
+    def order_of(shuffle_buffer, seed=3):
+        s = ImageBucketSampler(LocalShardSource([shard], seed=0), 1,
+                               ASPECT_RATIO_256_BIN, seed=seed,
+                               shuffle_buffer=shuffle_buffer,
+                               use_native=False)
+        caps = []
+        for b in s:
+            caps.extend(b.captions)
+            if len(caps) >= 24:
+                break
+        return caps
+
+    shuffled = order_of(16)
+    assert set(shuffled) <= {f"caption {i:04d}" for i in range(24)}
+    # the source cycles epochs while the buffer holds samples back, so we
+    # only assert ORDER, not an exact one-epoch set
+    assert shuffled != sorted(shuffled), "shuffle_buffer had no effect"
+    # deterministic from the seed (multi-host lockstep relies on it)
+    assert shuffled == order_of(16)
+
+
+def test_emit_replaces_undecodable_instead_of_zero_fill():
+    """A sample whose bytes cannot decode at emit is replaced by another
+    sample from the batch (image AND caption) — never zero-filled black
+    pixels against a real caption (review finding)."""
+    s = ImageBucketSampler.__new__(ImageBucketSampler)
+    s.batch_size = 2
+    s.aspect_ratios = {"1.0": (32, 32)}
+    s.native = None
+    s.buckets = {}
+    good = np.full((32, 32, 3), 200, np.uint8)
+    s.buckets["1.0"] = deque([(good, "good"), (b"not an image", "bad")])
+    batch = s._emit("1.0")
+    assert batch is not None
+    assert batch.captions == ["good", "good"]
+    assert (batch.images[1] == batch.images[0]).all()
+    assert batch.images[1].max() > 0
+
+    # every sample undecodable → the batch is dropped, not emitted black
+    s.buckets["1.0"] = deque([(b"junk1", "a"), (b"junk2", "b")])
+    assert s._emit("1.0") is None
+
+
+def test_feature_sampler_mixed_pooled_fails_loudly():
+    s = FeatureBucketSampler.__new__(FeatureBucketSampler)
+    s.batch_size = 2
+    s.max_caption_len = 8
+    s.caption_buckets = None
+    s.latent_dtype = np.float32
+    lat = np.zeros((4, 4, 4), np.float32)
+    emb = np.zeros((3, 8), np.float32)
+    s.buckets = {"1.0": deque([
+        (lat, emb, np.zeros((6,), np.float32), False),
+        (lat, emb, None, False),
+    ])}
+    with pytest.raises(ValueError, match="pooled"):
+        s._emit("1.0")
+
+
+def test_url_source_fails_fast_on_persistent_failures(tmp_path,
+                                                      monkeypatch):
+    monkeypatch.setattr(UrlShardSource, "_MAX_CONSECUTIVE_FAILURES", 2)
+    src = UrlShardSource(["http://127.0.0.1:1/nope.tar"], seed=0,
+                         local_temp_dir=str(tmp_path / "temp"))
+    with pytest.raises(RuntimeError, match="consecutive url download"):
+        next(iter(src))
+    src.stop()
+
+
+def test_dreambooth_finite_reg_source_cycles(tmp_path):
+    """A finite reg shard source (a plain list) wraps around instead of
+    dying with the PEP-479 RuntimeError (review finding)."""
+    from yat_tpu.data.sampler import DreamboothSampler
+
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        cv2.imwrite(str(inst / f"i{i}.png"), img)
+    reg_shard = _image_shard(tmp_path / "reg.tar", n=2, hw=(64, 64))
+
+    s = DreamboothSampler(
+        instance_folder=str(inst), regularization_folder=None,
+        instance="sks", class_name="dog", num_repeats=1, batch_size=2,
+        aspect_ratios={"1.0": (64, 64)}, num_regularisation_passes=2,
+        seed=0, reg_shard_source=[reg_shard])
+    kinds = []
+    for b in s:
+        kinds.append(bool(b.is_regularization))
+        if len(kinds) >= 6:      # 2 epochs of inst+2 reg passes survive
+            break
+    assert True in kinds and False in kinds
+
+
+def test_initialize_distributed_calls_through(monkeypatch):
+    """The already-initialized check must not initialize the backends
+    (jax.process_count() does) — jax.distributed.initialize would then
+    always raise (review finding)."""
+    import jax
+
+    from yat_tpu.parallel.multihost import initialize_distributed
+
+    calls = {}
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.setdefault("kw", kw))
+    initialize_distributed(coordinator_address="h:1", num_processes=4,
+                           process_id=2)
+    assert calls["kw"]["num_processes"] == 4
+
+    calls.clear()
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    initialize_distributed(coordinator_address="h:1", num_processes=4,
+                           process_id=2)
+    assert not calls, "must no-op when already initialized"
+
+
+def test_windowed_sync_poisoned_after_timeout():
+    from yat_tpu.parallel.multihost import WindowedBucketSync
+    sync = WindowedBucketSync.__new__(WindowedBucketSync)
+    sync.allgather_timeout = 1.0
+    sync._poisoned = True
+    with pytest.raises(RuntimeError, match="poisoned"):
+        sync._guarded_allgather(np.zeros((1,), np.int32))

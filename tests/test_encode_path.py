@@ -543,3 +543,52 @@ def test_u8_and_float_images_encode_identically():
     u8 = rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
     flt = u8.astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(enc_img(u8), enc_img(flt), rtol=0, atol=0)
+
+
+def test_extract_features_writes_pooled_and_exact_bound(tmp_path):
+    """Pooled text embeddings flow through the extract phase into
+    pooled.npy (SDXL/SD3.5 shards previously lost them and training fell
+    back to zeros — review finding), and max_samples bounds the output
+    EXACTLY instead of overshooting to the batch boundary."""
+    from yat_tpu.data.bins import bin_for_resolution
+    from yat_tpu.data.sampler import (
+        FeatureBucketSampler, ImageBucketSampler, LocalShardSource)
+    from yat_tpu.train.extract import FeatureExtractor
+
+    shard = make_image_shard(tmp_path / "imgs.tar", n=8, hw=(256, 256))
+    sampler = ImageBucketSampler(
+        LocalShardSource([shard], seed=0), 4,
+        bin_for_resolution(256), seed=0)
+
+    def encode_images(imgs):
+        return np.zeros((len(imgs), 4, 4, 8), np.float32)
+
+    def encode_captions(caps):
+        return [np.ones((5, 16), np.float32) for _ in caps]
+
+    def encode_pooled(caps):
+        return np.full((len(caps), 12), 3.0, np.float32)
+
+    out_dir = str(tmp_path / "features")
+    ex = FeatureExtractor(sampler, encode_images, encode_captions,
+                          output_dir=out_dir, shard_size=16,
+                          max_samples=5, encode_pooled=encode_pooled)
+    n = ex.run()
+    assert n == 5, f"max_samples must bound exactly, wrote {n}"
+
+    shards = sorted(os.listdir(out_dir))
+    samples = [s for sh in shards
+               for s in iter_tar_samples(os.path.join(out_dir, sh))]
+    assert len(samples) == 5
+    for s in samples:
+        assert "pooled.npy" in s, "pooled conditioning lost in extraction"
+        np.testing.assert_array_equal(s["pooled.npy"],
+                                      np.full((12,), 3.0, np.float32))
+
+    # and the training-side sampler yields it as pooled_text
+    fs = FeatureBucketSampler(
+        LocalShardSource([os.path.join(out_dir, sh) for sh in shards],
+                         seed=0), 2, max_caption_len=8, seed=0)
+    batch = next(iter(fs))
+    assert batch.pooled_text is not None
+    assert batch.pooled_text.shape[-1] == 12

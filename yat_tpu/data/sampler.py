@@ -122,10 +122,13 @@ class UrlShardSource:
             return self.rng.choices(self.urls, weights=self.probs, k=1)[0]
         return self.urls[self.rng.randrange(len(self.urls))]
 
+    _MAX_CONSECUTIVE_FAILURES = 20
+
     def _worker(self):
         from yat_tpu.data.r2 import download_tar
         os.makedirs(self.temp, exist_ok=True)
         item = 0
+        failures = 0
         while not self._stop.is_set():
             url = self._pick()
             path = os.path.join(self.temp,
@@ -134,7 +137,19 @@ class UrlShardSource:
                 download_tar(url, path)
             except Exception as e:  # noqa: BLE001
                 print(f"[sampler] url download failed, skipping: {e}")
+                failures += 1
+                if failures >= self._MAX_CONSECUTIVE_FAILURES:
+                    # every URL failing is expiry/misconfiguration, not
+                    # transient weather: surface it instead of spinning
+                    # forever while the consumer hangs in q.get()
+                    # (RemoteShardSource got this guard first)
+                    self.q.put(RuntimeError(
+                        f"{failures} consecutive url download failures "
+                        f"(last: {e}) — the urls are likely expired or "
+                        "misconfigured"))
+                    return
                 continue
+            failures = 0
             self.q.put(path)
             item += 1
 
@@ -144,6 +159,8 @@ class UrlShardSource:
             self._started = True
         while True:
             path = self.q.get()
+            if isinstance(path, Exception):
+                raise path
             yield path
             if os.path.exists(path):
                 os.remove(path)
@@ -334,7 +351,17 @@ class FeatureBucketSampler:
                                     self.max_caption_len,
                                     length_buckets=self.caption_buckets)
         pooled = None
-        if items[0][2] is not None:
+        have_pooled = [p is not None for _, _, p, _ in items]
+        if any(have_pooled):
+            if not all(have_pooled):
+                # mixed shards (one extraction run wrote pooled.npy, one
+                # did not) must fail loudly: deciding from items[0] alone
+                # either crashed on np.asarray(None) or silently dropped
+                # real pooled conditioning for the whole batch
+                raise ValueError(
+                    f"bucket {key!r} mixes samples with and without "
+                    "pooled.npy — re-extract the shards with one "
+                    "consistent encoder pipeline")
             pooled = np.stack([np.asarray(p, np.float32).reshape(-1)
                                for _, _, p, _ in items])
         return Batch(ratio=key, latents=latents, embeddings=embs,
@@ -493,25 +520,64 @@ class ImageBucketSampler:
             return self.caption_fn(elem)
         return elem.get("txt")
 
-    def _emit(self, key: str) -> Batch:
+    def _emit(self, key: str) -> Optional[Batch]:
         items = [self.buckets[key].popleft() for _ in range(self.batch_size)]
         th, tw = (int(d) for d in self.aspect_ratios[key])
         raw = [im for im, _ in items]
+        captions = [c for _, c in items]
+        # samples whose deferred decode fails at emit (header parsed but
+        # the body is undecodable) are REPLACED by another sample from the
+        # batch — never zero-filled (training black pixels against a real
+        # caption silently poisons the run) and never shape-shrunk (every
+        # batch size would recompile).  The reference skips undecodable
+        # images at ingest; deferred decode only discovers them here.
+        bad: list = []
         if self.native is not None and all(isinstance(r, bytes) for r in raw):
             images, status = self.native.decode_batch(raw, th, tw, u8=True)
             for i in np.nonzero(status != 0)[0]:
                 img = self.decode_image(raw[int(i)])
-                images[int(i)] = (self.resize_u8(img, key)
-                                  if img is not None else 0)
+                if img is not None:
+                    images[int(i)] = self.resize_u8(img, key)
+                else:
+                    bad.append(int(i))
         else:
             decoded = [r if not isinstance(r, bytes)
                        else self.decode_image(r) for r in raw]
-            images = np.stack([self.resize_u8(im, key)
-                               for im in decoded])
-        captions = [c for _, c in items]
+            bad = [i for i, im in enumerate(decoded) if im is None]
+            shape = (int(th), int(tw), 3)
+            images = np.stack([
+                self.resize_u8(im, key) if im is not None
+                else np.zeros(shape, np.uint8) for im in decoded])
+        if bad:
+            good = [i for i in range(len(raw)) if i not in set(bad)]
+            if not good:
+                print(f"[sampler] dropping bucket batch {key}: every "
+                      "image failed to decode")
+                return None
+            for j, b in enumerate(bad):
+                g = good[j % len(good)]
+                images[b] = images[g]
+                captions[b] = captions[g]
         return Batch(ratio=key, images=images, captions=captions)
 
+    def _bucket_and_emit(self, payload, ratio, caption) -> Iterator[Batch]:
+        key = find_closest_ratio(ratio, self.aspect_ratios)
+        self.buckets.setdefault(key, deque()).append((payload, caption))
+        for k in sorted(k for k, v in self.buckets.items()
+                        if len(v) >= self.batch_size):
+            batch = self._emit(k)
+            if batch is None:       # every image in the batch undecodable
+                continue
+            for _ in range(self.bucket_repeat):
+                yield batch
+
     def __iter__(self) -> Iterator[Batch]:
+        # bounded shuffle like FeatureBucketSampler (reference
+        # .shuffle(1000), bucket_sampler.py:218): without it samples
+        # bucket in raw tar order and correlated shards emit runs of
+        # near-identical batches (the shuffle_buffer parameter was
+        # previously accepted but never used — review finding)
+        buf: list = []
         for shard_path in self.source:
             for elem in iter_tar_samples(shard_path):
                 img_bytes = next((elem[e] for e in IMAGE_EXTS if e in elem),
@@ -532,14 +598,16 @@ class ImageBucketSampler:
                         continue
                     item = (img, img.shape[0] / img.shape[1])
                 payload, ratio = item                    # h/w (:333-335)
-                key = find_closest_ratio(ratio, self.aspect_ratios)
-                self.buckets.setdefault(key, deque()).append(
-                    (payload, caption))
-                for k in sorted(k for k, v in self.buckets.items()
-                                if len(v) >= self.batch_size):
-                    batch = self._emit(k)
-                    for _ in range(self.bucket_repeat):
-                        yield batch
+                buf.append((payload, ratio, caption))
+                if len(buf) < self.shuffle_buffer:
+                    continue
+                idx = self.rng.randrange(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield from self._bucket_and_emit(*buf.pop())
+        while buf:
+            idx = self.rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield from self._bucket_and_emit(*buf.pop())
 
     def stop(self):
         stop = getattr(self.source, "stop", None)
@@ -597,6 +665,8 @@ class DreamboothSampler(ImageBucketSampler):
         for k in sorted(k for k, v in self.buckets.items()
                         if len(v) >= self.batch_size):
             b = self._emit(k)
+            if b is None:
+                continue
             b.is_regularization = is_reg
             yield b
 
@@ -616,7 +686,20 @@ class DreamboothSampler(ImageBucketSampler):
             self.buckets.clear()
             for _ in range(self.num_reg_passes):
                 if self.reg_shard_source is not None:
-                    shard = next(self.reg_shard_source)
+                    try:
+                        shard = next(self.reg_shard_source)
+                    except StopIteration:
+                        # finite reg source (a list of local shards): cycle
+                        # — an unguarded next() inside this generator would
+                        # surface as PEP-479 RuntimeError and kill the
+                        # stream (review finding)
+                        self.reg_shard_source = iter(self._reg_source_raw)
+                        try:
+                            shard = next(self.reg_shard_source)
+                        except StopIteration:
+                            print("[dreambooth] regularization shard "
+                                  "source is empty; skipping reg pass")
+                            continue
                     for elem in iter_tar_samples(shard):
                         data = next((elem[e] for e in IMAGE_EXTS if e in elem),
                                     None)

@@ -26,8 +26,16 @@ import numpy as np
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Idempotent jax.distributed bring-up (no-op single-process)."""
-    if jax.process_count() > 1:
+    """Idempotent jax.distributed bring-up (no-op single-process).
+
+    The already-initialized check must NOT touch ``jax.process_count()``:
+    querying it initializes the XLA backends, after which
+    ``jax.distributed.initialize`` unconditionally raises ("must be called
+    before any JAX computations are executed") — the original guard made
+    multi-process bring-up impossible (review finding).
+    ``jax.distributed.is_initialized()`` reads coordination-service state
+    without initializing backends."""
+    if jax.distributed.is_initialized():
         return
     if coordinator_address is None:
         return  # single-process run
@@ -96,6 +104,15 @@ class WindowedBucketSync:
         leave the longer host blocked in its final rendezvous forever —
         raise with state instead (VERDICT r2 #7)."""
         from jax.experimental import multihost_utils
+        if getattr(self, "_poisoned", False):
+            # a previous timeout abandoned a daemon thread still parked in
+            # its rendezvous; any further collective from this object
+            # could pair with that zombie and corrupt the sequence —
+            # refuse deterministically instead
+            raise RuntimeError(
+                "WindowedBucketSync is poisoned by an earlier allgather "
+                "timeout — restart the run; its abandoned rendezvous "
+                "cannot be safely rejoined")
         if not self.allgather_timeout:
             return np.asarray(multihost_utils.process_allgather(local))
         import threading
@@ -114,6 +131,7 @@ class WindowedBucketSync:
         if "error" in box:
             raise box["error"]  # type: ignore[misc]
         if "value" not in box:
+            self._poisoned = True
             raise RuntimeError(
                 f"WindowedBucketSync allgather #{self._ingested // self.window} "
                 f"did not complete within {self.allgather_timeout:.0f}s — "

@@ -39,10 +39,14 @@ class FeatureExtractor:
         upload_url_fn: Optional[Callable[[str, int], str]] = None,
         max_pending_uploads: int = 4,
         max_samples: Optional[int] = None,
+        encode_pooled: Optional[Callable[[List[str]], np.ndarray]] = None,
     ):
         self.sampler = sampler
         self.encode_images = encode_images
         self.encode_captions = encode_captions
+        # SDXL/SD3.5 pooled text conditioning: without it the extracted
+        # shards silently train with zeroed pooled vectors (review finding)
+        self.encode_pooled = encode_pooled
         self.output_dir = output_dir
         self.shard_size = shard_size
         self.vae_bs = vae_max_batch_size
@@ -86,7 +90,12 @@ class FeatureExtractor:
         embs: List[np.ndarray] = []
         for i in range(0, len(captions), tb):
             embs.extend(self.encode_captions(captions[i:i + tb]))
-        return latents, embs
+        pooled = None
+        if self.encode_pooled is not None:
+            pooled = np.concatenate([
+                np.asarray(self.encode_pooled(captions[i:i + tb]))
+                for i in range(0, len(captions), tb)])
+        return latents, embs, pooled
 
     # -- pipelined encoding: dispatch without forcing ---------------------
     def _dispatch_encode(self, images: np.ndarray, captions: List[str]):
@@ -101,21 +110,34 @@ class FeatureExtractor:
         img_d = getattr(self.encode_images, "dispatch", None)
         cap_d = getattr(self.encode_captions, "dispatch", None)
         if img_d is None or cap_d is None:
-            latents, embs = self._encode_chunked(images, captions)
-            return lambda: (latents, embs)
+            latents, embs, pooled = self._encode_chunked(images, captions)
+            return lambda: (latents, embs, pooled)
         vb = self.vae_bs or len(images)
         lat_fins = [img_d(images[i:i + vb])
                     for i in range(0, len(images), vb)]
         tb = self.te_bs or len(captions)
         cap_fins = [cap_d(captions[i:i + tb])
                     for i in range(0, len(captions), tb)]
+        pool_d = getattr(self.encode_pooled, "dispatch", None) \
+            if self.encode_pooled is not None else None
+        pool_fins = None
+        if self.encode_pooled is not None and pool_d is not None:
+            pool_fins = [pool_d(captions[i:i + tb])
+                         for i in range(0, len(captions), tb)]
 
         def finish():
             latents = np.concatenate([np.asarray(f()) for f in lat_fins])
             embs: List[np.ndarray] = []
             for f in cap_fins:
                 embs.extend(f())
-            return latents, embs
+            pooled = None
+            if pool_fins is not None:
+                pooled = np.concatenate([np.asarray(f()) for f in pool_fins])
+            elif self.encode_pooled is not None:
+                pooled = np.concatenate([
+                    np.asarray(self.encode_pooled(captions[i:i + tb]))
+                    for i in range(0, len(captions), tb)])
+            return latents, embs, pooled
 
         return finish
 
@@ -181,14 +203,21 @@ class FeatureExtractor:
                 nonlocal written, key, n_pending
                 ratio, finish, n = pending.popleft()
                 n_pending -= n
-                latents, embs = finish()
+                latents, embs, pooled = finish()
                 for i in range(len(latents)):
-                    w.write({
+                    if self.max_samples and written >= self.max_samples:
+                        # bound holds exactly, not to the batch boundary
+                        break
+                    elem = {
                         "__key__": f"{key:08d}",
                         "ratio": str(ratio),
                         "latent.npy": np.asarray(latents[i], np.float32),
                         "emb.npy": np.asarray(embs[i], np.float32),
-                    })
+                    }
+                    if pooled is not None:
+                        elem["pooled.npy"] = np.asarray(pooled[i],
+                                                        np.float32)
+                    w.write(elem)
                     key += 1
                     written += 1
 
@@ -238,7 +267,8 @@ def _build_extract_encoders(trainer):
                          "trainer — attach encode_images/encode_captions "
                          "or a family_spec")
     built = spec.build_encoders(trainer.params)
-    return built["encode_images"], built["encode_captions"]
+    return (built["encode_images"], built["encode_captions"],
+            built.get("encode_pooled"))
 
 
 def run_feature_extraction(trainer) -> int:
@@ -257,12 +287,19 @@ def run_feature_extraction(trainer) -> int:
     bins = bin_for_resolution(params.aspect_ratios or resolution)
     from yat_tpu.frontends.common import make_image_source
     source = make_image_source(params)   # local / urls / R2 per-host range
+    # extraction is a sequential full pass (DatasetFetcher parity,
+    # dataset_fetcher.py:31-89): no shuffle holdback — training shuffles
+    # later, and a bounded (max_samples) run must not starve behind a
+    # shuffle buffer
     sampler = ImageBucketSampler(source, params.batch_size, bins,
-                                 seed=params.dataset_seed)
+                                 seed=params.dataset_seed,
+                                 shuffle_buffer=1)
     encode_images = getattr(trainer, "encode_images", None)
     encode_captions = getattr(trainer, "encode_captions", None)
+    encode_pooled = getattr(trainer, "encode_pooled", None)
     if encode_images is None or encode_captions is None:
-        encode_images, encode_captions = _build_extract_encoders(trainer)
+        encode_images, encode_captions, encode_pooled = \
+            _build_extract_encoders(trainer)
 
     upload_url_fn = None
     if params.r2_endpoint and params.r2_upload_key:
@@ -286,7 +323,8 @@ def run_feature_extraction(trainer) -> int:
         shard_size=params.r2_upload_shard_size or 1000,
         vae_max_batch_size=params.vae_max_batch_size,
         text_encoder_max_batch_size=params.text_encoder_max_batch_size,
-        upload_url_fn=upload_url_fn)
+        upload_url_fn=upload_url_fn,
+        encode_pooled=encode_pooled)
     try:
         return ex.run(shard_pattern=pattern)
     finally:
