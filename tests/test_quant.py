@@ -152,3 +152,74 @@ def test_w8a8_flag_routes_adapter_dense():
     # LoRA contribution preserved; only int8 activation error remains
     np.testing.assert_allclose(np.asarray(y_w8a8), np.asarray(y_deq),
                                atol=0.08, rtol=0.08)
+
+
+class TestPallasW8A8:
+    """Pallas int8-MXU kernels (interpret mode) vs the XLA reference math.
+
+    The production path runs these on TPU only (``_pallas_w8a8_ok``);
+    interpret mode pins the kernel math — including the once-per-row-tile
+    scratch quantize — against the XLA int8 path bit-for-bit."""
+
+    def _with_pallas(self, fn):
+        from yat_tpu.ops import quant
+        quant._FORCE_PALLAS_INTERPRET = True
+        try:
+            return fn()
+        finally:
+            quant._FORCE_PALLAS_INTERPRET = False
+
+    def test_forward_matches_xla_path(self):
+        from yat_tpu.ops.quant import w8a8_matmul
+        x = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
+                              jnp.float32) * 2.0
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 256)) * 0.05
+        q, s = quantize_kernel(w, bits=8)
+        y_xla = w8a8_matmul(x, q, s)              # gate off: XLA path
+        y_pl = self._with_pallas(lambda: w8a8_matmul(x, q, s))
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_forward_3d_and_multi_nblock(self):
+        # N spans two 128-blocks and T two row-tiles: exercises the
+        # scratch reuse across j > 0 and the lead-dim flatten
+        from yat_tpu.ops.quant import w8a8_matmul
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 384)) * 0.1
+        q, s = quantize_kernel(w, bits=8)
+        y_xla = w8a8_matmul(x, q, s)
+        y_pl = self._with_pallas(lambda: w8a8_matmul(x, q, s))
+        np.testing.assert_allclose(
+            np.asarray(y_pl).astype(np.float32),
+            np.asarray(y_xla).astype(np.float32), rtol=1e-2, atol=1e-2)
+        assert y_pl.shape == (2, 128, 384) and y_pl.dtype == jnp.bfloat16
+
+    def test_backward_matches_xla_path(self):
+        from yat_tpu.ops.quant import w8a8_matmul
+        x = jax.random.normal(jax.random.PRNGKey(0), (128, 128), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 128)) * 0.1
+        q, s = quantize_kernel(w, bits=8)
+
+        def loss(t):
+            return jnp.sum(jnp.sin(w8a8_matmul(t, q, s)))
+
+        g_xla = jax.grad(loss)(x)
+        g_pl = self._with_pallas(lambda: jax.grad(loss)(x))
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unaligned_shapes_fall_back(self):
+        # K=160 is not 128-aligned (the GLUMB-down case): the gate must
+        # route to the XLA path even with the force flag on
+        from yat_tpu.ops import quant
+        from yat_tpu.ops.quant import w8a8_matmul
+        assert not quant._pallas_w8a8_ok(256, 160, 128)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 160), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (160, 96)) * 0.1
+        q, s = quantize_kernel(w, bits=8)
+        y = self._with_pallas(lambda: w8a8_matmul(x, q, s))
+        assert y.shape == (8, 96)
+        g = self._with_pallas(lambda: jax.grad(
+            lambda t: jnp.sum(w8a8_matmul(t, q, s) ** 2))(x))
+        assert bool(jnp.all(jnp.isfinite(g)))

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_kernel(w: jnp.ndarray, bits: int = 8
@@ -85,22 +87,150 @@ def _row_quantize(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return x8, scale
 
 
+# ---------------------------------------------------------------------------
+# Pallas int8-MXU matmul kernels.
+#
+# XLA's own int8 ``dot_general`` never reaches the v5e int8 MXU's double
+# rate — measured ~9 TOPS vs bf16's 45 TF/s at SANA shapes, and the
+# quantize→dot→rescale pattern gets rewritten to a dequant-fused bf16
+# matmul (BASELINE.md round-3 microbench).  A hand-written Pallas kernel
+# does reach it: 309 TOPS int8 vs 169 TF/s bf16 (1.82x) at
+# [4096,1152]x[1152,1152] on the chip.  The kernels below quantize the
+# activation per row ONCE per row-tile into a VMEM scratch (at the first
+# N/K block, reused across the rest) so the VPU quantize cost is
+# amortized, then run int8×int8→int32 MXU dots with the fp32 rescale
+# fused at the output.
+
+_FORCE_PALLAS_INTERPRET = False   # tests: run the Pallas path interpreted
+
+
+def _pallas_w8a8_ok(T: int, K: int, N: int) -> bool:
+    """Pallas path gate: lane-aligned dims, bounded VMEM, TPU backend.
+
+    SANA-0.6B: qkv/out/cross-attn/GLUMB-up all align; GLUMB-down
+    (K=2880, 22.5 lanes) falls back to the XLA dequant-bf16 matmul."""
+    if not (T % 128 == 0 and K % 128 == 0 and N % 128 == 0):
+        return False
+    if K > 6144 or N > 6144:      # scratch/operand VMEM bound
+        return False
+    if _FORCE_PALLAS_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _largest_block(dim: int) -> int:
+    for b in (512, 384, 256, 128):
+        if dim % b == 0:
+            return b
+    raise ValueError(dim)
+
+
+def _i8_fwd_kernel(x_ref, q_ref, ws_ref, o_ref, x8_scr, xs_scr):
+    # quantize the row-tile once (j == 0), reuse for every N block
+    @pl.when(pl.program_id(1) == 0)
+    def _quant():
+        x32 = x_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        x8_scr[...] = jnp.clip(jnp.round(x32 / scale),
+                               -127, 127).astype(jnp.int8)
+        xs_scr[...] = scale
+
+    y32 = lax.dot_general(x8_scr[...], q_ref[...], (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    o_ref[...] = (y32.astype(jnp.float32) * xs_scr[...]
+                  * ws_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _i8_bwd_kernel(g_ref, ws_ref, q_ref, o_ref, g8_scr, gs_scr):
+    # fold the per-output-channel weight scale into g, quantize once
+    @pl.when(pl.program_id(1) == 0)
+    def _quant():
+        g32 = g_ref[...].astype(jnp.float32) * ws_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(g32), axis=-1, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        g8_scr[...] = jnp.clip(jnp.round(g32 / scale),
+                               -127, 127).astype(jnp.int8)
+        gs_scr[...] = scale
+
+    # dx block = g8 [BM, N] contracted with q [BK, N] on N  → [BM, BK]
+    y32 = lax.dot_general(g8_scr[...], q_ref[...], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    o_ref[...] = (y32.astype(jnp.float32) * gs_scr[...]).astype(o_ref.dtype)
+
+
+def _pallas_w8a8_fwd2d(x2: jnp.ndarray, q: jnp.ndarray,
+                       w_scale: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    T, K = x2.shape
+    N = q.shape[1]
+    bm = 256 if T % 256 == 0 else 128
+    bn = _largest_block(N)
+    ws2 = w_scale.reshape(1, N).astype(jnp.float32)
+    return pl.pallas_call(
+        _i8_fwd_kernel,
+        grid=(T // bm, N // bn),
+        in_specs=[pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+                  pl.BlockSpec((K, bn), lambda i, j: (0, j)),
+                  pl.BlockSpec((1, bn), lambda i, j: (0, j))],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((T, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, K), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_FORCE_PALLAS_INTERPRET,
+    )(x2, q, ws2)
+
+
+def _pallas_w8a8_bwd2d(g2: jnp.ndarray, q: jnp.ndarray,
+                       w_scale: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    T, N = g2.shape
+    K = q.shape[0]
+    bm = 256 if T % 256 == 0 else 128
+    bk = _largest_block(K)
+    ws2 = w_scale.reshape(1, N).astype(jnp.float32)
+    return pl.pallas_call(
+        _i8_bwd_kernel,
+        grid=(T // bm, K // bk),
+        in_specs=[pl.BlockSpec((bm, N), lambda i, j: (i, 0)),
+                  pl.BlockSpec((1, N), lambda i, j: (0, 0)),
+                  pl.BlockSpec((bk, N), lambda i, j: (j, 0))],
+        out_specs=pl.BlockSpec((bm, bk), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((T, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, N), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_FORCE_PALLAS_INTERPRET,
+    )(g2, ws2, q)
+
+
 @jax.custom_vjp
 def w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray,
                 w_scale: jnp.ndarray) -> jnp.ndarray:
     """``x @ dequant(q)`` computed as an int8×int8→int32 MXU matmul.
 
-    The v5e MXU runs int8 at twice the bf16 rate; with the base frozen
-    (LoRA training) this halves the dominant base-matmul time.  The
-    activation is quantized dynamically per token (symmetric absmax,
-    LLM.int8-style); ``q`` is the per-output-channel int8 kernel from
-    :func:`quantize_kernel`.  Backward is straight-through: the rounding
-    is treated as identity and dx is computed the same way (int8 dot of
-    the per-row-quantized, scale-folded upstream gradient against ``q``
-    contracted on its output axis).  Opt-in via the ``int8_w8a8`` config
-    key — replaces the reference's bitsandbytes int8 forward
-    (/root/reference/common/trainer.py:90-91) with the MXU-rate version.
+    The v5e MXU runs int8 at ~1.8x the bf16 rate — but ONLY through a
+    hand-written Pallas kernel (XLA's int8 dot lowers ~5x slower than
+    bf16; BASELINE.md round-3 microbench).  The activation is quantized
+    dynamically per token (symmetric absmax, LLM.int8-style) inside the
+    kernel, once per row-tile; ``q`` is the per-output-channel int8
+    kernel from :func:`quantize_kernel`.  Backward is straight-through:
+    the rounding is treated as identity and dx = (g · diag(w_scale)) @ qᵀ
+    runs on the int8 MXU the same way.  Shapes whose dims aren't
+    128-aligned (SANA's GLUMB-down K=2880) fall back to XLA int8 math.
+    Opt-in via the ``int8_w8a8`` config key — replaces the reference's
+    bitsandbytes int8 forward (/root/reference/common/trainer.py:90-91)
+    with the MXU-rate version.
     """
+    K, N = q.shape
+    lead = x.shape[:-1]
+    T = 1
+    for d in lead:
+        T *= int(d)
+    if _pallas_w8a8_ok(T, K, N):
+        y = _pallas_w8a8_fwd2d(x.reshape(T, K), q, w_scale, x.dtype)
+        return y.reshape(*lead, N)
     x8, x_scale = _row_quantize(x.astype(jnp.float32))
     y32 = lax.dot_general(x8, q, (((x.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
@@ -114,13 +244,20 @@ def _w8a8_fwd(x, q, w_scale):
 
 def _w8a8_bwd(res, g):
     q, w_scale = res
-    # fold the per-output-channel weight scale into g, then per-row
-    # quantize so dx = (g · diag(w_scale)) @ qᵀ runs on the int8 MXU too
-    g32 = g.astype(jnp.float32) * w_scale[None, :].astype(jnp.float32)
-    g8, g_scale = _row_quantize(g32)
-    dx32 = lax.dot_general(g8, q, (((g.ndim - 1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.int32)
-    dx = (dx32.astype(jnp.float32) * g_scale).astype(g.dtype)
+    K, N = q.shape
+    lead = g.shape[:-1]
+    T = 1
+    for d in lead:
+        T *= int(d)
+    if _pallas_w8a8_ok(T, K, N):
+        dx = _pallas_w8a8_bwd2d(g.reshape(T, N), q, w_scale, g.dtype
+                                ).reshape(*lead, K)
+    else:
+        g32 = g.astype(jnp.float32) * w_scale[None, :].astype(jnp.float32)
+        g8, g_scale = _row_quantize(g32)
+        dx32 = lax.dot_general(g8, q, (((g.ndim - 1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+        dx = (dx32.astype(jnp.float32) * g_scale).astype(g.dtype)
     # q is int8 (tangent type float0); w_scale grads are defined as zero —
     # the quantized base is frozen by contract (quant_scales is a
     # non-trainable collection), so nothing ever consumes them
