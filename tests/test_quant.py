@@ -169,16 +169,38 @@ class TestPallasW8A8:
         finally:
             quant._FORCE_PALLAS_INTERPRET = False
 
-    def test_forward_matches_xla_path(self):
+    @staticmethod
+    def _xla_int8_ref(x, q, s):
+        from yat_tpu.ops.quant import _row_quantize
+        x8, xs = _row_quantize(x.astype(jnp.float32))
+        y32 = jax.lax.dot_general(
+            x8, q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y32.astype(jnp.float32) * xs
+                * s[None, :].astype(jnp.float32)).astype(x.dtype)
+
+    def test_forward_matches_int8_reference(self):
         from yat_tpu.ops.quant import w8a8_matmul
         x = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
                               jnp.float32) * 2.0
         w = jax.random.normal(jax.random.PRNGKey(1), (128, 256)) * 0.05
         q, s = quantize_kernel(w, bits=8)
-        y_xla = w8a8_matmul(x, q, s)              # gate off: XLA path
+        y_ref = self._xla_int8_ref(x, q, s)
         y_pl = self._with_pallas(lambda: w8a8_matmul(x, q, s))
-        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_fallback_is_dequant_matmul(self):
+        # off the int8 MXU, w8a8_matmul runs the dequant-bf16 form —
+        # exact vs the dequant reference, NOT activation-quantized
+        from yat_tpu.ops.quant import w8a8_matmul
+        x = jax.random.normal(jax.random.PRNGKey(0), (7, 128), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 96)) * 0.1
+        q, s = quantize_kernel(w, bits=8)
+        y = w8a8_matmul(x, q, s)       # T=7: unaligned → fallback
+        y_deq = x @ (q.astype(jnp.float32) * s[None, :])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_deq),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_forward_3d_and_multi_nblock(self):
         # N spans two 128-blocks and T two row-tiles: exercises the
@@ -188,15 +210,16 @@ class TestPallasW8A8:
                               jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (128, 384)) * 0.1
         q, s = quantize_kernel(w, bits=8)
-        y_xla = w8a8_matmul(x, q, s)
+        y_ref = self._xla_int8_ref(x.reshape(256, 128).astype(jnp.float32),
+                                   q, s).reshape(2, 128, 384)
         y_pl = self._with_pallas(lambda: w8a8_matmul(x, q, s))
         np.testing.assert_allclose(
             np.asarray(y_pl).astype(np.float32),
-            np.asarray(y_xla).astype(np.float32), rtol=1e-2, atol=1e-2)
+            np.asarray(y_ref).astype(np.float32), rtol=1e-2, atol=1e-2)
         assert y_pl.shape == (2, 128, 384) and y_pl.dtype == jnp.bfloat16
 
-    def test_backward_matches_xla_path(self):
-        from yat_tpu.ops.quant import w8a8_matmul
+    def test_backward_matches_int8_reference(self):
+        from yat_tpu.ops.quant import _row_quantize, w8a8_matmul
         x = jax.random.normal(jax.random.PRNGKey(0), (128, 128), jnp.float32)
         w = jax.random.normal(jax.random.PRNGKey(1), (128, 128)) * 0.1
         q, s = quantize_kernel(w, bits=8)
@@ -204,9 +227,17 @@ class TestPallasW8A8:
         def loss(t):
             return jnp.sum(jnp.sin(w8a8_matmul(t, q, s)))
 
-        g_xla = jax.grad(loss)(x)
+        # straight-through reference dx: cotangent of sin∘(int8 ref fwd),
+        # scale-folded row-quantized, contracted against q's output axis
+        y_ref = self._xla_int8_ref(x, q, s)
+        g_out = jnp.cos(y_ref)
+        g32 = g_out * s[None, :].astype(jnp.float32)
+        g8, gs = _row_quantize(g32)
+        dx_ref = (jax.lax.dot_general(
+            g8, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * gs)
         g_pl = self._with_pallas(lambda: jax.grad(loss)(x))
-        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(dx_ref),
                                    rtol=1e-5, atol=1e-5)
 
     def test_unaligned_shapes_fall_back(self):

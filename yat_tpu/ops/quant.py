@@ -218,7 +218,9 @@ def w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray,
     kernel from :func:`quantize_kernel`.  Backward is straight-through:
     the rounding is treated as identity and dx = (g · diag(w_scale)) @ qᵀ
     runs on the int8 MXU the same way.  Shapes whose dims aren't
-    128-aligned (SANA's GLUMB-down K=2880) fall back to XLA int8 math.
+    128-aligned (SANA's GLUMB-down K=2880) fall back to the
+    dequant-fused bf16 matmul — faster than XLA's int8 lowering and
+    strictly more accurate (no activation quantize off the int8 MXU).
     Opt-in via the ``int8_w8a8`` config key — replaces the reference's
     bitsandbytes int8 forward (/root/reference/common/trainer.py:90-91)
     with the MXU-rate version.
@@ -231,11 +233,13 @@ def w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray,
     if _pallas_w8a8_ok(T, K, N):
         y = _pallas_w8a8_fwd2d(x.reshape(T, K), q, w_scale, x.dtype)
         return y.reshape(*lead, N)
-    x8, x_scale = _row_quantize(x.astype(jnp.float32))
-    y32 = lax.dot_general(x8, q, (((x.ndim - 1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.int32)
-    y = y32.astype(jnp.float32) * x_scale * w_scale[None, :].astype(jnp.float32)
-    return y.astype(x.dtype)
+    # Shapes that can't reach the int8 MXU (unaligned dims, tiny T, CPU)
+    # use the dequant-fused bf16 matmul: XLA rewrites the int8-dot form
+    # to this anyway but keeps the lossy activation quantize
+    # (~6.5 ms/step of abs/clamp/rescale fusions in the device trace for
+    # SANA's K=2880 GLUMB-down alone) — the explicit form is both faster
+    # and strictly more accurate (no activation rounding).
+    return x @ dequantize_kernel(q, w_scale, x.dtype)
 
 
 def _w8a8_fwd(x, q, w_scale):
@@ -253,11 +257,8 @@ def _w8a8_bwd(res, g):
         dx = _pallas_w8a8_bwd2d(g.reshape(T, N), q, w_scale, g.dtype
                                 ).reshape(*lead, K)
     else:
-        g32 = g.astype(jnp.float32) * w_scale[None, :].astype(jnp.float32)
-        g8, g_scale = _row_quantize(g32)
-        dx32 = lax.dot_general(g8, q, (((g.ndim - 1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-        dx = (dx32.astype(jnp.float32) * g_scale).astype(g.dtype)
+        # dequant-bf16 form for shapes off the int8 MXU (see forward)
+        dx = g @ dequantize_kernel(q, w_scale, g.dtype).T
     # q is int8 (tangent type float0); w_scale grads are defined as zero —
     # the quantized base is frozen by contract (quant_scales is a
     # non-trainable collection), so nothing ever consumes them
