@@ -1,0 +1,169 @@
+"""Loss-math parity against a torch (float64) reimplementation of the
+reference's training pipeline.
+
+The block-level forwards are oracled in test_torch_oracle.py; these tests pin
+the OTHER half of loss-curve parity: the scheduler tables and the
+draw -> add_noise -> target -> fp32-MSE chain, computed independently in
+torch float64 exactly as the reference does it:
+
+* FlowMatchEulerDiscreteScheduler sigma table with shift
+  (/root/reference/train_sana.py:41,183-207: sigmas are reversed
+  ``linspace(1, N, N)/N`` passed through ``shift*s/(1+(shift-1)*s)``).
+* DDPM scaled_linear betas -> cumulative alphas
+  (/root/reference/train_pixart_sigma.py:37,173-184; diffusers
+  DDPMScheduler ``scaled_linear``: ``linspace(b0**.5, b1**.5, N)**2``).
+* The end-to-end loss value through the real ``make_flow_matching_loss`` /
+  ``make_epsilon_loss`` closures with a stub model, so every intermediate
+  (noising, learned-sigma slice, snr weighting, fp32 cast before the MSE —
+  train_sana.py:207-219) is covered, not just the tables.
+
+The internal rng splits of ``task_loss`` are reconstructed in the test with
+the same ``jax.random.split`` calls, so the torch side sees bit-identical
+draws without monkeypatching.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
+from yat_tpu.train.tasks import make_epsilon_loss, make_flow_matching_loss
+
+
+# ---------------------------------------------------------------------------
+# Scheduler tables vs torch float64 reference math
+# ---------------------------------------------------------------------------
+
+def reference_flowmatch_sigmas(n: int, shift: float) -> torch.Tensor:
+    """diffusers FlowMatchEulerDiscreteScheduler.__init__ table math."""
+    timesteps = torch.linspace(1, n, n, dtype=torch.float64).flip(0)
+    sigmas = timesteps / n
+    return shift * sigmas / (1 + (shift - 1) * sigmas)
+
+
+def reference_ddpm_alphas_cumprod(n: int, b0: float, b1: float) -> torch.Tensor:
+    """diffusers DDPMScheduler 'scaled_linear' cumulative alphas."""
+    betas = torch.linspace(b0 ** 0.5, b1 ** 0.5, n, dtype=torch.float64) ** 2
+    return torch.cumprod(1.0 - betas, dim=0)
+
+
+@pytest.mark.parametrize("shift", [1.0, 3.0, 6.0])
+def test_flowmatch_sigma_table_matches_torch_reference(shift):
+    ours = np.asarray(FlowMatchSchedule(shift=shift).sigmas())
+    ref = reference_flowmatch_sigmas(1000, shift).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-7)
+    # and the timesteps the model is conditioned on: sigma * N
+    ts = np.asarray(FlowMatchSchedule(shift=shift).timesteps())
+    np.testing.assert_allclose(ts, ref * 1000.0, rtol=0, atol=2e-4)
+
+
+def test_ddpm_alphas_cumprod_matches_torch_reference():
+    sched = DDPMSchedule()  # SD1.5/SDXL/PixArt scaled_linear 0.00085..0.012
+    ours = np.asarray(sched.alphas_cumprod())
+    ref = reference_ddpm_alphas_cumprod(1000, 0.00085, 0.012).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=3e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end loss values through the real task_loss closures
+# ---------------------------------------------------------------------------
+
+class _StubModel:
+    """Deterministic 'denoiser': pred = 0.5 * x_t + 0.1 (optionally with a
+    junk learned-sigma half so the channel slice is exercised)."""
+
+    def __init__(self, learned_sigma: bool = False):
+        self.learned_sigma = learned_sigma
+
+    def apply(self, variables, x_t, embeddings, timesteps, text_mask=None,
+              **kwargs):
+        pred = 0.5 * x_t + 0.1
+        if self.learned_sigma:
+            pred = jnp.concatenate([pred, jnp.ones_like(pred)], axis=-1)
+        return pred
+
+
+def _torch_stub(x_t: torch.Tensor) -> torch.Tensor:
+    return 0.5 * x_t + 0.1
+
+
+def _batch(b=4, h=8, w=8, c=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "latents": jnp.asarray(
+            rng.standard_normal((b, h, w, c)).astype(np.float32)),
+        "embeddings": jnp.asarray(
+            rng.standard_normal((b, 16, 32)).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize("snr_weighting", [False, True])
+def test_flow_matching_loss_value_matches_torch(snr_weighting):
+    sched = FlowMatchSchedule(shift=3.0)
+    loss_fn = make_flow_matching_loss(_StubModel(), sched,
+                                      snr_weighting=snr_weighting)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    got = float(loss_fn({}, batch, rng))
+
+    # reconstruct the closure's internal draws with the same split calls
+    k_t, k_n, _ = jax.random.split(rng, 3)
+    b = batch["latents"].shape[0]
+    _, sigmas = sched.training_draw(k_t, b)
+    noise = jax.random.normal(k_n, batch["latents"].shape,
+                              batch["latents"].dtype)
+
+    x = torch.from_numpy(np.asarray(batch["latents"])).double()
+    eps = torch.from_numpy(np.asarray(noise)).double()
+    s = torch.from_numpy(np.asarray(sigmas)).double().view(b, 1, 1, 1)
+    x_t = (1.0 - s) * x + s * eps          # train_sana.py:207
+    pred = _torch_stub(x_t)
+    target = eps - x                        # train_sana.py:217
+    err = (pred - target) ** 2
+    if snr_weighting:
+        err = err * s ** -2.0
+    expected = float(err.mean())            # fp32 MSE, train_sana.py:219
+    assert got == pytest.approx(expected, rel=2e-5)
+
+
+@pytest.mark.parametrize("learned_sigma", [False, True])
+def test_epsilon_loss_value_matches_torch(learned_sigma):
+    sched = DDPMSchedule()
+    loss_fn = make_epsilon_loss(_StubModel(learned_sigma=learned_sigma),
+                                sched, learned_sigma=learned_sigma)
+    batch = _batch(seed=3)
+    rng = jax.random.PRNGKey(11)
+    got = float(loss_fn({}, batch, rng))
+
+    k_t, k_n, _ = jax.random.split(rng, 3)
+    b = batch["latents"].shape[0]
+    timesteps = sched.training_draw(k_t, b)
+    noise = jax.random.normal(k_n, batch["latents"].shape,
+                              batch["latents"].dtype)
+
+    abar_tbl = reference_ddpm_alphas_cumprod(1000, 0.00085, 0.012)
+    abar = abar_tbl[torch.from_numpy(np.asarray(timesteps)).long()]
+    abar = abar.view(b, 1, 1, 1)
+    x = torch.from_numpy(np.asarray(batch["latents"])).double()
+    eps = torch.from_numpy(np.asarray(noise)).double()
+    x_t = abar.sqrt() * x + (1.0 - abar).sqrt() * eps
+    pred = _torch_stub(x_t)                 # learned-sigma half sliced off
+    expected = float(((pred - eps) ** 2).mean())  # target = eps
+    assert got == pytest.approx(expected, rel=2e-5)
+
+
+def test_refiner_timestep_list_draws_only_listed_steps():
+    """common/trainer.py:51-64: refiner mode restricts training draws to a
+    fixed timestep list."""
+    sched = DDPMSchedule()
+    listed = (17, 421, 900)
+    ts = np.asarray(sched.training_draw(jax.random.PRNGKey(0), 256,
+                                        timestep_list=listed))
+    assert set(np.unique(ts)).issubset(set(listed))
+    fm = FlowMatchSchedule(shift=3.0)
+    sig_tbl = np.asarray(fm.sigmas())
+    _, sig = fm.training_draw(jax.random.PRNGKey(1), 256,
+                              timestep_list=listed)
+    assert set(np.unique(np.asarray(sig))).issubset(set(sig_tbl[list(listed)]))
