@@ -99,10 +99,12 @@ def test_w8a8_matmul_matches_dequant_forward():
     q, s = quantize_kernel(w, bits=8)
     y_ref = x @ (q.astype(jnp.float32) * s[None, :])
     y = w8a8_matmul(x, q, s)
-    # activation quant adds per-token error ~1/127 · |row| · sqrt(K)-ish;
-    # forward must track the dequant reference within int8 resolution
+    # T=132 is not 128-aligned, so this exercises the dequant-bf16
+    # FALLBACK branch of w8a8_matmul, which is exact against the dequant
+    # reference (the quantized-activation Pallas path is pinned in
+    # TestPallasW8A8 below)
     err = float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max())
-    assert err < 0.03, err
+    assert err < 1e-5, err
 
 
 def test_w8a8_backward_straight_through():
@@ -112,10 +114,31 @@ def test_w8a8_backward_straight_through():
     q, s = quantize_kernel(w, bits=8)
     wd = q.astype(jnp.float32) * s[None, :]
 
+    # unaligned dims → exact dequant fallback for both fwd and dx (the
+    # custom VJP must stay consistent with whatever form the forward
+    # took); the int8-quantized straight-through dx is pinned in
+    # TestPallasW8A8
     g_ref = jax.grad(lambda t: jnp.sum(jnp.sin(t @ wd)))(x)
     g = jax.grad(lambda t: jnp.sum(jnp.sin(w8a8_matmul(t, q, s))))(x)
     err = float(jnp.abs(g - g_ref).max() / jnp.abs(g_ref).max())
-    assert err < 0.05, err
+    assert err < 1e-5, err
+
+
+def test_pallas_gate_requires_single_device(monkeypatch):
+    """pallas_call has no GSPMD partitioning rule — the Pallas w8a8 path
+    must not engage inside a multi-device mesh-sharded step (it would
+    force full replication of the activation per matmul); aligned shapes
+    on a multi-device TPU backend fall back to the shardable
+    dequant-bf16 matmul."""
+    from yat_tpu.ops import quant
+
+    monkeypatch.setattr(quant.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(quant.jax, "device_count", lambda: 8)
+    assert not quant._pallas_w8a8_ok(256, 1152, 1152)
+    monkeypatch.setattr(quant.jax, "device_count", lambda: 1)
+    assert quant._pallas_w8a8_ok(256, 1152, 1152)
+    # unaligned dims stay out even single-device
+    assert not quant._pallas_w8a8_ok(132, 1152, 1152)
 
 
 def test_w8a8_flag_routes_adapter_dense():

@@ -17,6 +17,7 @@ into the base exactly like QLoRA.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Tuple
 
 import jax
@@ -105,17 +106,23 @@ _FORCE_PALLAS_INTERPRET = False   # tests: run the Pallas path interpreted
 
 
 def _pallas_w8a8_ok(T: int, K: int, N: int) -> bool:
-    """Pallas path gate: lane-aligned dims, bounded VMEM, TPU backend.
+    """Pallas path gate: lane-aligned dims, bounded VMEM, TPU backend,
+    single device.
 
     SANA-0.6B: qkv/out/cross-attn/GLUMB-up all align; GLUMB-down
-    (K=2880, 22.5 lanes) falls back to the XLA dequant-bf16 matmul."""
+    (K=2880, 22.5 lanes) falls back to the XLA dequant-bf16 matmul.
+    Multi-device falls back too: ``pallas_call`` lowers to a custom call
+    with no GSPMD partitioning rule, so inside a mesh-sharded train step
+    the partitioner would have to replicate the full [T, K] activation
+    and [T, N] gradient on every device (an all-gather per matmul per
+    layer) — the dequant-bf16 matmul shards cleanly instead."""
     if not (T % 128 == 0 and K % 128 == 0 and N % 128 == 0):
         return False
     if K > 6144 or N > 6144:      # scratch/operand VMEM bound
         return False
     if _FORCE_PALLAS_INTERPRET:
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _largest_block(dim: int) -> int:
@@ -129,12 +136,8 @@ def _i8_fwd_kernel(x_ref, q_ref, ws_ref, o_ref, x8_scr, xs_scr):
     # quantize the row-tile once (j == 0), reuse for every N block
     @pl.when(pl.program_id(1) == 0)
     def _quant():
-        x32 = x_ref[...].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-        x8_scr[...] = jnp.clip(jnp.round(x32 / scale),
-                               -127, 127).astype(jnp.int8)
-        xs_scr[...] = scale
+        x8_scr[...], xs_scr[...] = _row_quantize(
+            x_ref[...].astype(jnp.float32))
 
     y32 = lax.dot_general(x8_scr[...], q_ref[...], (((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
@@ -147,11 +150,7 @@ def _i8_bwd_kernel(g_ref, ws_ref, q_ref, o_ref, g8_scr, gs_scr):
     @pl.when(pl.program_id(1) == 0)
     def _quant():
         g32 = g_ref[...].astype(jnp.float32) * ws_ref[...].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(g32), axis=-1, keepdims=True)
-        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-        g8_scr[...] = jnp.clip(jnp.round(g32 / scale),
-                               -127, 127).astype(jnp.int8)
-        gs_scr[...] = scale
+        g8_scr[...], gs_scr[...] = _row_quantize(g32)
 
     # dx block = g8 [BM, N] contracted with q [BK, N] on N  → [BM, BK]
     y32 = lax.dot_general(g8_scr[...], q_ref[...], (((1,), (1,)), ((), ())),
@@ -221,15 +220,15 @@ def w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray,
     128-aligned (SANA's GLUMB-down K=2880) fall back to the
     dequant-fused bf16 matmul — faster than XLA's int8 lowering and
     strictly more accurate (no activation quantize off the int8 MXU).
+    Multi-device meshes take the same fallback: the Pallas custom call
+    has no GSPMD partitioning rule (see ``_pallas_w8a8_ok``).
     Opt-in via the ``int8_w8a8`` config key — replaces the reference's
     bitsandbytes int8 forward (/root/reference/common/trainer.py:90-91)
     with the MXU-rate version.
     """
     K, N = q.shape
     lead = x.shape[:-1]
-    T = 1
-    for d in lead:
-        T *= int(d)
+    T = math.prod(lead)
     if _pallas_w8a8_ok(T, K, N):
         y = _pallas_w8a8_fwd2d(x.reshape(T, K), q, w_scale, x.dtype)
         return y.reshape(*lead, N)
@@ -250,9 +249,7 @@ def _w8a8_bwd(res, g):
     q, w_scale = res
     K, N = q.shape
     lead = g.shape[:-1]
-    T = 1
-    for d in lead:
-        T *= int(d)
+    T = math.prod(lead)
     if _pallas_w8a8_ok(T, K, N):
         dx = _pallas_w8a8_bwd2d(g.reshape(T, N), q, w_scale, g.dtype
                                 ).reshape(*lead, K)
