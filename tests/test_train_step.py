@@ -147,6 +147,41 @@ def test_preservation_loss_pulls_toward_base(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_preservation_full_finetune_uses_frozen_snapshot(setup):
+    """Under FULL finetune the preservation reference must be the INITIAL
+    params snapshot (create_train_state preserve_base), not the live tree
+    — comparing the model to itself would silently no-op
+    (/root/reference/README.md:81-82 documents preservation generally,
+    not only for adapters)."""
+    model, variables, batch = setup
+    params = tiny_params()
+    tx = make_optimizer(params)
+    state = create_train_state(variables["params"], tx, preserve_base=True)
+    assert state.frozen_base is not None
+    sched = FlowMatchSchedule(shift=1.0)
+    pres = make_preservation_loss(model, sched, is_flow=True)
+    step = make_train_step(task_loss=make_flow_matching_loss(model, sched),
+                           tx=tx, preservation_ratio=0.5,
+                           preservation_loss=pres, donate=False)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(4):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    # the snapshot stays bit-identical to init while params train away
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(state.frozen_base)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]),
+                           np.asarray(jax.tree.leaves(state.frozen_base)[0]))
+    # and the preservation term is non-trivial: with drifted params the
+    # base_variables reference now differs from the live model
+    v_live = state.variables(state.trainable)
+    pl_val = float(pres(v_live, state.base_variables(), batch,
+                        jax.random.PRNGKey(7)))
+    assert pl_val > 0.0
+
+
 def test_uncond_dropout_swaps_embeddings(setup):
     model, variables, batch = setup
     params = tiny_params()

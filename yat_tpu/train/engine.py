@@ -165,7 +165,12 @@ class Trainer:
         state = create_train_state(
             base_params, self.tx, adapters=adapters,
             adapters_meta=meta, use_ema=params.use_ema,
-            quant_scales=quant_scales)
+            quant_scales=quant_scales,
+            # full finetune + preservation needs an initial-params
+            # snapshot as the reference copy (state.py base_variables)
+            preserve_base=(params.use_preservation
+                           and self.preservation_loss is not None
+                           and adapters is None))
         self.state = shard_pytree(state, self.mesh)
 
         self._step_fn = make_train_step(

@@ -29,6 +29,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any = None
     ema: Optional[Any] = None               # shadow of the trainable tree
     quant_scales: Optional[Any] = None      # int8/int4 base (ops/quant.py)
+    frozen_base: Optional[Any] = None       # preservation ref for full FT
 
     @property
     def trainable(self):
@@ -48,8 +49,14 @@ class TrainState(struct.PyTreeNode):
 
     def base_variables(self):
         """Variables with adapters *disabled* (the frozen base model) —
-        the preservation-loss reference copy, free of charge."""
-        out = {"params": self.params}
+        the preservation-loss reference copy.  With adapter training the
+        untouched ``params`` tree serves free of charge; under FULL
+        finetune ``params`` is the tree being trained, so a
+        ``frozen_base`` snapshot (create_train_state ``preserve_base``)
+        is required — without it preservation would compare the model to
+        itself and silently no-op."""
+        out = {"params": self.frozen_base if self.frozen_base is not None
+               else self.params}
         if self.quant_scales is not None:
             out["quant_scales"] = self.quant_scales
         return out
@@ -130,8 +137,17 @@ def create_train_state(
     adapters_meta: Optional[Any] = None,
     use_ema: bool = False,
     quant_scales: Optional[Any] = None,
+    preserve_base: bool = False,
 ) -> TrainState:
+    """``preserve_base`` snapshots the initial params as the preservation
+    reference — needed ONLY for full finetune with ``use_preservation``
+    (adapter training gets the frozen base for free; see
+    ``TrainState.base_variables``).  Costs one extra copy of the params
+    tree in HBM."""
     trainable = adapters if adapters is not None else base_params
+    frozen = None
+    if preserve_base and adapters is None:
+        frozen = jax.tree.map(jnp.copy, base_params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=base_params,
@@ -140,4 +156,5 @@ def create_train_state(
         opt_state=tx.init(trainable),
         ema=jax.tree.map(jnp.copy, trainable) if use_ema else None,
         quant_scales=quant_scales,
+        frozen_base=frozen,
     )
