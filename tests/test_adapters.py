@@ -360,3 +360,50 @@ class TestMergedLoraForward:
                                        rtol=1e-5, atol=1e-5)
         finally:
             layers.set_lora_merged_forward(True)
+
+
+def test_underscore_suffix_matching():
+    """The reference-yaml surface [to_q, to_k, to_v, to_out] must adapt
+    the stream-prefixed flattened names (MMDiT x_to_q/c_to_q, Flux
+    img_to_q/txt_to_q) — the '_' boundary is this framework's flattened
+    spelling of PEFT's '.' boundary (builder._matches docstring)."""
+    from yat_tpu.adapters.builder import _matches
+    assert _matches(("blocks_0", "x_to_q"), ["to_q"])
+    assert _matches(("blocks_0", "txt_to_out"), ["to_out"])
+    assert _matches(("blocks_0", "attn", "to_q"), ["to_q"])   # dotted PEFT
+    assert not _matches(("blocks_0", "auto_q"), ["to_q"])     # no boundary
+    assert not _matches(("blocks_0", "to_q_proj"), ["to_q"])  # not a suffix
+
+
+def test_reference_target_list_matches_every_denoiser_family():
+    """configs/*.yaml all ship lora_target_modules [to_q, to_k, to_v,
+    to_out]; every denoiser family's parameter tree must accept it (the
+    MMDiT/Flux stream-prefixed names made this raise 'matched nothing'
+    before the underscore rule)."""
+    targets = ["to_q", "to_k", "to_v", "to_out"]
+    B = 2
+
+    def check(variables):
+        ad, _ = build_adapter_params(
+            variables, AdapterSpec("lora", rank=2, alpha=2,
+                                   target_modules=targets),
+            jax.random.PRNGKey(1))
+        assert len(jax.tree.leaves(ad)) > 0
+
+    from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiT
+    m = MMDiT(cfg=MMDIT_TINY_TEST, dtype=jnp.float32)
+    check(m.init(jax.random.PRNGKey(0), jnp.zeros((B, 8, 8, 16)),
+                 jnp.zeros((B, 8, 16)), jnp.zeros((B,)), None,
+                 pooled_text=jnp.zeros((B, 16))))
+
+    from yat_tpu.models.flux import (FLUX_TINY_TEST, FluxTransformer,
+                                     latent_ids)
+    fm = FluxTransformer(cfg=FLUX_TINY_TEST, dtype=jnp.float32)
+    check(fm.init(jax.random.PRNGKey(0), jnp.zeros((B, 16, 16)),
+                  jnp.zeros((B, 8, 16)), jnp.full((B,), 0.5),
+                  latent_ids(4, 4)))
+
+    from yat_tpu.models.pixeldit import PIXELDIT_TINY_TEST, PixelDiT
+    pm = PixelDiT(cfg=PIXELDIT_TINY_TEST, dtype=jnp.float32)
+    check(pm.init(jax.random.PRNGKey(0), jnp.zeros((B, 16, 16, 3)),
+                  jnp.zeros((B, 8, 16)), jnp.zeros((B,)), None))

@@ -58,13 +58,25 @@ class AdapterSpec:
 
 def _matches(path: Tuple[str, ...], targets: Sequence[str]) -> bool:
     """PEFT-style matching: the module name equals a target, or the dotted
-    path ends with '.' + target."""
+    path ends with '.' + target — plus an '_' + target suffix rule for the
+    stream-prefixed flattened names this framework uses.
+
+    diffusers nests attention projections (``attn.to_q``,
+    ``attn.add_q_proj``); the flax models here flatten the per-stream
+    modules into prefixed names (MMDiT ``x_to_q``/``c_to_q``, Flux
+    ``img_to_q``/``txt_to_q``).  A reference user's yaml listing
+    ``[to_q, to_k, to_v, to_out]`` (the PEFT surface) must keep adapting
+    those projections after migration, so ``to_q`` also matches a module
+    whose name ends with ``_to_q`` — the underscore is the flattened
+    spelling of PEFT's '.' boundary.  Note this adapts BOTH streams of a
+    dual-stream block (PEFT-on-diffusers would need add_q_proj listed
+    separately for the context stream)."""
     if not targets:
         return False
     name = path[-1]
     dotted = ".".join(path)
     for t in targets:
-        if name == t or dotted.endswith("." + t):
+        if name == t or dotted.endswith("." + t) or name.endswith("_" + t):
             return True
     return False
 
@@ -182,9 +194,11 @@ def build_adapter_params(
         _set_path(meta, path, meta_leaves)
 
     if matched == 0:
+        available = sorted({p[-1] for p, _ in _iter_kernels(params)})
         raise ValueError(
             f"target_modules {list(spec.target_modules)} matched nothing in "
-            "the base parameter tree")
+            f"the base parameter tree; adaptable module names include: "
+            f"{available[:24]}")
     return adapters, meta
 
 
