@@ -458,6 +458,22 @@ def main():
         print("# caption-128 rung skipped (wall-clock budget)")
 
 
+    # serving rung: batched 20-step CFG sampling + DC-AE decode — the
+    # inference-side throughput story (one jitted program per request
+    # batch, the production validation path)
+    rung_serve = None
+    if budget_left(45.0):
+        try:
+            v = measure_serving()
+            rung_serve = {"value": round(v / n_chips, 3), "batch_size": 4,
+                          "num_steps": 20, "resolution": 512,
+                          "unit": "images/sec/chip"}
+            print(f"# serving rung: {v / n_chips:.2f} imgs/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"# serving rung failed: {str(e)[:200]}")
+    else:
+        print("# serving rung skipped (wall-clock budget)")
+
     out = {
         "metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
         "value": round(per_chip, 3),
@@ -491,11 +507,82 @@ def main():
         out["sdxl_1024_rung"] = rung_sdxl
     if rung_cap is not None:
         out["caption_128_rung"] = rung_cap
+    if rung_serve is not None:
+        out["serving_512_rung"] = rung_serve
     if rung_int8 is not None:
         out["int8_base_rung"] = rung_int8
     if cache_encode is not None:
         out["cache_encode_imgs_per_sec"] = cache_encode
     print(json.dumps(out))
+
+
+def measure_serving(batch_size: int = 4, num_steps: int = 20,
+                    warmup: int = 1, iters: int = 6,
+                    num_layers: int = None,
+                    dtype=jnp.bfloat16) -> float:
+    """Serving rung: end-to-end text-to-image sampling throughput for
+    SANA-0.6B at 512px — a batched 20-step CFG flow-match scan at the
+    reference's inference settings (CFG 5.0, 20 steps, seed 42,
+    train_sana.py:142-147) plus the DC-AE decode to pixels, all ONE
+    jitted program (the batched validation path, train/validation.py).
+    Embeddings are synthetic (caption encode throughput is the
+    cache-encode rung's concern); value = finished 512x512 images/sec.
+    """
+    from yat_tpu.models.sana import SANA_600M, SanaTransformer2D
+    from yat_tpu.models.vae import DCAE, DCAE_SANA
+    from yat_tpu.ops.sampling import make_cfg_denoiser, sample_flow_match
+    from yat_tpu.ops.schedulers import FlowMatchSchedule
+
+    cfg = SANA_600M
+    if num_layers is not None:    # CPU smoke-test hook
+        import dataclasses
+        cfg = dataclasses.replace(cfg, num_layers=num_layers)
+    model = SanaTransformer2D(cfg=cfg, dtype=dtype)
+    b = batch_size
+    lat_shape = (cfg.sample_size, cfg.sample_size, cfg.in_channels)
+    emb = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(2),
+        (b, cfg.max_caption_len, cfg.caption_channels)).astype(dtype)
+    mask = jnp.ones((b, cfg.max_caption_len), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((b, *lat_shape), dtype),
+                           emb, jnp.zeros((b,)), mask)
+    variables = {"params": jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        variables["params"])}
+    vae = DCAE(DCAE_SANA)
+    vae_vars = vae.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, *lat_shape), jnp.float32),
+                        method=DCAE.decode)
+    schedule = FlowMatchSchedule(shift=3.0)
+    cond = {"embeddings": emb, "text_mask": mask}
+    uncond = {"embeddings": jnp.zeros_like(emb), "text_mask": mask}
+
+    def apply_fn(vs, x, timesteps, **kw):
+        return model.apply(vs, x, kw.pop("embeddings"), timesteps,
+                           kw.pop("text_mask", None), deterministic=True)
+
+    def sample(vs, vae_vs, cond_in, uncond_in, seed):
+        denoise = make_cfg_denoiser(apply_fn, vs, cond_in, uncond_in, 5.0)
+        lat = sample_flow_match(denoise, (b, *lat_shape), schedule,
+                                num_steps, seed)
+        img = vae.apply(vae_vs, lat, method=DCAE.decode)
+        # tiny reduction rides along so timing can force completion with
+        # one scalar fetch (axon block_until_ready returns early)
+        return img, jnp.mean(img.astype(jnp.float32))
+
+    fn = jax.jit(sample)
+    for i in range(warmup):
+        _, s = fn(variables, vae_vars, cond, uncond, jnp.int32(42 + i))
+        float(s)
+    chain = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # independent requests; dispatches pipeline like a serving queue
+        _, s = fn(variables, vae_vars, cond, uncond, jnp.int32(42 + i))
+        chain = chain + s
+    float(chain)
+    return batch_size * iters / (time.perf_counter() - t0)
 
 
 def measure_cache_encode(n_images: int = 64, batch: int = 8) -> float:

@@ -64,3 +64,18 @@ def test_anchor_and_mfu_share_one_flop_number():
     src = open(bench.__file__).read()
     assert "A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tflops_img" in src
     assert anchor > 0
+
+
+def test_serving_rung_smoke():
+    """The serving rung (batched CFG sampling + DC-AE decode in one jitted
+    program) builds and runs at a shrunk depth; the value is finished
+    images/sec > 0 and the program produces real pixels (the decode is in
+    the graph, not just latents)."""
+    import bench
+
+    import jax.numpy as jnp
+
+    # fp32 on CPU: the host backend lacks the bf16xbf16->f32 dot thunk
+    v = bench.measure_serving(batch_size=1, num_steps=2, warmup=1,
+                              iters=1, num_layers=1, dtype=jnp.float32)
+    assert v > 0
