@@ -281,6 +281,12 @@ def main():
         sys.stdout.reconfigure(line_buffering=True)
     except Exception:  # noqa: BLE001
         pass
+    # persistent executable cache: re-runs skip the minutes-long remote
+    # compiles (first run of each graph still compiles + serializes)
+    from yat_tpu.utils.platform import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        print(f"# compilation cache: {cache_dir}")
     n_chips = max(1, len(jax.devices()))
     t_start = time.monotonic()
 

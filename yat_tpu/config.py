@@ -54,7 +54,8 @@ _VALID_LORA_ALGOS = ("lora", "loha", "lokr", "fourierft", "full")
 # the raw-dict accesses in this file.
 _KNOWN_KEYS = frozenset({
     "aspect_ratio", "batch_size", "bfloat16", "bucket_repeat", "cache_size",
-    "caption_length_bucketing", "checkpoint_dir", "compute_features",
+    "caption_length_bucketing", "checkpoint_dir", "compilation_cache_dir",
+    "compute_features",
     "cyclic_lr_max_lr", "cyclic_lr_mode", "cyclic_lr_step_size_down",
     "cyclic_lr_step_size_up", "cylic_lr_mode", "dataset_seed",
     "dreambooth_class", "dreambooth_dataset_folder", "dreambooth_instance",
@@ -227,6 +228,9 @@ class TrainingParameters:
     # --- TPU-native extensions (no reference equivalent) ---
     caption_length_bucketing: bool = False  # pad captions to 128-multiples
     warmup_compile: bool = False            # pre-compile every bucket shape
+    # persistent XLA executable cache dir ("off" disables); None = default
+    # ~/.cache/yat_tpu/xla-cache (utils/platform.enable_compilation_cache)
+    compilation_cache_dir: Optional[str] = None
     lora_fused_matmul: bool = True          # merged W+sAB fwd, chain bwd
     # max prompts per batched validation sampling scan (memory cap; CFG
     # doubles and PAG triples the effective batch).  0 = all prompts in
@@ -430,6 +434,7 @@ class TrainingParameters:
         # TPU extensions (value-parsed: `key: false` disables, see _truthy)
         p.caption_length_bucketing = _truthy(raw, "caption_length_bucketing")
         p.warmup_compile = _truthy(raw, "warmup_compile")
+        p.compilation_cache_dir = _as_str(raw, "compilation_cache_dir")
         if "lora_fused_matmul" in raw:
             p.lora_fused_matmul = _truthy(raw, "lora_fused_matmul")
         if "resume_data_fastforward" in raw:

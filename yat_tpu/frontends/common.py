@@ -878,12 +878,14 @@ def cli_main(make_trainer: Callable[[TrainingParameters], object],
              argv: Optional[list] = None) -> None:
     import argparse
 
-    from yat_tpu.utils.platform import apply_platform_env
+    from yat_tpu.utils.platform import (apply_platform_env,
+                                        enable_compilation_cache)
     apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True, type=str)
     args = p.parse_args(argv)
     params = TrainingParameters.read_yaml(args.config)
+    enable_compilation_cache(params.compilation_cache_dir)
     trainer = make_trainer(params)
     if params.extract_features:
         from yat_tpu.train.extract import run_feature_extraction

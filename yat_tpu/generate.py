@@ -95,7 +95,8 @@ def main(argv: Optional[list] = None) -> None:
     import argparse
 
     from yat_tpu.config import TrainingParameters
-    from yat_tpu.utils.platform import apply_platform_env
+    from yat_tpu.utils.platform import (apply_platform_env,
+                                        enable_compilation_cache)
     apply_platform_env()
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
@@ -112,6 +113,7 @@ def main(argv: Optional[list] = None) -> None:
     args = p.parse_args(argv)
 
     params = TrainingParameters.read_yaml(args.config)
+    enable_compilation_cache(params.compilation_cache_dir)
     written = generate(params, args.family, args.prompt, steps=args.steps,
                        guidance_scale=args.guidance_scale, seed=args.seed,
                        output_dir=args.out)
