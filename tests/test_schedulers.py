@@ -158,3 +158,85 @@ class TestDensity:
         u = np.asarray(sample_timestep_density(
             jax.random.PRNGKey(0), 4096, weighting_scheme="uniform"))
         assert abs(u.mean() - 0.5) < 0.02
+
+
+class TestDPM2MSolverOrder:
+    """Order-of-accuracy pins for the DPM-Solver++(2M) samplers against
+    GROUND-TRUTH probability-flow fields (per-coordinate two-Gaussian
+    mixture data N(+-1, 0.25^2): the posterior mean E[x0 | x_t] is analytic,
+    so the model is exact and solver error is the only error).  Also pins
+    the lower_order_final guard (k-diffusion's `sigmas[i+1]==0` branch,
+    diffusers' lower_order_final=True — the reference's PixelDiT loop
+    delegates to diffusers' scheduler, train_pixeldit.py:226): without it
+    the final interval's D1 coefficient h/(2*h_prev) explodes and 2M at 10
+    steps measured ~6x WORSE than first-order."""
+
+    S0 = 0.25
+
+    @classmethod
+    def _posterior_x0(cls, x, a, s):
+        V = a * a * cls.S0 * cls.S0 + s * s
+        cp, cn = a, -a
+        w = jax.nn.sigmoid((-(x - cp) ** 2 + (x - cn) ** 2) / (2.0 * V))
+        mu_p = 1.0 + a * cls.S0 * cls.S0 * (x - cp) / V
+        mu_n = -1.0 + a * cls.S0 * cls.S0 * (x - cn) / V
+        return w * mu_p + (1.0 - w) * mu_n
+
+    def test_epsilon_2m_beats_ddim_at_matched_nfe(self):
+        from yat_tpu.ops.sampling import sample_ddim, sample_dpm_solver_2m
+
+        sched = DDPMSchedule()
+        abar = sched.alphas_cumprod()
+
+        def denoise(x, t, gate):
+            ti = jnp.round(t).astype(jnp.int32).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            a = jnp.sqrt(abar)[ti]
+            s = jnp.sqrt(1.0 - abar)[ti]
+            return (x - a * self._posterior_x0(x, a, s)) / s
+
+        shape = (1, 4, 4, 2)
+        ref = sample_ddim(denoise, shape, sched, 1000, seed=7)
+
+        def err(x):
+            return float(jnp.sqrt(jnp.mean((x - ref) ** 2)))
+
+        e_dpm10 = err(sample_dpm_solver_2m(denoise, shape, sched, 10, seed=7))
+        e_dpm80 = err(sample_dpm_solver_2m(denoise, shape, sched, 80, seed=7))
+        e_ddim10 = err(sample_ddim(denoise, shape, sched, 10, seed=7))
+        e_ddim80 = err(sample_ddim(denoise, shape, sched, 80, seed=7))
+        # matched-NFE accuracy (measured 0.069 vs 0.092 at 10) and the
+        # higher-order asymptotic gap (measured 0.0052 vs 0.0130 at 80)
+        assert e_dpm10 < e_ddim10, (e_dpm10, e_ddim10)
+        assert e_dpm80 < 0.6 * e_ddim80, (e_dpm80, e_ddim80)
+
+    def test_flow_2m_converges_with_final_step_guard(self):
+        from yat_tpu.ops.sampling import (sample_dpm_solver_2m_flow,
+                                          sample_flow_match)
+
+        sched = FlowMatchSchedule(shift=3.0)
+
+        def denoise(x, t, gate):
+            s = (t / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+            s = jnp.clip(s, 1e-5, 1.0)
+            return (x - self._posterior_x0(x, 1.0 - s, s)) / s
+
+        shape = (1, 4, 4, 2)
+        ref = sample_flow_match(denoise, shape, sched, 1280, seed=7)
+
+        def err(x):
+            return float(jnp.sqrt(jnp.mean((x - ref) ** 2)))
+
+        errs = [err(sample_dpm_solver_2m_flow(denoise, shape, sched, n,
+                                              seed=7))
+                for n in (10, 20, 40, 80)]
+        # monotone convergence to the same trajectory; the unguarded
+        # solver measured 1.37 at 10 steps / 0.054 floor at 80
+        assert all(b < a for a, b in zip(errs, errs[1:])), errs
+        assert errs[0] < 1.0, errs
+        assert errs[-1] < 0.03, errs
+        # flow families default to Euler for good reason: rectified-flow
+        # trajectories are nearly straight, and Euler on the shifted
+        # ladder stays ahead of the lambda-parametrized multistep here
+        e_euler20 = err(sample_flow_match(denoise, shape, sched, 20, seed=7))
+        assert e_euler20 < errs[1], (e_euler20, errs[1])

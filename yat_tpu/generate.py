@@ -58,6 +58,7 @@ def generate(params, family: str, prompts: list,
              steps: Optional[int] = None,
              guidance_scale: Optional[float] = None,
              seed: Optional[int] = None,
+             sampler: Optional[str] = None,
              output_dir: str = "generated") -> dict:
     """Build the family trainer, load weights, sample, write files.
     Returns {written_path: prompt}."""
@@ -76,6 +77,15 @@ def generate(params, family: str, prompts: list,
         vp.guidance_scale = float(guidance_scale)
     if seed is not None:
         vp.seed = int(seed)
+    if sampler is not None:
+        if sampler not in ("auto", "dpm"):
+            raise ValueError(f"unknown sampler {sampler!r}; use auto|dpm")
+        # "dpm" = multistep DPM-Solver++(2M).  For epsilon families
+        # (sd15/sdxl/pixart) it is strictly more accurate than DDIM at
+        # matched steps (tests/test_schedulers.py pins the order on a
+        # ground-truth posterior field); flow families default to Euler,
+        # which measures ahead on the shifted flow ladder.
+        vp.sampler = sampler
 
     images = vp(trainer)                         # {key: [H, W, 3] float}
     os.makedirs(output_dir, exist_ok=True)
@@ -109,6 +119,9 @@ def main(argv: Optional[list] = None) -> None:
                         "setting, 20)")
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sampler", default=None, choices=("auto", "dpm"),
+                   help="dpm = DPM-Solver++(2M): more accurate than DDIM "
+                        "at matched steps for epsilon-prediction families")
     p.add_argument("--out", default="generated", dest="out")
     args = p.parse_args(argv)
 
@@ -116,7 +129,7 @@ def main(argv: Optional[list] = None) -> None:
     enable_compilation_cache(params.compilation_cache_dir)
     written = generate(params, args.family, args.prompt, steps=args.steps,
                        guidance_scale=args.guidance_scale, seed=args.seed,
-                       output_dir=args.out)
+                       sampler=args.sampler, output_dir=args.out)
     for path, prompt in written.items():
         print(f"{path}  <-  {prompt}")
 

@@ -150,7 +150,14 @@ def sample_dpm_solver_2m(
                 (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_x0
             return d
 
-        x0_eff = jax.lax.cond(has_prev, second_order, lambda: x0)
+        # lower_order_final (k-diffusion `sigmas[i+1]==0` guard, diffusers
+        # lower_order_final=True): the final interval's h is the ladder's
+        # largest, so the D1 extrapolation coefficient h/(2*h_prev) blows
+        # up exactly where there is no later step to damp it — first-order
+        # there (measured: unguarded 2M at 10 steps was ~6x WORSE than
+        # first-order on a ground-truth posterior field)
+        use2 = jnp.logical_and(has_prev, i < num_steps - 1)
+        x0_eff = jax.lax.cond(use2, second_order, lambda: x0)
         x_next = (s_next / s_t) * x - a_next * jnp.expm1(-h) * x0_eff
         return (x_next, x0, jnp.bool_(True)), None
 
@@ -196,7 +203,11 @@ def sample_dpm_solver_2m_flow(
             return (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * x0 - \
                 (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_x0
 
-        x0_eff = jax.lax.cond(has_prev, second_order, lambda: x0)
+        # lower_order_final: at s_next=0 the clipped lambda makes h huge and
+        # the D1 coefficient h/(2*h_prev) explodes — first-order on the
+        # final step (k-diffusion's `sigmas[i+1]==0` branch)
+        use2 = jnp.logical_and(has_prev, i < num_steps - 1)
+        x0_eff = jax.lax.cond(use2, second_order, lambda: x0)
         x_next = (s_next / jnp.maximum(s, eps_s)) * x - \
             (1.0 - s_next) * jnp.expm1(-h) * x0_eff
         return (x_next, x0, jnp.bool_(True)), None
