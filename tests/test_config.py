@@ -376,6 +376,19 @@ def test_compilation_cache_config_and_setup(tmp_path, capsys):
     try:
         for off in ("off", "none", "0", "false"):
             assert enable_compilation_cache(off) is None
+        # default-on is gated to accelerator backends: XLA:CPU AOT
+        # executables bake in host tuning features (cross-host SIGILL
+        # hazard), so with no explicit dir the CPU backend stays uncached
+        import os
+        saved = {k: os.environ.pop(k, None)
+                 for k in ("YAT_COMPILATION_CACHE",
+                           "JAX_COMPILATION_CACHE_DIR")}
+        try:
+            assert enable_compilation_cache(None) is None
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    os.environ[k] = v
         d = enable_compilation_cache(p.compilation_cache_dir)
         assert d == str(tmp_path / "xc")
         import os

@@ -47,12 +47,23 @@ def enable_compilation_cache(cache_dir: str | None = None,
     """
     import jax
 
-    d = (cache_dir
-         or os.environ.get("YAT_COMPILATION_CACHE")
-         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-         or _DEFAULT_CACHE_DIR)
+    explicit = (cache_dir
+                or os.environ.get("YAT_COMPILATION_CACHE")
+                or os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+    d = explicit or _DEFAULT_CACHE_DIR
     if str(d).strip().lower() in ("", "0", "off", "none", "false"):
         return None
+    if not explicit:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # noqa: BLE001
+            return None
+        if backend == "cpu":
+            # XLA:CPU AOT executables bake in machine tuning features and
+            # warn/SIGILL when loaded on a different host — default-on only
+            # for accelerator backends (compiled remotely, portable);
+            # explicit dir/env still opts CPU in for same-host dev loops
+            return None
     d = os.path.expanduser(str(d))
     try:
         os.makedirs(d, exist_ok=True)
