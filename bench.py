@@ -474,7 +474,7 @@ def main():
             rung_serve = {"value": round(v / n_chips, 3), "batch_size": 4,
                           "num_steps": 20, "resolution": 512,
                           "unit": "images/sec/chip"}
-            print(f"# serving rung: {v / n_chips:.2f} imgs/s")
+            print(f"# serving rung: {v / n_chips:.2f} imgs/s/chip")
         except Exception as e:  # noqa: BLE001
             print(f"# serving rung failed: {str(e)[:200]}")
     else:

@@ -354,10 +354,14 @@ def test_sana_config_read_from_config_only_dir(tmp_path):
 
 def test_compilation_cache_config_and_setup(tmp_path, capsys):
     """`compilation_cache_dir` parses from config; enable_compilation_cache
-    honors the disable spellings, creates the directory, and points jax's
-    persistent executable cache at it (verified against the axon remote-TPU
-    backend: a cache hit deserializes in ~30 ms vs minutes of remote
-    compile)."""
+    honors the disable spellings (including explicit empty string), keeps
+    the CPU backend uncached by default (XLA:CPU AOT executables bake in
+    host tuning features — cross-host SIGILL hazard), and points jax's
+    persistent executable cache at an explicit dir (verified against the
+    axon remote-TPU backend: a cache hit deserializes in ~30 ms vs minutes
+    of remote compile)."""
+    import os
+
     import jax
 
     from yat_tpu.config import TrainingParameters
@@ -372,27 +376,28 @@ def test_compilation_cache_config_and_setup(tmp_path, capsys):
     assert p.compilation_cache_dir == str(tmp_path / "xc")
     assert "compilation_cache_dir" not in capsys.readouterr().out  # known key
 
-    prev = jax.config.jax_compilation_cache_dir
-    try:
-        for off in ("off", "none", "0", "false"):
-            assert enable_compilation_cache(off) is None
-        # default-on is gated to accelerator backends: XLA:CPU AOT
-        # executables bake in host tuning features (cross-host SIGILL
-        # hazard), so with no explicit dir the CPU backend stays uncached
-        import os
-        saved = {k: os.environ.pop(k, None)
+    prev = {k: getattr(jax.config, k) for k in
+            ("jax_compilation_cache_dir",
+             "jax_persistent_cache_min_compile_time_secs",
+             "jax_compilation_cache_max_size")}
+    saved_env = {k: os.environ.pop(k, None)
                  for k in ("YAT_COMPILATION_CACHE",
                            "JAX_COMPILATION_CACHE_DIR")}
-        try:
-            assert enable_compilation_cache(None) is None
-        finally:
-            for k, v in saved.items():
-                if v is not None:
-                    os.environ[k] = v
+    try:
+        # explicit disable spellings, including "" (a config key set to an
+        # empty string must disable, not fall through to the default dir)
+        for off in ("off", "none", "0", "false", ""):
+            assert enable_compilation_cache(off) is None
+        # default path on the CPU test platform: stays uncached, and the
+        # decision must not initialize backends (platform config only)
+        assert enable_compilation_cache(None) is None
         d = enable_compilation_cache(p.compilation_cache_dir)
         assert d == str(tmp_path / "xc")
-        import os
         assert os.path.isdir(d)
         assert jax.config.jax_compilation_cache_dir == d
     finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+        for k, v in saved_env.items():
+            if v is not None:
+                os.environ[k] = v
+        for k, v in prev.items():
+            jax.config.update(k, v)

@@ -209,3 +209,34 @@ def test_validation_batch_chunking_matches():
     for k in batched:
         np.testing.assert_allclose(batched[k], chunked[k],
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_dpm_samplers_honor_active_timesteps():
+    """The refiner adapter gate reaches BOTH DPM-Solver++(2M) samplers
+    (review finding: `--sampler dpm` previously hard-coded gate=1.0, so a
+    timestep-gated refiner adapter was silently applied at every step).
+    The probe denoiser returns a gate-dependent velocity/epsilon, so a
+    respected gate changes the output."""
+    from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
+    from yat_tpu.ops.sampling import (sample_dpm_solver_2m,
+                                      sample_dpm_solver_2m_flow)
+
+    calls = []
+
+    def probe(x, t, gate):
+        calls.append(True)
+        return 0.1 * x + 0.5 * gate
+
+    shape = (1, 2, 2, 1)
+    flow_all = sample_dpm_solver_2m_flow(probe, shape,
+                                         FlowMatchSchedule(shift=3.0), 6,
+                                         seed=3)
+    flow_none = sample_dpm_solver_2m_flow(probe, shape,
+                                          FlowMatchSchedule(shift=3.0), 6,
+                                          seed=3, active_timesteps=[-1])
+    assert not jnp.allclose(flow_all, flow_none)
+
+    eps_all = sample_dpm_solver_2m(probe, shape, DDPMSchedule(), 6, seed=3)
+    eps_none = sample_dpm_solver_2m(probe, shape, DDPMSchedule(), 6,
+                                    seed=3, active_timesteps=[-1])
+    assert not jnp.allclose(eps_all, eps_none)

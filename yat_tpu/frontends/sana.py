@@ -302,19 +302,5 @@ def _prompt_batch(encode_captions, prompts, cfg):
 
 
 def main(argv: Optional[list] = None) -> None:
-    import argparse
-
-    from yat_tpu.utils.platform import (apply_platform_env,
-                                        enable_compilation_cache)
-    apply_platform_env()
-    p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True, type=str)
-    args = p.parse_args(argv)
-    params = TrainingParameters.read_yaml(args.config)
-    enable_compilation_cache(params.compilation_cache_dir)
-    trainer = make_trainer(params)
-    if params.extract_features:
-        from yat_tpu.train.extract import run_feature_extraction
-        run_feature_extraction(trainer)
-    else:
-        trainer.run()
+    from yat_tpu.frontends.common import cli_main
+    cli_main(make_trainer, argv)

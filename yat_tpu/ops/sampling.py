@@ -115,9 +115,12 @@ def sample_dpm_solver_2m(
     schedule: DDPMSchedule,
     num_steps: int = 20,
     seed: int = 42,
+    active_timesteps: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M) for epsilon models (PixelDiT validation parity,
-    train_pixeldit.py:198-228).  Data-prediction multistep form."""
+    train_pixeldit.py:198-228).  Data-prediction multistep form.
+    ``active_timesteps`` gates refiner adapters exactly like the
+    Euler/DDIM samplers (trainer.py:270-281 semantics)."""
     n = schedule.num_train_timesteps
     abar = schedule.alphas_cumprod()
     ts = jnp.linspace(n - 1, 0, num_steps + 1).astype(jnp.int32)
@@ -128,7 +131,9 @@ def sample_dpm_solver_2m(
     x_init = seed_noise(seed, latent_shape)
 
     def x0_of(x, t):
-        eps = denoise_fn(x, jnp.full((latent_shape[0],), t), jnp.float32(1.0))
+        gate = (timestep_gate(t, active_timesteps)
+                if active_timesteps else jnp.float32(1.0))
+        eps = denoise_fn(x, jnp.full((latent_shape[0],), t), gate)
         a, s = alpha[t], sigma[t]
         return (x - s * eps.astype(x.dtype)) / a
 
@@ -173,6 +178,7 @@ def sample_dpm_solver_2m_flow(
     schedule: FlowMatchSchedule,
     num_steps: int = 20,
     seed: int = 42,
+    active_timesteps: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M) for FLOW-MATCHING models (PixelDiT's inference
     scheduler is a DPM solver over its flow objective,
@@ -192,7 +198,9 @@ def sample_dpm_solver_2m_flow(
         x, prev_x0, has_prev = carry
         s, s_next = sigmas[i], sigmas[i + 1]
         t = s * schedule.num_train_timesteps
-        v = denoise_fn(x, jnp.full((latent_shape[0],), t), jnp.float32(1.0))
+        gate = (timestep_gate(t, active_timesteps)
+                if active_timesteps else jnp.float32(1.0))
+        v = denoise_fn(x, jnp.full((latent_shape[0],), t), gate)
         x0 = x - s * v.astype(x.dtype)
         l_t, l_next = lam(s), lam(s_next)
         h = l_next - l_t

@@ -164,9 +164,11 @@ class ValidationPipeline:
         if self.sampler == "dpm":
             if isinstance(self.schedule, FlowMatchSchedule):
                 return sample_dpm_solver_2m_flow(
-                    denoise, shape, self.schedule, self.num_steps, seed)
+                    denoise, shape, self.schedule, self.num_steps, seed,
+                    active_timesteps=self.active_timesteps)
             return sample_dpm_solver_2m(denoise, shape, self.schedule,
-                                        self.num_steps, seed)
+                                        self.num_steps, seed,
+                                        active_timesteps=self.active_timesteps)
         if isinstance(self.schedule, FlowMatchSchedule):
             return sample_flow_match(
                 denoise, shape, self.schedule, self.num_steps, seed,

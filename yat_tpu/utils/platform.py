@@ -47,32 +47,45 @@ def enable_compilation_cache(cache_dir: str | None = None,
     """
     import jax
 
-    explicit = (cache_dir
-                or os.environ.get("YAT_COMPILATION_CACHE")
-                or os.environ.get("JAX_COMPILATION_CACHE_DIR"))
-    d = explicit or _DEFAULT_CACHE_DIR
+    explicit = cache_dir
+    if explicit is None:  # "" from config is an explicit disable, not unset
+        explicit = (os.environ.get("YAT_COMPILATION_CACHE")
+                    or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                    or None)
+    d = _DEFAULT_CACHE_DIR if explicit is None else explicit
     if str(d).strip().lower() in ("", "0", "off", "none", "false"):
         return None
-    if not explicit:
-        try:
-            backend = jax.default_backend()
-        except Exception:  # noqa: BLE001
-            return None
-        if backend == "cpu":
-            # XLA:CPU AOT executables bake in machine tuning features and
-            # warn/SIGILL when loaded on a different host — default-on only
-            # for accelerator backends (compiled remotely, portable);
-            # explicit dir/env still opts CPU in for same-host dev loops
+    if explicit is None:
+        # Default-on only when an ACCELERATOR platform is selected.  Two
+        # constraints shape this check: (a) XLA:CPU AOT executables bake
+        # in host tuning features and warn/SIGILL when loaded on another
+        # machine, so CPU caching must be an explicit same-host opt-in;
+        # (b) querying jax.default_backend() here would initialize the
+        # backends, after which jax.distributed.initialize raises
+        # (parallel/multihost.py:31-37) — so read the NON-initializing
+        # platform config instead.  An unset platform (bare local TPU
+        # without JAX_PLATFORMS) stays uncached by default; set the
+        # config key / env var to opt in.
+        want = (jax.config.jax_platforms
+                or os.environ.get("JAX_PLATFORMS") or "")
+        first = want.split(",")[0].strip().lower()
+        if first in ("", "cpu"):
             return None
     d = os.path.expanduser(str(d))
     try:
         os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
         # only persist compiles worth the disk round trip; tiny utility
-        # programs (convert/broadcast) recompile in <1 s anyway
+        # programs (convert/broadcast) recompile in <1 s anyway.  The
+        # dir is set LAST so a partial failure cannot leave the cache
+        # armed without its size bound / time filter.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_compilation_cache_max_size", max_size_bytes)
+        jax.config.update("jax_compilation_cache_dir", d)
     except Exception as e:  # noqa: BLE001 — never block training on cache setup
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:  # noqa: BLE001
+            pass
         print(f"[platform] compilation cache disabled: {e}")
         return None
     return d
