@@ -470,10 +470,14 @@ def main():
     rung_serve = None
     if budget_left(45.0):
         try:
-            v = measure_serving()
+            v, serve_tfpi = measure_serving()
             rung_serve = {"value": round(v / n_chips, 3), "batch_size": 4,
                           "num_steps": 20, "resolution": 512,
-                          "unit": "images/sec/chip"}
+                          "unit": "images/sec/chip",
+                          "tflops_per_image": round(serve_tfpi, 3),
+                          "mfu_analytic": round(
+                              v / n_chips * serve_tfpi
+                              / V5E_BF16_PEAK_TFLOPS, 3)}
             print(f"# serving rung: {v / n_chips:.2f} imgs/s/chip")
         except Exception as e:  # noqa: BLE001
             print(f"# serving rung failed: {str(e)[:200]}")
@@ -525,7 +529,7 @@ def main():
 def measure_serving(batch_size: int = 4, num_steps: int = 20,
                     warmup: int = 1, iters: int = 6,
                     num_layers: int = None,
-                    dtype=jnp.bfloat16) -> float:
+                    dtype=jnp.bfloat16) -> tuple:
     """Serving rung: end-to-end text-to-image sampling throughput for
     SANA-0.6B at 512px — a batched 20-step CFG flow-match scan at the
     reference's inference settings (CFG 5.0, 20 steps, seed 42,
@@ -588,7 +592,13 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
         _, s = fn(variables, vae_vars, cond, uncond, jnp.int32(42 + i))
         chain = chain + s
     float(chain)
-    return batch_size * iters / (time.perf_counter() - t0)
+    imgs_per_sec = batch_size * iters / (time.perf_counter() - t0)
+    # denoiser-only analytic FLOPs: 2 forwards per step (CFG batch
+    # doubling) x num_steps; the DC-AE decode rides in the measured time
+    # but not the FLOP count, so the MFU is a slight UNDER-estimate
+    tflops_per_img = 2.0 * num_steps * analytic_train_tflops_per_image(
+        cfg, variables, bwd_factor=1.0)
+    return imgs_per_sec, tflops_per_img
 
 
 def measure_cache_encode(n_images: int = 64, batch: int = 8) -> float:

@@ -76,6 +76,9 @@ def test_serving_rung_smoke():
     import jax.numpy as jnp
 
     # fp32 on CPU: the host backend lacks the bf16xbf16->f32 dot thunk
-    v = bench.measure_serving(batch_size=1, num_steps=2, warmup=1,
-                              iters=1, num_layers=1, dtype=jnp.float32)
+    v, tfpi = bench.measure_serving(batch_size=1, num_steps=2, warmup=1,
+                                    iters=1, num_layers=1,
+                                    dtype=jnp.float32)
     assert v > 0
+    # denoiser-only analytic FLOPs: 2 CFG forwards x num_steps
+    assert tfpi > 0
