@@ -479,6 +479,16 @@ def main():
                               v / n_chips * serve_tfpi
                               / V5E_BF16_PEAK_TFLOPS, 3)}
             print(f"# serving rung: {v / n_chips:.2f} imgs/s/chip")
+            # velocity-cached variant (interval 2 = 12 of 20 model calls;
+            # accuracy at matched NFE pinned in tests/test_schedulers.py)
+            try:
+                vc, _ = measure_serving(cache_interval=2)
+                rung_serve["cached_value"] = round(vc / n_chips, 3)
+                rung_serve["cached_interval"] = 2
+                print(f"# serving rung (velocity cache int2): "
+                      f"{vc / n_chips:.2f} imgs/s/chip")
+            except Exception as e:  # noqa: BLE001
+                print(f"# cached serving variant failed: {str(e)[:200]}")
         except Exception as e:  # noqa: BLE001
             print(f"# serving rung failed: {str(e)[:200]}")
     else:
@@ -529,7 +539,7 @@ def main():
 def measure_serving(batch_size: int = 4, num_steps: int = 20,
                     warmup: int = 1, iters: int = 6,
                     num_layers: int = None,
-                    dtype=jnp.bfloat16) -> tuple:
+                    dtype=jnp.bfloat16, cache_interval: int = 1) -> tuple:
     """Serving rung: end-to-end text-to-image sampling throughput for
     SANA-0.6B at 512px — a batched 20-step CFG flow-match scan at the
     reference's inference settings (CFG 5.0, 20 steps, seed 42,
@@ -540,7 +550,9 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
     """
     from yat_tpu.models.sana import SANA_600M, SanaTransformer2D
     from yat_tpu.models.vae import DCAE, DCAE_SANA
-    from yat_tpu.ops.sampling import make_cfg_denoiser, sample_flow_match
+    from yat_tpu.ops.sampling import (_cache_eval_mask, make_cfg_denoiser,
+                                      sample_flow_match,
+                                      sample_flow_match_cached)
     from yat_tpu.ops.schedulers import FlowMatchSchedule
 
     cfg = SANA_600M
@@ -574,8 +586,15 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
 
     def sample(vs, vae_vs, cond_in, uncond_in, seed):
         denoise = make_cfg_denoiser(apply_fn, vs, cond_in, uncond_in, 5.0)
-        lat = sample_flow_match(denoise, (b, *lat_shape), schedule,
-                                num_steps, seed)
+        if cache_interval > 1:
+            # trajectory velocity caching: full 20-step ladder, model
+            # called only on evaluated steps (ops/sampling.py)
+            lat = sample_flow_match_cached(denoise, (b, *lat_shape),
+                                           schedule, num_steps, seed,
+                                           cache_interval=cache_interval)
+        else:
+            lat = sample_flow_match(denoise, (b, *lat_shape), schedule,
+                                    num_steps, seed)
         img = vae.apply(vae_vs, lat, method=DCAE.decode)
         # tiny reduction rides along so timing can force completion with
         # one scalar fetch (axon block_until_ready returns early)
@@ -593,10 +612,12 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
         chain = chain + s
     float(chain)
     imgs_per_sec = batch_size * iters / (time.perf_counter() - t0)
-    # denoiser-only analytic FLOPs: 2 forwards per step (CFG batch
-    # doubling) x num_steps; the DC-AE decode rides in the measured time
-    # but not the FLOP count, so the MFU is a slight UNDER-estimate
-    tflops_per_img = 2.0 * num_steps * analytic_train_tflops_per_image(
+    # denoiser-only analytic FLOPs: 2 forwards per EVALUATED step (CFG
+    # batch doubling; velocity caching skips the model on masked steps);
+    # the DC-AE decode rides in the measured time but not the FLOP count,
+    # so the MFU is a slight UNDER-estimate
+    nfe = sum(_cache_eval_mask(num_steps, cache_interval))
+    tflops_per_img = 2.0 * nfe * analytic_train_tflops_per_image(
         cfg, variables, bwd_factor=1.0)
     return imgs_per_sec, tflops_per_img
 

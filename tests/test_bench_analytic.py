@@ -82,3 +82,25 @@ def test_serving_rung_smoke():
     assert v > 0
     # denoiser-only analytic FLOPs: 2 CFG forwards x num_steps
     assert tfpi > 0
+
+
+def test_serving_rung_cached_smoke():
+    """The velocity-cached serving variant compiles and runs, and its
+    analytic FLOP count scales by evaluated steps (NFE), not ladder
+    length."""
+    import bench
+
+    import jax.numpy as jnp
+
+    v1, t1 = bench.measure_serving(batch_size=1, num_steps=4, warmup=1,
+                                   iters=1, num_layers=1,
+                                   dtype=jnp.float32)
+    v2, t2 = bench.measure_serving(batch_size=1, num_steps=4, warmup=1,
+                                   iters=1, num_layers=1,
+                                   dtype=jnp.float32, cache_interval=2)
+    assert v1 > 0 and v2 > 0
+    from yat_tpu.ops.sampling import _cache_eval_mask
+    nfe = sum(_cache_eval_mask(4, 2))
+    assert nfe < 8          # the mask must actually skip at SOME ladder
+    assert sum(_cache_eval_mask(8, 2)) < 8
+    assert t2 == t1 * nfe / 4

@@ -85,6 +85,97 @@ def sample_flow_match(
     return x
 
 
+def _cache_eval_mask(num_steps: int, cache_interval: int) -> Tuple[bool, ...]:
+    """Static per-step evaluate/skip mask for the cached-velocity sampler.
+
+    Steps 0 and 1 always evaluate (the extrapolator needs two anchors), the
+    final step always evaluates (the last interval is the ladder's largest
+    under shift>1, where extrapolation error would be amplified the most),
+    and in between every ``cache_interval``-th step evaluates.
+    """
+    if cache_interval <= 1:
+        return tuple(True for _ in range(num_steps))
+    return tuple(
+        i < 2 or i == num_steps - 1 or (i % cache_interval == 0)
+        for i in range(num_steps))
+
+
+def sample_flow_match_cached(
+    denoise_fn: Callable,            # (x, t, gate) -> velocity
+    latent_shape: Tuple[int, ...],
+    schedule: FlowMatchSchedule,
+    num_steps: int = 20,
+    seed: int = 42,
+    mu: Optional[float] = None,
+    active_timesteps: Optional[Sequence[int]] = None,
+    cache_interval: int = 2,
+) -> jnp.ndarray:
+    """Euler flow-match sampling with trajectory velocity caching.
+
+    Training-free inference acceleration in the spirit of the
+    velocity-caching line of work (MeanCache / trajectory-aware caching /
+    VDE — PAPERS.md): rectified-flow trajectories are nearly straight, so
+    the velocity field changes slowly ALONG the trajectory.  On skipped
+    steps the model call is replaced by a linear extrapolation of the two
+    most recent evaluated velocities in sigma:
+
+        v_hat(s) = v1 + (v1 - v2) * (s - s1) / (s1 - s2)
+
+    which preserves the full ``num_steps`` integration ladder (unlike
+    simply sampling with fewer steps) while paying model FLOPs only on
+    evaluated steps.  ``cache_interval=2`` evaluates ~half the steps;
+    ``cache_interval=1`` is exactly :func:`sample_flow_match`.  The skip
+    pattern is static (``_cache_eval_mask``) so one program is compiled
+    and the skipped branch's model call never executes (``lax.cond``).
+
+    Measured on the analytic ground-truth flow field
+    (tests/test_schedulers.py): cached 20-step/interval-2 (12 NFE) lands
+    closer to the true trajectory than plain Euler at the same NFE.
+    """
+    if cache_interval <= 1:
+        return sample_flow_match(denoise_fn, latent_shape, schedule,
+                                 num_steps, seed, mu, active_timesteps)
+    sigmas = schedule.inference_sigmas(num_steps, mu)
+    mask = jnp.asarray(_cache_eval_mask(num_steps, cache_interval))
+    x0 = seed_noise(seed, latent_shape)
+    zero_v = jnp.zeros(latent_shape, jnp.float32)
+
+    def body(carry, i):
+        x, v1, v2, s1, s2 = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        t = sigma * schedule.num_train_timesteps
+
+        def evaluate(op):
+            x, v1, v2, s1, s2 = op
+            gate = (timestep_gate(t, active_timesteps)
+                    if active_timesteps else jnp.float32(1.0))
+            v = denoise_fn(x, jnp.full((latent_shape[0],), t), gate)
+            v = v.astype(jnp.float32)
+            # anchors advance: (v1, s1) <- this step, (v2, s2) <- old (v1, s1)
+            return v, v, v1, sigma, s1
+
+        def extrapolate(op):
+            x, v1, v2, s1, s2 = op
+            # slope from the last two anchors; the ladder descends so
+            # s1 < s2 — guard the (negative) denominator by magnitude,
+            # preserving its sign.  Steps 0/1 always evaluate, so both
+            # anchors are real here.
+            d = s1 - s2
+            denom = jnp.where(jnp.abs(d) < 1e-6, -1e-6, d)
+            slope = (v1 - v2) / denom
+            # anchors unchanged on a skipped step
+            return v1 + slope * (sigma - s1), v1, v2, s1, s2
+
+        v, v1n, v2n, s1n, s2n = jax.lax.cond(
+            mask[i], evaluate, extrapolate, (x, v1, v2, s1, s2))
+        x_next = schedule.euler_step(x, v.astype(x.dtype), sigma, sigma_next)
+        return (x_next, v1n, v2n, s1n, s2n), None
+
+    init = (x0, zero_v, zero_v, jnp.float32(1.0), jnp.float32(1.0))
+    (x, _, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+    return x
+
+
 def sample_ddim(
     denoise_fn: Callable,            # (x, t, gate) -> epsilon
     latent_shape: Tuple[int, ...],

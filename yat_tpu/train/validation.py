@@ -28,6 +28,7 @@ from yat_tpu.ops.sampling import (
     sample_dpm_solver_2m,
     sample_dpm_solver_2m_flow,
     sample_flow_match,
+    sample_flow_match_cached,
 )
 from yat_tpu.ops.schedulers import DDPMSchedule, FlowMatchSchedule
 
@@ -85,6 +86,7 @@ class ValidationPipeline:
         sampler: str = "auto",                # auto | dpm
         prompt_transform: Optional[Callable[[str], str]] = None,
         pred_slice: Optional[int] = None,     # learned-sigma channel slice
+        cache_interval: int = 1,              # >1: cached-velocity Euler
     ):
         self.model = model
         self.schedule = schedule
@@ -105,6 +107,17 @@ class ValidationPipeline:
         self.sampler = sampler
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
+        if cache_interval > 1:
+            # velocity caching extrapolates the flow velocity along the
+            # trajectory (ops/sampling.py:sample_flow_match_cached) — it
+            # has no epsilon/DPM analogue here, so reject loudly instead
+            # of silently sampling without the cache
+            if sampler == "dpm" or not isinstance(schedule,
+                                                  FlowMatchSchedule):
+                raise ValueError(
+                    "cache_interval > 1 requires the flow-match Euler "
+                    "sampler (sampler='auto' on a FlowMatchSchedule)")
+        self.cache_interval = int(cache_interval)
 
     # The compiled sampler is PER-INSTANCE and keyed on every STRUCTURAL
     # sampling tunable (num_steps is a scan length, guidance selects the
@@ -123,7 +136,7 @@ class ValidationPipeline:
         return (id(self.model), id(self.schedule), self.latent_shape,
                 self.guidance_scale, self.num_steps,
                 self.active_timesteps, self.pag_scale, self.sampler,
-                self.pred_slice)
+                self.pred_slice, getattr(self, "cache_interval", 1))
 
     # ------------------------------------------------------------------
     def _variables_for(self, trainer) -> Dict[str, Any]:
@@ -170,6 +183,14 @@ class ValidationPipeline:
                                         self.num_steps, seed,
                                         active_timesteps=self.active_timesteps)
         if isinstance(self.schedule, FlowMatchSchedule):
+            if getattr(self, "cache_interval", 1) > 1:
+                # trajectory velocity caching: skipped steps extrapolate
+                # the velocity instead of calling the model
+                # (ops/sampling.py:sample_flow_match_cached)
+                return sample_flow_match_cached(
+                    denoise, shape, self.schedule, self.num_steps, seed,
+                    active_timesteps=self.active_timesteps,
+                    cache_interval=self.cache_interval)
             return sample_flow_match(
                 denoise, shape, self.schedule, self.num_steps, seed,
                 active_timesteps=self.active_timesteps)
