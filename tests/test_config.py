@@ -401,3 +401,22 @@ def test_compilation_cache_config_and_setup(tmp_path, capsys):
                 os.environ[k] = v
         for k, v in prev.items():
             jax.config.update(k, v)
+
+
+def test_validation_cache_interval_key(tmp_path):
+    from yat_tpu.config import ConfigError, TrainingParameters
+
+    base = ("local_shard_paths: [/tmp/x.tar]\nbatch_size: 2\n"
+            "learning_rate: 1e-4\nsteps: 2\nnum_steps_per_validation: 1\n")
+    f = tmp_path / "c.yaml"
+    f.write_text(base + "validation_cache_interval: 2\n")
+    p = TrainingParameters.read_yaml(str(f))
+    assert p.validation_cache_interval == 2
+    # default off
+    f.write_text(base)
+    assert TrainingParameters.read_yaml(str(f)).validation_cache_interval == 1
+    # 0 rejected loudly
+    f.write_text(base + "validation_cache_interval: 0\n")
+    import pytest
+    with pytest.raises(ConfigError):
+        TrainingParameters.read_yaml(str(f))

@@ -337,3 +337,31 @@ class TestCachedVelocitySampler:
                                latent_shape=(4, 4, 2),
                                encode_prompts=lambda p: {},
                                sampler="dpm", cache_interval=2)
+
+    def test_config_key_applies_and_gates(self):
+        import pytest
+
+        from yat_tpu.train.validation import (ValidationPipeline,
+                                              apply_cache_interval)
+
+        class P:
+            validation_cache_interval = 2
+
+        flow_vp = ValidationPipeline(model=None,
+                                     schedule=FlowMatchSchedule(shift=3.0),
+                                     latent_shape=(4, 4, 2),
+                                     encode_prompts=lambda p: {})
+        apply_cache_interval(P(), flow_vp)
+        assert flow_vp.cache_interval == 2
+
+        eps_vp = ValidationPipeline(model=None, schedule=DDPMSchedule(),
+                                    latent_shape=(4, 4, 2),
+                                    encode_prompts=lambda p: {})
+        with pytest.raises(ValueError):
+            apply_cache_interval(P(), eps_vp)
+
+        class POff:
+            validation_cache_interval = 1
+
+        apply_cache_interval(POff(), eps_vp)     # no-op at 1
+        assert eps_vp.cache_interval == 1

@@ -80,7 +80,8 @@ _KNOWN_KEYS = frozenset({
     "train_unconditional_prob", "unfreeze_modules", "url_probs", "urls",
     "use_adamw_8bit", "use_adamw_8bit ", "use_calculated_features",
     "use_ema", "use_preservation", "use_repa", "vae_max_batch_size",
-    "validation_batch", "validation_prompts", "warmup_compile",
+    "validation_batch", "validation_cache_interval", "validation_prompts",
+    "warmup_compile",
     "warmup_steps", "weight_decay",
 })
 
@@ -236,6 +237,10 @@ class TrainingParameters:
     # doubles and PAG triples the effective batch).  0 = all prompts in
     # one scan; low_vram forces 1.
     validation_batch: int = 4
+    # flow families: evaluate the denoiser every Nth sampling step and
+    # extrapolate velocity in between (ops/sampling.py velocity caching);
+    # 1 = off (reference parity — full ladder)
+    validation_cache_interval: int = 1
     # partial finetune: update only params whose path contains a pattern
     # (unfreeze_sana_blocks capability, patch_sana_attention_layers.py)
     unfreeze_modules: Optional[list] = None
@@ -443,6 +448,11 @@ class TrainingParameters:
         if p.validation_batch < 0:
             raise ConfigError("'validation_batch' must be >= 0 "
                               "(0 = all prompts in one scan)")
+        p.validation_cache_interval = _as_int(
+            raw, "validation_cache_interval", 1)
+        if p.validation_cache_interval < 1:
+            raise ConfigError("'validation_cache_interval' must be >= 1 "
+                              "(1 = full ladder, no velocity caching)")
         p.unfreeze_modules = raw.get("unfreeze_modules")
         if isinstance(p.unfreeze_modules, str):
             p.unfreeze_modules = [p.unfreeze_modules]

@@ -326,6 +326,12 @@ class Trainer:
         if self.sampler is None:
             raise ValueError("no sampler configured")
         self._assert_trace_globals()
+        # apply the validation velocity-cache key BEFORE the loop so a
+        # mis-configured key (epsilon family / dpm sampler) fails at step
+        # 0, not at the first validation thousands of steps in
+        if self.validate_fn is not None:
+            from yat_tpu.train.validation import apply_cache_interval
+            apply_cache_interval(params, self.validate_fn)
 
         self._maybe_warmup()
 

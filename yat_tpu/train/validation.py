@@ -60,6 +60,22 @@ def tile_batch(x, p: int):
     return x
 
 
+def apply_cache_interval(params, vp) -> None:
+    """Apply the ``validation_cache_interval`` config key to a validation
+    pipeline, with the same flow-only gate as the constructor (the engine
+    calls this at run() start so a mis-configured key fails at step 0,
+    not at the first validation thousands of steps in)."""
+    ci = int(getattr(params, "validation_cache_interval", 1) or 1)
+    if ci <= 1:
+        return
+    if getattr(vp, "sampler", None) == "dpm" or not isinstance(
+            getattr(vp, "schedule", None), FlowMatchSchedule):
+        raise ValueError(
+            "validation_cache_interval > 1 requires a flow-match family "
+            "with the default Euler sampler")
+    vp.cache_interval = ci
+
+
 class ValidationPipeline:
     """Bundles denoiser + schedule + encoders/decoder into validate_fn.
 
