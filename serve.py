@@ -1,0 +1,12 @@
+#!/usr/bin/env python
+"""Batching inference server: ``python serve.py --config config.yaml
+--family sana --port 8000 [--max-batch 4] [--batch-window-ms 50]``.
+
+POST /generate {"prompt": "..."} -> image/png; GET /healthz -> stats.
+Requests micro-batch into one jitted CFG sampling scan — see
+yat_tpu/serve.py (the reference has no serving layer, SURVEY.md §1)."""
+
+from yat_tpu.serve import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Batching inference server (yat_tpu/serve.py): requests micro-batch
+into one validate_fn pass, results map back per prompt, and the HTTP
+layer round-trips prompt → image bytes.  Runs on the tiny SANA stack from
+the validation-frontends harness (no TPU, no pretrained weights)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from tests.test_frontends import TINY_DIT, write_shard
+from tests.test_validation_frontends import base
+
+
+def _tiny_sana_trainer(tmp_path):
+    from yat_tpu.frontends.sana import make_trainer
+    shard = write_shard(tmp_path / "s.tar", (4, 4, 32), 32)
+    p = base(tmp_path, shard, model_config_overrides={
+        **TINY_DIT, "caption_channels": "32",
+        "num_cross_attention_heads": "2",
+        "cross_attention_head_dim": "16", "in_channels": "32",
+        "out_channels": "32", "sample_size": "4", "tiny_encoders": "1"})
+    t = make_trainer(p)
+    t.validate_fn.num_steps = 2           # keep sampling fast
+    t.initialize()
+    return t
+
+
+def test_batching_sampler_groups_and_orders(tmp_path):
+    from yat_tpu.serve import BatchingSampler
+
+    t = _tiny_sana_trainer(tmp_path)
+    s = BatchingSampler(t, max_batch=4, batch_window_ms=400.0)
+    try:
+        prompts = ["a red fox", "a blue bird", "a green tree"]
+        results = [None] * len(prompts)
+
+        def worker(i):
+            results[i] = s.submit(prompts[i], timeout=300)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(prompts))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for img in results:
+            assert img is not None and np.isfinite(img).all()
+            assert img.ndim == 3 and img.shape[-1] == 3
+        # all three arrived within the window → ONE batch, one compile
+        assert s.stats["batches"] == 1, s.stats
+        assert s.stats["requests"] == 3
+        # determinism: same prompt resamples identically (seed is fixed,
+        # reference parity) — this also exercises a second, smaller batch
+        again = s.submit("a red fox", timeout=300)
+        np.testing.assert_allclose(again, results[0], atol=2e-2)
+    finally:
+        s.stop()
+
+
+def test_http_roundtrip_and_health(tmp_path):
+    from yat_tpu.serve import BatchingSampler, make_server
+
+    t = _tiny_sana_trainer(tmp_path)
+    s = BatchingSampler(t, max_batch=2, batch_window_ms=50.0)
+    server = make_server(s, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "a red fox"}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            ctype = resp.headers["Content-Type"]
+            body = resp.read()
+        assert ctype in ("image/png", "application/x-npy")
+        if ctype == "image/png":
+            assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        else:
+            assert body[:6] == b"\x93NUMPY"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["images"] >= 1
+        # bad requests fail loudly, not silently
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"   ",
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("empty prompt must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        s.stop()

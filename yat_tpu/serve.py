@@ -1,0 +1,314 @@
+"""Batching text-to-image inference server.
+
+The reference has no serving layer (SURVEY.md §1: "no serving layer, no
+scheduler daemon"); production users sample by re-running training
+validation.  This server is the standalone deployment counterpart: it
+loads a family's trained weights once, then serves HTTP requests through
+the exact per-family ``ValidationPipeline`` (CFG/PAG samplers, prompt
+enhancement, EMA swap — the same program the bench serving rung measures).
+
+Requests are micro-batched: the sampler thread collects up to
+``--max-batch`` prompts (waiting at most ``--batch-window-ms`` after the
+first arrival) and runs them in ONE jitted CFG scan — batch-1 inference
+leaves the MXU mostly idle (BASELINE.md batched-validation A/B: 1.18x at
+batch 4, and the batch program is compiled once).  Sampling settings are
+server-global (one compiled program); per-request settings would retrace
+per request.
+
+    python serve.py --config config.yaml --family sana --port 8000 \
+        --max-batch 4 --batch-window-ms 50 [--cache-interval 2]
+
+    curl -X POST localhost:8000/generate -d '{"prompt": "a red fox"}'
+    # → image/png bytes
+    curl localhost:8000/healthz
+    # → {"status": "ok", "requests": N, "batches": M, ...}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from yat_tpu.generate import FAMILIES
+
+
+def png_bytes(img: np.ndarray) -> tuple:
+    """Encode [H, W, 3] float [0,1] → (bytes, content_type); cv2 → PIL →
+    raw .npy fallback chain (mirrors generate.write_png)."""
+    arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    try:
+        import cv2
+        ok, buf = cv2.imencode(".png", arr[..., ::-1])
+        if ok:
+            return bytes(buf), "image/png"
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from PIL import Image
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="PNG")
+        return bio.getvalue(), "image/png"
+    except Exception:  # noqa: BLE001
+        bio = io.BytesIO()
+        np.save(bio, arr)
+        return bio.getvalue(), "application/x-npy"
+
+
+class _Request:
+    __slots__ = ("prompt", "done", "image", "error")
+
+    def __init__(self, prompt: str):
+        self.prompt = prompt
+        self.done = threading.Event()
+        self.image: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class BatchingSampler:
+    """Single sampler thread draining a request queue in micro-batches.
+
+    All device work stays on ONE thread (the jitted pipeline and the
+    trainer state are not thread-safe); HTTP handler threads only enqueue
+    and wait.  ``validate_fn(trainer)`` is the universal per-family
+    sampling surface — it reads ``trainer.params.validation_prompts``,
+    so batching = swapping that list per batch.
+    """
+
+    def __init__(self, trainer, max_batch: int = 4,
+                 batch_window_ms: float = 50.0):
+        if getattr(trainer, "validate_fn", None) is None:
+            raise RuntimeError("frontend did not wire a validation "
+                               "pipeline — cannot serve")
+        self.trainer = trainer
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = max(0.0, batch_window_ms / 1000.0)
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "images": 0,
+                      "errors": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-sampler")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt: str, timeout: Optional[float] = None
+               ) -> np.ndarray:
+        """Enqueue a prompt and block until its image is sampled."""
+        req = _Request(prompt)
+        self.queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("sampling timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.image
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.queue.put(None)          # wake the drain loop
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        first = self.queue.get()
+        if first is None or self._stop.is_set():
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(batch)
+            try:
+                images = self._sample([r.prompt for r in batch])
+                for req, img in zip(batch, images):
+                    req.image = img
+                    self.stats["images"] += 1
+            except Exception as e:  # noqa: BLE001 — report to waiters
+                self.stats["errors"] += len(batch)
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+            finally:
+                for req in batch:
+                    req.done.set()
+
+    def _sample(self, prompts: List[str]) -> List[np.ndarray]:
+        """One validate_fn pass over the batch; results ordered like
+        ``prompts`` (tags carry the prompt index:
+        ``validation/{idx}/{prompt}``)."""
+        params = self.trainer.params
+        saved = params.validation_prompts
+        params.validation_prompts = list(prompts)
+        try:
+            tagged: Dict[str, np.ndarray] = \
+                self.trainer.validate_fn(self.trainer)
+        finally:
+            params.validation_prompts = saved
+        by_idx = {int(tag.split("/", 2)[1]): img
+                  for tag, img in tagged.items()}
+        return [by_idx[i] for i in range(len(prompts))]
+
+
+def build_sampler(params, family: str, max_batch: int = 4,
+                  batch_window_ms: float = 50.0,
+                  steps: Optional[int] = None,
+                  guidance_scale: Optional[float] = None,
+                  seed: Optional[int] = None,
+                  cache_interval: Optional[int] = None) -> BatchingSampler:
+    """Load the family's trainer + weights and start the sampler thread
+    (the generate.py loading path, serving-tuned)."""
+    import importlib
+
+    mod = importlib.import_module(FAMILIES[family])
+    # a non-empty list keeps frontends that gate validation wiring on
+    # prompts honest; the sampler swaps the real list per batch
+    params.validation_prompts = ["warmup"]
+    trainer = mod.make_trainer(params)
+    if getattr(trainer, "validate_fn", None) is None:
+        raise RuntimeError(f"{family} frontend did not wire a validation "
+                           "pipeline — cannot serve")
+    trainer.initialize()
+    vp = trainer.validate_fn
+    if steps is not None:
+        vp.num_steps = int(steps)
+    if guidance_scale is not None:
+        vp.guidance_scale = float(guidance_scale)
+    if seed is not None:
+        vp.seed = int(seed)
+    if cache_interval is not None and cache_interval > 1:
+        if not getattr(vp, "supports_velocity_cache", False):
+            raise ValueError("--cache-interval requires a flow-match "
+                             "family with the default Euler sampler")
+        vp.cache_interval = int(cache_interval)
+    return BatchingSampler(trainer, max_batch=max_batch,
+                           batch_window_ms=batch_window_ms)
+
+
+def make_server(sampler: BatchingSampler, host: str = "127.0.0.1",
+                port: int = 8000, request_timeout: float = 600.0):
+    """ThreadingHTTPServer: POST /generate {"prompt": ...} → image bytes;
+    GET /healthz → JSON stats.  Handler threads block on the sampler."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # noqa: N802 — quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path != "/healthz":
+                return self._json(404, {"error": "not found"})
+            self._json(200, {"status": "ok", **sampler.stats})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/generate":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n).decode("utf-8", "replace")
+                try:
+                    prompt = json.loads(raw)["prompt"]
+                except (json.JSONDecodeError, TypeError, KeyError):
+                    prompt = raw                 # plain-text body
+                if not isinstance(prompt, str) or not prompt.strip():
+                    return self._json(400, {"error": "empty prompt"})
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": str(e)})
+            try:
+                img = sampler.submit(prompt, timeout=request_timeout)
+            except TimeoutError:
+                return self._json(504, {"error": "sampling timed out"})
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+            body, ctype = png_bytes(np.asarray(img))
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.utils.platform import (apply_platform_env,
+                                        enable_compilation_cache)
+    apply_platform_env()
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--family", default="sana", choices=sorted(FAMILIES))
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="max prompts per jitted sampling scan")
+    p.add_argument("--batch-window-ms", type=float, default=50.0,
+                   help="how long to hold a batch open after the first "
+                        "request arrives")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--cache-interval", type=int, default=None,
+                   help="flow families: velocity-cache interval "
+                        "(2 = ~60%% of the denoiser FLOPs; 1.30x measured "
+                        "end-to-end, BASELINE.md)")
+    args = p.parse_args(argv)
+
+    params = TrainingParameters.read_yaml(args.config)
+    enable_compilation_cache(params.compilation_cache_dir)
+    sampler = build_sampler(params, args.family, max_batch=args.max_batch,
+                            batch_window_ms=args.batch_window_ms,
+                            steps=args.steps,
+                            guidance_scale=args.guidance_scale,
+                            seed=args.seed,
+                            cache_interval=args.cache_interval)
+    # warm the batch-size programs a request would hit (compile now, not
+    # on the first request): the full batch and the singleton
+    print("[serve] warming sampler programs...")
+    sampler.submit("warmup")
+    server = make_server(sampler, args.host, args.port)
+    print(f"[serve] {args.family} listening on "
+          f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "
+          f"window={args.batch_window_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        sampler.stop()
+
+
+if __name__ == "__main__":
+    main()
