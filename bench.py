@@ -82,6 +82,31 @@ def analytic_train_tflops_per_image(cfg, variables,
     return bwd_factor * (fwd + pairs) / 1e12
 
 
+def analytic_caption_side_tflops(cfg, variables) -> float:
+    """Caption-side forward TFLOPs (caption_projection + every attn2
+    to_k/to_v at max_caption_len tokens) — the portion the context-K/V
+    cache computes once per request instead of once per denoise step."""
+    l_tok = cfg.max_caption_len
+    f = 0.0
+
+    def walk(tree, path):
+        nonlocal f
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+                continue
+            arr = np.asarray(v)
+            if arr.ndim < 2:
+                continue
+            if "caption_projection" in path or (
+                    "attn2" in path and any(p in ("to_k", "to_v")
+                                            for p in path)):
+                f += 2.0 * l_tok * float(np.prod(arr.shape))
+
+    walk(variables["params"], ())
+    return f / 1e12
+
+
 def build(batch_size: int, remat: bool, sample_size: int = None,
           preset: str = "600M", num_layers: int = None,
           caption_len: int = None, int8_base: bool = False):
@@ -539,7 +564,8 @@ def main():
 def measure_serving(batch_size: int = 4, num_steps: int = 20,
                     warmup: int = 1, iters: int = 6,
                     num_layers: int = None,
-                    dtype=jnp.bfloat16, cache_interval: int = 1) -> tuple:
+                    dtype=jnp.bfloat16, cache_interval: int = 1,
+                    context_cache: bool = True) -> tuple:
     """Serving rung: end-to-end text-to-image sampling throughput for
     SANA-0.6B at 512px — a batched 20-step CFG flow-match scan at the
     reference's inference settings (CFG 5.0, 20 steps, seed 42,
@@ -582,9 +608,20 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
 
     def apply_fn(vs, x, timesteps, **kw):
         return model.apply(vs, x, kw.pop("embeddings"), timesteps,
-                           kw.pop("text_mask", None), deterministic=True)
+                           kw.pop("text_mask", None), deterministic=True,
+                           **kw)
 
     def sample(vs, vae_vs, cond_in, uncond_in, seed):
+        if context_cache:
+            # caption K/V projected once per request, reused by every
+            # denoise step (the validation pipeline's production path)
+            cond_in, uncond_in = dict(cond_in), dict(uncond_in)
+            zx = jnp.zeros((b, *lat_shape), jnp.float32)
+            zt = jnp.zeros((b,), jnp.float32)
+            for br in (cond_in, uncond_in):
+                br["cached_ctx_kv"] = model.apply(
+                    vs, zx, br["embeddings"], zt, br["text_mask"],
+                    deterministic=True, return_ctx_kv=True)
         denoise = make_cfg_denoiser(apply_fn, vs, cond_in, uncond_in, 5.0)
         if cache_interval > 1:
             # trajectory velocity caching: full 20-step ladder, model
@@ -614,11 +651,17 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
     imgs_per_sec = batch_size * iters / (time.perf_counter() - t0)
     # denoiser-only analytic FLOPs: 2 forwards per EVALUATED step (CFG
     # batch doubling; velocity caching skips the model on masked steps);
-    # the DC-AE decode rides in the measured time but not the FLOP count,
-    # so the MFU is a slight UNDER-estimate
+    # with the context-K/V cache the caption-side projections count ONCE
+    # per request, not per step.  The DC-AE decode rides in the measured
+    # time but not the FLOP count, so the MFU is a slight UNDER-estimate.
     nfe = sum(_cache_eval_mask(num_steps, cache_interval))
-    tflops_per_img = 2.0 * nfe * analytic_train_tflops_per_image(
-        cfg, variables, bwd_factor=1.0)
+    per_fwd = analytic_train_tflops_per_image(cfg, variables,
+                                              bwd_factor=1.0)
+    if context_cache:
+        cap = analytic_caption_side_tflops(cfg, variables)
+        tflops_per_img = 2.0 * (nfe * (per_fwd - cap) + cap)
+    else:
+        tflops_per_img = 2.0 * nfe * per_fwd
     return imgs_per_sec, tflops_per_img
 
 

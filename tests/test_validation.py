@@ -240,3 +240,79 @@ def test_dpm_samplers_honor_active_timesteps():
     eps_none = sample_dpm_solver_2m(probe, shape, DDPMSchedule(), 6,
                                     seed=3, active_timesteps=[-1])
     assert not jnp.allclose(eps_all, eps_none)
+
+
+def test_context_kv_cache_matches_uncached():
+    """SANA's context-K/V cache: a forward with cached caption K/V is
+    numerically identical to the plain forward (same projections, computed
+    once), and the validation pipeline engages the cache only where it is
+    sound (no PAG, no refiner gating)."""
+    import numpy as np
+
+    cfg = SANA_TINY_TEST
+    model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    txt = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2, 16, 32))
+    mask = jnp.ones((2, 16), jnp.int32)
+    t = jnp.full((2,), 500.0)
+    variables = model.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((2,)),
+                           mask)
+
+    assert SanaTransformer2D.supports_context_cache
+    kv = model.apply(variables, lat, txt, t, mask, return_ctx_kv=True)
+    assert len(kv) == cfg.num_layers
+    for k, v in kv:
+        assert k.shape == (2, 16, cfg.num_cross_attention_heads,
+                           cfg.cross_attention_head_dim)
+        assert v.shape == k.shape
+
+    plain = model.apply(variables, lat, txt, t, mask)
+    cached = model.apply(variables, lat, txt, t, mask, cached_ctx_kv=kv)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+
+    # pipeline level: cached and uncached sampling agree
+    from yat_tpu.train.state import TrainState
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], adapters=None,
+                       adapters_meta=None, opt_state=None, ema=None)
+
+    def encode_prompts(prompts):
+        embs = [0.1 * jax.random.normal(jax.random.PRNGKey(len(p)), (16, 32))
+                for p in prompts]
+        return {"embeddings": jnp.stack(embs),
+                "text_mask": jnp.ones((len(prompts), 16), jnp.int32)}
+
+    class T:
+        pass
+
+    trainer = T()
+    trainer.state = state
+    trainer.params = TrainingParameters.from_dict({
+        "local_shard_paths": ["/tmp/x.tar"], "batch_size": "1",
+        "learning_rate": "1e-4", "steps": "1",
+        "num_steps_per_validation": "1",
+        "validation_prompts": ["a fox"]})
+
+    def make_vp(**kw):
+        return ValidationPipeline(
+            model=model, schedule=FlowMatchSchedule(shift=3.0),
+            latent_shape=(8, 8, 4), encode_prompts=encode_prompts,
+            num_steps=3, **kw)
+
+    imgs_cached = make_vp()(trainer)
+
+    uncached_model = SanaTransformer2D(cfg=cfg, dtype=jnp.float32)
+    object.__setattr__(uncached_model, "supports_context_cache", False)
+    vp2 = ValidationPipeline(
+        model=uncached_model, schedule=FlowMatchSchedule(shift=3.0),
+        latent_shape=(8, 8, 4), encode_prompts=encode_prompts, num_steps=3)
+    imgs_plain = vp2(trainer)
+    for k in imgs_plain:
+        np.testing.assert_allclose(imgs_cached[k], imgs_plain[k],
+                                   atol=1e-4, rtol=1e-4)
+
+    # refiner timestep gating disables the cache (adapter gates may retune
+    # K/V per step) — the gated pipeline must still sample
+    imgs_gated = make_vp(active_timesteps=(500, 250, 100, 0))(trainer)
+    assert imgs_gated.keys() == imgs_cached.keys()

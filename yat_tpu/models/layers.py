@@ -393,41 +393,56 @@ class Attention(nn.Module):
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None, *,
                  deterministic: bool = True,
-                 perturbed: bool = False) -> jnp.ndarray:
+                 perturbed: bool = False,
+                 cached_kv: Optional[tuple] = None,
+                 return_kv: bool = False):
         inner = self.num_heads * self.head_dim
         out_features = self.out_features or x.shape[-1]
         kv = x if context is None else context
 
+        # context K/V caching (sampling: the caption is constant across
+        # every denoise step, so its projections are computed once per
+        # request).  ``return_kv=True`` returns the final (post-norm,
+        # head-split) K/V and touches no other params; ``cached_kv``
+        # replaces the K/V computation.  Both are apply-time only — init
+        # always takes the full path, so the param tree is unchanged.
+        if cached_kv is not None and not return_kv:
+            k, v = cached_kv
+        else:
+            k = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                             name="to_k")(kv, deterministic=deterministic)
+            v = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                             name="to_v")(kv, deterministic=deterministic)
+            # diffusers qk-norm variants (Attention eps=1e-5):
+            #  - "rms"/"rms_norm": per-head RMS over head_dim, weight [D]
+            #  - "rms_norm_across_heads" (SANA-1.5/Sprint lineage): RMS over
+            #    the FULL inner dim, weight [H*D] — before the head split.
+            # Unknown strings hard-fail: a passed-through config value
+            # silently building no norm params makes the orphan-leaf check
+            # refuse the checkpoint with a misleading 'converter stale'
+            # error.
+            if self.qk_norm == "rms_norm_across_heads":
+                k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
+            elif self.qk_norm not in (None, "rms", "rms_norm"):
+                raise ValueError(f"unsupported qk_norm {self.qk_norm!r}; "
+                                 "expected None, 'rms'/'rms_norm', or "
+                                 "'rms_norm_across_heads'")
+            nk = k.shape[1]
+            k = k.reshape(k.shape[0], nk, self.num_heads, self.head_dim)
+            v = v.reshape(v.shape[0], nk, self.num_heads, self.head_dim)
+            if self.qk_norm in ("rms", "rms_norm"):
+                k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
+        if return_kv:
+            return k, v
+
         q = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
                          name="to_q")(x, deterministic=deterministic)
-        k = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
-                         name="to_k")(kv, deterministic=deterministic)
-        v = AdapterDense(inner, use_bias=self.use_bias, dtype=self.dtype,
-                         name="to_v")(kv, deterministic=deterministic)
-
         b, nq = q.shape[0], q.shape[1]
-        nk = k.shape[1]
-        # diffusers qk-norm variants (Attention eps=1e-5):
-        #  - "rms"/"rms_norm": per-head RMS over head_dim, weight [D]
-        #  - "rms_norm_across_heads" (SANA-1.5/Sprint lineage): RMS over the
-        #    FULL inner dim, weight [H*D] — applied before the head split.
-        # Unknown strings hard-fail: a passed-through config value silently
-        # building no norm params makes the orphan-leaf check refuse the
-        # checkpoint with a misleading 'converter stale' error.
         if self.qk_norm == "rms_norm_across_heads":
             q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
-            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
-        elif self.qk_norm not in (None, "rms", "rms_norm"):
-            raise ValueError(f"unsupported qk_norm {self.qk_norm!r}; "
-                             "expected None, 'rms'/'rms_norm', or "
-                             "'rms_norm_across_heads'")
         q = q.reshape(b, nq, self.num_heads, self.head_dim)
-        k = k.reshape(b, nk, self.num_heads, self.head_dim)
-        v = v.reshape(b, nk, self.num_heads, self.head_dim)
-
         if self.qk_norm in ("rms", "rms_norm"):
             q = RMSNorm(epsilon=1e-5, name="norm_q")(q)
-            k = RMSNorm(epsilon=1e-5, name="norm_k")(k)
 
         if perturbed:
             # Perturbed-Attention Guidance: identity attention map — each

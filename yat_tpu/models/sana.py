@@ -78,10 +78,21 @@ class SanaBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond_emb, text_emb, text_mask):
+    def __call__(self, x, cond_emb, text_emb, text_mask, ctx_kv=None,
+                 return_ctx_kv: bool = False):
         c = self.cfg
         hw = self.hw
         deterministic = self.deterministic
+        if return_ctx_kv:
+            # context-K/V encode pass (sampling): only attn2's caption
+            # projections run — apply-time only, init takes the full path
+            return Attention(
+                num_heads=c.num_cross_attention_heads,
+                head_dim=c.cross_attention_head_dim,
+                out_features=c.hidden_dim, qk_norm=c.qk_norm,
+                dtype=self.dtype, name="attn2")(
+                    x, context=text_emb, deterministic=deterministic,
+                    return_kv=True)
         # AdaLN-single: 6 modulation vectors = PER-BLOCK table + shared
         # per-step emb (diffusers SanaTransformerBlock keeps one
         # randn(6,dim)/sqrt(dim) table per block; a shared table cannot
@@ -112,13 +123,15 @@ class SanaBlock(nn.Module):
                 dtype=self.dtype, name="attn1")(h, deterministic=deterministic)
         x = x + gate_msa * h
 
-        # 2) softmax cross-attention on the caption tokens
+        # 2) softmax cross-attention on the caption tokens (K/V reused
+        #    from the per-request cache during sampling)
         h = Attention(
             num_heads=c.num_cross_attention_heads,
             head_dim=c.cross_attention_head_dim,
             out_features=c.hidden_dim, qk_norm=c.qk_norm,
             dtype=self.dtype, name="attn2")(
-                x, context=text_emb, mask=text_mask, deterministic=deterministic)
+                x, context=text_emb, mask=text_mask,
+                deterministic=deterministic, cached_kv=ctx_kv)
         x = x + h
 
         # 3) gated conv FFN
@@ -138,11 +151,18 @@ class SanaTransformer2D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     gradient_checkpointing: bool = False
 
+    # sampling may cache the caption K/V across denoise steps (the text
+    # embeddings are constant within a request) — train/validation.py
+    # checks this class attribute before engaging the cache
+    supports_context_cache = True
+
     @nn.compact
     def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
                  timesteps: jnp.ndarray,
                  text_mask: Optional[jnp.ndarray] = None, *,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 cached_ctx_kv: Optional[tuple] = None,
+                 return_ctx_kv: bool = False):
         c = self.cfg
         b, h, w, _ = latents.shape
         p = c.patch_size
@@ -172,6 +192,16 @@ class SanaTransformer2D(nn.Module):
             text_emb.astype(self.dtype))
         ctx = RMSNorm(name="caption_norm")(ctx)
 
+        if return_ctx_kv:
+            # per-request context-K/V encode pass (sampling): run only the
+            # caption projection + every block's attn2 K/V — ~20% of the
+            # forward FLOPs that the denoise steps then skip
+            return tuple(
+                SanaBlock(cfg=c, hw=grid_hw, deterministic=deterministic,
+                          dtype=self.dtype, name=f"blocks_{i}")(
+                    x, cond, ctx, text_mask, return_ctx_kv=True)
+                for i in range(c.num_layers))
+
         block_cls = SanaBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(SanaBlock, prevent_cse=False)
@@ -180,7 +210,8 @@ class SanaTransformer2D(nn.Module):
                           use_softmax_self_attn=(
                               i in c.softmax_self_attn_blocks),
                           dtype=self.dtype, name=f"blocks_{i}")(
-                x, cond, ctx, text_mask)
+                x, cond, ctx, text_mask,
+                cached_ctx_kv[i] if cached_ctx_kv is not None else None)
 
         # output: AdaLN-modulated norm → projection to patch pixels
         # (diffusers' top-level (2, dim) scale_shift_table)

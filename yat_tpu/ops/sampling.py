@@ -445,7 +445,11 @@ def make_cfg_denoiser(
             return model_apply(vs, x, timesteps=t, **cond_kwargs)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        both = {k: jnp.concatenate([uncond_kwargs[k], cond_kwargs[k]], axis=0)
+        # tree-mapped so pytree-valued conditioning (e.g. a per-layer
+        # context-K/V cache) batch-doubles alongside plain arrays
+        both = {k: jax.tree.map(
+                    lambda u, c: jnp.concatenate([u, c], axis=0),
+                    uncond_kwargs[k], cond_kwargs[k])
                 for k in cond_kwargs}
         pred = model_apply(vs, x2, timesteps=t2, **both)
         uncond, cond = jnp.split(pred, 2, axis=0)

@@ -175,6 +175,23 @@ class ValidationPipeline:
     def _sample_impl(self, variables, cond, uncond, seed) -> jnp.ndarray:
         shape = (cond["embeddings"].shape[0], *self.latent_shape)
 
+        # context-K/V caching: the caption embeddings are constant across
+        # every denoise step, so models that support it (SANA) project the
+        # caption K/V ONCE per request (~20% of the forward FLOPs) instead
+        # of per step.  Skipped under PAG (triple-branch batching) and
+        # refiner timestep gating (per-step adapter gates could retune the
+        # K/V projections mid-trajectory).
+        if (getattr(self.model, "supports_context_cache", False)
+                and self.pag_scale == 0.0 and self.active_timesteps is None):
+            cond, uncond = dict(cond), dict(uncond)
+            dummy_x = jnp.zeros(shape, jnp.float32)
+            dummy_t = jnp.zeros((shape[0],), jnp.float32)
+            for branch in (cond, uncond):
+                branch["cached_ctx_kv"] = self.model.apply(
+                    variables, dummy_x, branch["embeddings"], dummy_t,
+                    branch.get("text_mask"), deterministic=True,
+                    return_ctx_kv=True)
+
         def apply_fn(vs, x, timesteps, **kw):
             out = self.model.apply(vs, x, kw.pop("embeddings"), timesteps,
                                    kw.pop("text_mask", None),
