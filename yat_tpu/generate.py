@@ -35,23 +35,39 @@ FAMILIES = {
 }
 
 
-def write_png(path: str, img: np.ndarray) -> str:
-    """img: [H, W, 3] float in [0, 1].  cv2 → PIL → .npy fallback chain."""
+def png_bytes(img: np.ndarray) -> tuple:
+    """Encode [H, W, 3] float [0, 1] → (bytes, content_type); cv2 → PIL →
+    raw .npy fallback chain.  The ONE encode implementation — write_png
+    and the serving layer (yat_tpu/serve.py) both delegate here."""
+    import io
     arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     try:
         import cv2
-        cv2.imwrite(path, arr[..., ::-1])        # RGB → BGR
-        return path
+        ok, buf = cv2.imencode(".png", arr[..., ::-1])   # RGB → BGR
+        if ok:
+            return bytes(buf), "image/png"
     except Exception:  # noqa: BLE001
         pass
     try:
         from PIL import Image
-        Image.fromarray(arr).save(path)
-        return path
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="PNG")
+        return bio.getvalue(), "image/png"
     except Exception:  # noqa: BLE001
-        alt = os.path.splitext(path)[0] + ".npy"
-        np.save(alt, arr)
-        return alt
+        bio = io.BytesIO()
+        np.save(bio, arr)
+        return bio.getvalue(), "application/x-npy"
+
+
+def write_png(path: str, img: np.ndarray) -> str:
+    """img: [H, W, 3] float in [0, 1]; returns the written path (a .npy
+    sibling when no PNG encoder is available)."""
+    data, ctype = png_bytes(img)
+    if ctype != "image/png":
+        path = os.path.splitext(path)[0] + ".npy"
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
 
 
 def generate(params, family: str, prompts: list,
@@ -87,16 +103,15 @@ def generate(params, family: str, prompts: list,
         # ground-truth posterior field); flow families default to Euler,
         # which measures ahead on the shifted flow ladder.
         vp.sampler = sampler
-    if cache_interval is not None and cache_interval > 1:
+    if cache_interval is not None:
         # trajectory velocity caching (flow families only): skipped steps
         # extrapolate velocity from the last two model calls — ~half the
         # denoiser FLOPs at interval 2 with LESS trajectory error than
         # plain Euler at the same NFE (tests/test_schedulers.py pins it
-        # on a ground-truth flow field)
-        if not getattr(vp, "supports_velocity_cache", False):
-            raise ValueError("--cache-interval requires a flow-match "
-                             "family with the default Euler sampler")
-        vp.cache_interval = int(cache_interval)
+        # on a ground-truth flow field).  One shared gate for every entry
+        # point (rejects <1 and unsupported pipelines loudly).
+        from yat_tpu.train.validation import set_cache_interval
+        set_cache_interval(vp, cache_interval)
 
     images = vp(trainer)                         # {key: [H, W, 3] float}
     os.makedirs(output_dir, exist_ok=True)

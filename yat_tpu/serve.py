@@ -26,7 +26,6 @@ per request.
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import threading
@@ -35,29 +34,9 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from yat_tpu.generate import FAMILIES
-
-
-def png_bytes(img: np.ndarray) -> tuple:
-    """Encode [H, W, 3] float [0,1] → (bytes, content_type); cv2 → PIL →
-    raw .npy fallback chain (mirrors generate.write_png)."""
-    arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    try:
-        import cv2
-        ok, buf = cv2.imencode(".png", arr[..., ::-1])
-        if ok:
-            return bytes(buf), "image/png"
-    except Exception:  # noqa: BLE001
-        pass
-    try:
-        from PIL import Image
-        bio = io.BytesIO()
-        Image.fromarray(arr).save(bio, format="PNG")
-        return bio.getvalue(), "image/png"
-    except Exception:  # noqa: BLE001
-        bio = io.BytesIO()
-        np.save(bio, arr)
-        return bio.getvalue(), "application/x-npy"
+# png_bytes: the one encode-fallback chain (cv2 → PIL → raw .npy) lives
+# in generate.py; write_png delegates to it too so a fix reaches both
+from yat_tpu.generate import FAMILIES, png_bytes
 
 
 class _Request:
@@ -107,6 +86,29 @@ class BatchingSampler:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.image
+
+    def warmup(self) -> None:
+        """Compile the programs a request would hit BEFORE serving: the
+        full-batch scan and the singleton (in-between sizes compile their
+        own program on first use).  The full-batch requests are enqueued
+        under a temporarily widened window so they coalesce into one
+        max_batch scan even with ``--batch-window-ms 0``."""
+        if self.max_batch > 1:
+            saved = self.window_s
+            self.window_s = max(saved, 1.0)
+            try:
+                reqs = [_Request(f"warmup {i}")
+                        for i in range(self.max_batch)]
+                for r in reqs:
+                    self.queue.put(r)
+                for r in reqs:
+                    r.done.wait()
+            finally:
+                self.window_s = saved
+            for r in reqs:
+                if r.error is not None:
+                    raise RuntimeError(r.error)
+        self.submit("warmup")
 
     def stop(self) -> None:
         self._stop.set()
@@ -184,23 +186,27 @@ def build_sampler(params, family: str, max_batch: int = 4,
     # a non-empty list keeps frontends that gate validation wiring on
     # prompts honest; the sampler swaps the real list per batch
     params.validation_prompts = ["warmup"]
+    # a training config's validation_batch would silently re-chunk every
+    # micro-batch inside validate_fn (one size-N batch → N/vb sequential
+    # scans) — serving batches by --max-batch, so align the chunk size.
+    # low_vram keeps its deliberate prompt-at-a-time memory cap.
+    if not getattr(params, "low_vram", False):
+        params.validation_batch = max(1, int(max_batch))
     trainer = mod.make_trainer(params)
-    if getattr(trainer, "validate_fn", None) is None:
-        raise RuntimeError(f"{family} frontend did not wire a validation "
-                           "pipeline — cannot serve")
     trainer.initialize()
     vp = trainer.validate_fn
+    if vp is None:
+        raise RuntimeError(f"{family} frontend did not wire a validation "
+                           "pipeline — cannot serve")
     if steps is not None:
         vp.num_steps = int(steps)
     if guidance_scale is not None:
         vp.guidance_scale = float(guidance_scale)
     if seed is not None:
         vp.seed = int(seed)
-    if cache_interval is not None and cache_interval > 1:
-        if not getattr(vp, "supports_velocity_cache", False):
-            raise ValueError("--cache-interval requires a flow-match "
-                             "family with the default Euler sampler")
-        vp.cache_interval = int(cache_interval)
+    if cache_interval is not None:
+        from yat_tpu.train.validation import set_cache_interval
+        set_cache_interval(vp, cache_interval)
     return BatchingSampler(trainer, max_batch=max_batch,
                            batch_window_ms=batch_window_ms)
 
@@ -296,7 +302,7 @@ def main(argv: Optional[list] = None) -> None:
     # warm the batch-size programs a request would hit (compile now, not
     # on the first request): the full batch and the singleton
     print("[serve] warming sampler programs...")
-    sampler.submit("warmup")
+    sampler.warmup()
     server = make_server(sampler, args.host, args.port)
     print(f"[serve] {args.family} listening on "
           f"http://{args.host}:{args.port}  (max_batch={args.max_batch}, "

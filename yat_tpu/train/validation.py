@@ -60,19 +60,34 @@ def tile_batch(x, p: int):
     return x
 
 
-def apply_cache_interval(params, vp) -> None:
-    """Apply the ``validation_cache_interval`` config key to a validation
-    pipeline, with the same flow-only gate as the constructor (the engine
-    calls this at run() start so a mis-configured key fails at step 0,
-    not at the first validation thousands of steps in)."""
-    ci = int(getattr(params, "validation_cache_interval", 1) or 1)
-    if ci <= 1:
+def set_cache_interval(vp, cache_interval: int) -> None:
+    """THE one velocity-cache gate (generate.py, serve.py, and the engine's
+    config-key path all funnel here so the rules can't drift): interval 1
+    is the full ladder, <1 is rejected loudly (matching the config
+    parser), >1 requires a pipeline that supports velocity caching —
+    flow-match Euler with no refiner timestep gating (a gated adapter's
+    active steps could land only on skipped steps and silently never
+    fire)."""
+    ci = int(cache_interval)
+    if ci < 1:
+        raise ValueError("cache interval must be >= 1 (1 = full ladder, "
+                         "no velocity caching)")
+    if ci == 1:
         return
     if not getattr(vp, "supports_velocity_cache", False):
         raise ValueError(
-            "validation_cache_interval > 1 requires a flow-match family "
-            "with the default Euler sampler")
+            "cache interval > 1 requires a flow-match family with the "
+            "default Euler sampler and no refiner timestep gating")
     vp.cache_interval = ci
+
+
+def apply_cache_interval(params, vp) -> None:
+    """Apply the ``validation_cache_interval`` config key to a validation
+    pipeline (the engine calls this at run() start so a mis-configured
+    key fails at step 0, not at the first validation thousands of steps
+    in)."""
+    set_cache_interval(
+        vp, int(getattr(params, "validation_cache_interval", 1) or 1))
 
 
 class ValidationPipeline:
@@ -134,8 +149,13 @@ class ValidationPipeline:
 
     @property
     def supports_velocity_cache(self) -> bool:
+        # refiner timestep gating excluded: skipped steps never evaluate
+        # timestep_gate, so an adapter gated to those steps would silently
+        # not fire (and extrapolating across a gate on/off boundary spans
+        # a velocity discontinuity)
         return (self.sampler != "dpm"
-                and isinstance(self.schedule, FlowMatchSchedule))
+                and isinstance(self.schedule, FlowMatchSchedule)
+                and self.active_timesteps is None)
 
     # The compiled sampler is PER-INSTANCE and keyed on every STRUCTURAL
     # sampling tunable (num_steps is a scan length, guidance selects the
