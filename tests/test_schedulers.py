@@ -365,3 +365,34 @@ class TestCachedVelocitySampler:
 
         apply_cache_interval(POff(), eps_vp)     # no-op at 1
         assert eps_vp.cache_interval == 1
+
+    def test_refiner_gated_pipeline_rejects_velocity_cache(self):
+        """Refiner timestep gating excludes velocity caching: skipped
+        steps never evaluate timestep_gate, so an adapter gated to those
+        steps would silently not fire (yat_tpu/train/validation.py
+        supports_velocity_cache).  <1 intervals are rejected loudly."""
+        import pytest
+
+        from yat_tpu.train.validation import (ValidationPipeline,
+                                              set_cache_interval)
+
+        gated = ValidationPipeline(model=None,
+                                   schedule=FlowMatchSchedule(shift=3.0),
+                                   latent_shape=(4, 4, 2),
+                                   encode_prompts=lambda p: {},
+                                   active_timesteps=(700, 999))
+        assert not gated.supports_velocity_cache
+        with pytest.raises(ValueError):
+            set_cache_interval(gated, 2)
+        set_cache_interval(gated, 1)             # full ladder: always fine
+        assert gated.cache_interval == 1
+
+        plain = ValidationPipeline(model=None,
+                                   schedule=FlowMatchSchedule(shift=3.0),
+                                   latent_shape=(4, 4, 2),
+                                   encode_prompts=lambda p: {})
+        assert plain.supports_velocity_cache
+        with pytest.raises(ValueError):
+            set_cache_interval(plain, 0)
+        set_cache_interval(plain, 2)
+        assert plain.cache_interval == 2
