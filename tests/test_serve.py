@@ -59,6 +59,77 @@ def test_batching_sampler_groups_and_orders(tmp_path):
         s.stop()
 
 
+def test_timed_out_requests_are_shed(monkeypatch):
+    """A client that times out sets ``cancelled``; the sampler skips the
+    abandoned prompt instead of burning a batch slot + device time on it
+    (ADVICE r3) — under sustained timeouts the backlog sheds."""
+    import time
+    import types
+
+    from yat_tpu.serve import BatchingSampler
+
+    sampled = []
+
+    def validate_fn(tr):
+        prompts = tr.params.validation_prompts
+        sampled.append(list(prompts))
+        time.sleep(0.3)               # hold the sampler thread busy
+        return {f"validation/{i}/{p}": np.zeros((4, 4, 3), np.float32)
+                for i, p in enumerate(prompts)}
+
+    trainer = types.SimpleNamespace(
+        params=types.SimpleNamespace(validation_prompts=["warmup"]),
+        validate_fn=validate_fn)
+    s = BatchingSampler(trainer, max_batch=2, batch_window_ms=0.0)
+    try:
+        # occupy the sampler thread, then enqueue a request whose client
+        # gives up while it is still queued
+        t1 = threading.Thread(target=s.submit, args=("first",),
+                              kwargs={"timeout": 30})
+        t1.start()
+        time.sleep(0.1)               # "first" is now sampling
+        try:
+            s.submit("abandoned", timeout=0.01)
+            raise AssertionError("expected TimeoutError")
+        except TimeoutError:
+            pass
+        t1.join()
+        img = s.submit("third", timeout=30)   # drains after the shed one
+        assert img is not None
+        flat = [p for batch in sampled for p in batch]
+        assert "abandoned" not in flat, sampled
+        assert s.stats["shed"] == 1, s.stats
+    finally:
+        s.stop()
+
+
+def test_explicit_validation_batch_cap_respected(tmp_path):
+    """An operator's explicit ``validation_batch`` memory cap survives
+    ``--max-batch`` (ADVICE r3): oversize micro-batches chunk into
+    cap-sized scans instead of the cap being silently discarded."""
+    from yat_tpu.serve import build_sampler
+
+    shard = write_shard(tmp_path / "s.tar", (4, 4, 32), 32)
+    over = dict(model_config_overrides={
+        **TINY_DIT, "caption_channels": "32",
+        "num_cross_attention_heads": "2",
+        "cross_attention_head_dim": "16", "in_channels": "32",
+        "out_channels": "32", "sample_size": "4", "tiny_encoders": "1"})
+    p = base(tmp_path, shard, validation_batch="1", **over)
+    s = build_sampler(p, "sana", max_batch=4)
+    try:
+        assert p.validation_batch == 1      # explicit cap kept
+    finally:
+        s.stop()
+    # defaulted validation_batch aligns to --max-batch (one scan/batch)
+    p2 = base(tmp_path, shard, **over)
+    s2 = build_sampler(p2, "sana", max_batch=4)
+    try:
+        assert p2.validation_batch == 4
+    finally:
+        s2.stop()
+
+
 def test_http_roundtrip_and_health(tmp_path):
     from yat_tpu.serve import BatchingSampler, make_server
 

@@ -316,3 +316,26 @@ def test_context_kv_cache_matches_uncached():
     # K/V per step) — the gated pipeline must still sample
     imgs_gated = make_vp(active_timesteps=(500, 250, 100, 0))(trainer)
     assert imgs_gated.keys() == imgs_cached.keys()
+
+
+def test_set_sampler_gate():
+    """THE one sampler-selection gate (ADVICE r3): 'dpm' on a pipeline
+    without a DPM program (FluxValidate is Euler-only) rejects loudly
+    instead of silently handing the user Euler output labeled DPM."""
+    import types
+
+    from yat_tpu.train.validation import set_sampler
+
+    vp = types.SimpleNamespace(sampler="auto")   # no supports_dpm
+    with pytest.raises(ValueError, match="not supported"):
+        set_sampler(vp, "dpm")
+    assert vp.sampler == "auto"                  # untouched on rejection
+    with pytest.raises(ValueError, match="unknown sampler"):
+        set_sampler(vp, "euler-a")
+    set_sampler(vp, "auto")                      # no-op, any pipeline
+    assert vp.sampler == "auto"
+    vp2 = types.SimpleNamespace(sampler="auto", supports_dpm=True)
+    set_sampler(vp2, "dpm")
+    assert vp2.sampler == "dpm"
+    # ValidationPipeline routes dpm through sample_dpm_solver_2m(_flow)
+    assert ValidationPipeline.supports_dpm is True

@@ -255,6 +255,11 @@ class TrainingParameters:
     profile_dir: Optional[str] = None       # jax.profiler trace output
     model_family: Optional[str] = None      # sana/pixart/sd15/sdxl/sd35/flux/pixeldit
     model_config_overrides: dict = field(default_factory=dict)
+    # keys literally present in the source YAML/dict — presence semantics
+    # for consumers that must distinguish "defaulted" from "operator set
+    # this deliberately" (e.g. serve.py respects an explicit
+    # validation_batch memory cap instead of overriding it)
+    explicit_keys: frozenset = frozenset()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -268,6 +273,7 @@ class TrainingParameters:
     @classmethod
     def from_dict(cls, raw: dict) -> "TrainingParameters":
         p = cls()
+        p.explicit_keys = frozenset(raw)
 
         unknown = sorted(set(raw) - _KNOWN_KEYS)
         if unknown:

@@ -95,14 +95,15 @@ def generate(params, family: str, prompts: list,
     if seed is not None:
         vp.seed = int(seed)
     if sampler is not None:
-        if sampler not in ("auto", "dpm"):
-            raise ValueError(f"unknown sampler {sampler!r}; use auto|dpm")
         # "dpm" = multistep DPM-Solver++(2M).  For epsilon families
         # (sd15/sdxl/pixart) it is strictly more accurate than DDIM at
         # matched steps (tests/test_schedulers.py pins the order on a
         # ground-truth posterior field); flow families default to Euler,
-        # which measures ahead on the shifted flow ladder.
-        vp.sampler = sampler
+        # which measures ahead on the shifted flow ladder.  One shared
+        # gate (train/validation.py): pipelines without a DPM program
+        # (FluxValidate) reject loudly instead of silently running Euler.
+        from yat_tpu.train.validation import set_sampler
+        set_sampler(vp, sampler)
     if cache_interval is not None:
         # trajectory velocity caching (flow families only): skipped steps
         # extrapolate velocity from the last two model calls — ~half the

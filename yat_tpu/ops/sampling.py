@@ -258,12 +258,15 @@ def sample_dpm_solver_2m(
                 (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_x0
             return d
 
-        # lower_order_final (k-diffusion `sigmas[i+1]==0` guard, diffusers
-        # lower_order_final=True): the final interval's h is the ladder's
-        # largest, so the D1 extrapolation coefficient h/(2*h_prev) blows
-        # up exactly where there is no later step to damp it — first-order
-        # there (measured: unguarded 2M at 10 steps was ~6x WORSE than
-        # first-order on a ground-truth posterior field)
+        # lower_order_final, UNCONDITIONAL (intentional divergence from
+        # diffusers' `num_inference_steps < 15` gate, ADVICE r3): the
+        # final interval's h is the ladder's largest, so the D1
+        # extrapolation coefficient h/(2*h_prev) is worst exactly where
+        # no later step can damp it — at ANY step count.  Measured on the
+        # ground-truth posterior field (tests/test_schedulers.py):
+        # first-order final step wins 6x at 10 steps AND 3.3x at 80 steps
+        # (0.0052 vs 0.0170); diffusers' >=15-step second-order final is
+        # strictly worse here, so parity with the lineage is not taken.
         use2 = jnp.logical_and(has_prev, i < num_steps - 1)
         x0_eff = jax.lax.cond(use2, second_order, lambda: x0)
         x_next = (s_next / s_t) * x - a_next * jnp.expm1(-h) * x0_eff
@@ -314,9 +317,12 @@ def sample_dpm_solver_2m_flow(
             return (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * x0 - \
                 (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_x0
 
-        # lower_order_final: at s_next=0 the clipped lambda makes h huge and
-        # the D1 coefficient h/(2*h_prev) explodes — first-order on the
-        # final step (k-diffusion's `sigmas[i+1]==0` branch)
+        # lower_order_final, UNCONDITIONAL here (intentional divergence
+        # from the epsilon variant's diffusers `num_steps < 15` gate): the
+        # flow ladder truly ends at s_next = 0, where the clipped lambda
+        # makes h ~ log(1/eps) huge at ANY step count and the D1
+        # coefficient h/(2*h_prev) explodes — first-order on the final
+        # step always (k-diffusion's `sigmas[i+1]==0` branch)
         use2 = jnp.logical_and(has_prev, i < num_steps - 1)
         x0_eff = jax.lax.cond(use2, second_order, lambda: x0)
         x_next = (s_next / jnp.maximum(s, eps_s)) * x - \

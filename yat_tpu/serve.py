@@ -40,13 +40,18 @@ from yat_tpu.generate import FAMILIES, png_bytes
 
 
 class _Request:
-    __slots__ = ("prompt", "done", "image", "error")
+    __slots__ = ("prompt", "done", "image", "error", "cancelled")
 
     def __init__(self, prompt: str):
         self.prompt = prompt
         self.done = threading.Event()
         self.image: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+        # set when the submitting client gave up (timeout): the sampler
+        # skips it instead of burning a batch slot + device time on an
+        # image nobody will read (ADVICE r3) — under sustained timeouts
+        # the backlog sheds instead of compounding
+        self.cancelled = threading.Event()
 
 
 class BatchingSampler:
@@ -69,7 +74,7 @@ class BatchingSampler:
         self.window_s = max(0.0, batch_window_ms / 1000.0)
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "images": 0,
-                      "errors": 0}
+                      "errors": 0, "shed": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serve-sampler")
@@ -82,6 +87,7 @@ class BatchingSampler:
         req = _Request(prompt)
         self.queue.put(req)
         if not req.done.wait(timeout):
+            req.cancelled.set()
             raise TimeoutError("sampling timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
@@ -116,10 +122,19 @@ class BatchingSampler:
         self._thread.join(timeout=10)
 
     # ------------------------------------------------------------------
+    def _shed(self, req: _Request) -> None:
+        self.stats["shed"] += 1
+        req.done.set()
+
     def _collect(self) -> List[_Request]:
-        first = self.queue.get()
-        if first is None or self._stop.is_set():
-            return []
+        while True:
+            first = self.queue.get()
+            if first is None or self._stop.is_set():
+                return []
+            if first.cancelled.is_set():   # client gave up while queued
+                self._shed(first)
+                continue
+            break
         batch = [first]
         deadline = time.monotonic() + self.window_s
         while len(batch) < self.max_batch:
@@ -132,12 +147,22 @@ class BatchingSampler:
                 break
             if nxt is None:
                 break
+            if nxt.cancelled.is_set():
+                self._shed(nxt)
+                continue
             batch.append(nxt)
         return batch
 
     def _loop(self) -> None:
         while not self._stop.is_set():
             batch = self._collect()
+            # cancellation may land during the batch window: re-filter so
+            # a fully-abandoned batch never reaches the device
+            live = [r for r in batch if not r.cancelled.is_set()]
+            for r in batch:
+                if r not in live:
+                    self._shed(r)
+            batch = live
             if not batch:
                 continue
             self.stats["batches"] += 1
@@ -186,12 +211,22 @@ def build_sampler(params, family: str, max_batch: int = 4,
     # a non-empty list keeps frontends that gate validation wiring on
     # prompts honest; the sampler swaps the real list per batch
     params.validation_prompts = ["warmup"]
-    # a training config's validation_batch would silently re-chunk every
-    # micro-batch inside validate_fn (one size-N batch → N/vb sequential
-    # scans) — serving batches by --max-batch, so align the chunk size.
-    # low_vram keeps its deliberate prompt-at-a-time memory cap.
+    # a training config's DEFAULTED validation_batch would silently
+    # re-chunk every micro-batch inside validate_fn (one size-N batch →
+    # N/vb sequential scans) — serving batches by --max-batch, so align
+    # the chunk size.  But an EXPLICIT validation_batch is an operator's
+    # memory cap (ADVICE r3): respect it, and let oversize micro-batches
+    # chunk into cap-sized scans instead of OOMing at warmup.  low_vram
+    # keeps its deliberate prompt-at-a-time cap either way.
     if not getattr(params, "low_vram", False):
-        params.validation_batch = max(1, int(max_batch))
+        explicit = ("validation_batch"
+                    in getattr(params, "explicit_keys", frozenset()))
+        if explicit and params.validation_batch < max_batch:
+            print(f"[serve] config validation_batch="
+                  f"{params.validation_batch} caps the sampling scan; "
+                  f"--max-batch {max_batch} micro-batches will be chunked")
+        else:
+            params.validation_batch = max(1, int(max_batch))
     trainer = mod.make_trainer(params)
     trainer.initialize()
     vp = trainer.validate_fn

@@ -57,6 +57,18 @@ class FeatureExtractor:
         self._pending = 0
         self._lock = threading.Condition()
         self._pool = ThreadPoolExecutor(max_workers=2) if upload_url_fn else None
+        # per-phase wall-time totals (ms) across the run — proves which
+        # side owns the bottleneck: host_wait = consumer blocked on the
+        # decode thread (decode-bound); device_wait = blocked in finish()
+        # fetching encoder outputs (device-bound).  decode runs in the
+        # prefetch thread so its total can exceed the consumer's wall time.
+        self.phase_ms = {"decode": 0.0, "host_wait": 0.0, "dispatch": 0.0,
+                         "device_wait": 0.0, "write": 0.0}
+        self._phase_lock = threading.Lock()
+
+    def _phase_add(self, name: str, seconds: float):
+        with self._phase_lock:
+            self.phase_ms[name] += seconds * 1e3
 
     # -- async upload with ≤4-pending backpressure (:68-119) --------------
     def _upload(self, path: str, index: int):
@@ -162,8 +174,16 @@ class FeatureExtractor:
             return False
 
         def worker():
+            import time as _t
             try:
-                for b in self.sampler:
+                it = iter(self.sampler)
+                while True:
+                    t = _t.monotonic()
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        break
+                    self._phase_add("decode", _t.monotonic() - t)
                     if not put_or_stop(b):
                         return
                 put_or_stop(END)
@@ -171,9 +191,12 @@ class FeatureExtractor:
                 put_or_stop(e)
 
         threading.Thread(target=worker, daemon=True).start()
+        import time as _t
         try:
             while True:
+                t = _t.monotonic()
                 item = q.get()
+                self._phase_add("host_wait", _t.monotonic() - t)
                 if item is END:
                     return
                 if isinstance(item, Exception):
@@ -203,7 +226,10 @@ class FeatureExtractor:
                 nonlocal written, key, n_pending
                 ratio, finish, n = pending.popleft()
                 n_pending -= n
+                t = time.monotonic()
                 latents, embs, pooled = finish()
+                self._phase_add("device_wait", time.monotonic() - t)
+                t = time.monotonic()
                 for i in range(len(latents)):
                     if self.max_samples and written >= self.max_samples:
                         # bound holds exactly, not to the batch boundary
@@ -220,11 +246,14 @@ class FeatureExtractor:
                     w.write(elem)
                     key += 1
                     written += 1
+                self._phase_add("write", time.monotonic() - t)
 
             for batch in self._prefetch():
                 n = len(batch.images)
-                pending.append((batch.ratio, self._dispatch_encode(
-                    batch.images, batch.captions), n))
+                t_d = time.monotonic()
+                fin = self._dispatch_encode(batch.images, batch.captions)
+                self._phase_add("dispatch", time.monotonic() - t_d)
+                pending.append((batch.ratio, fin, n))
                 n_pending += n
                 # drain when the ring is full, and drain to completion
                 # when the in-flight work already covers max_samples —
@@ -250,6 +279,9 @@ class FeatureExtractor:
         # cache-encode imgs/sec — the second north-star metric
         # (BASELINE.md): decode + bucket + VAE/TE encode + shard write
         self.images_per_sec = written / dt if dt > 0 else 0.0
+        self.phase_ms_per_image = {
+            k: round(v / written, 2) if written else 0.0
+            for k, v in self.phase_ms.items()}
         if written:
             print(f"[extract] {written} samples, "
                   f"{self.images_per_sec:.2f} imgs/s")

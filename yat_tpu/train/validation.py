@@ -81,6 +81,25 @@ def set_cache_interval(vp, cache_interval: int) -> None:
     vp.cache_interval = ci
 
 
+def set_sampler(vp, sampler: str) -> None:
+    """THE one sampler-selection gate (generate.py funnels here, mirroring
+    set_cache_interval): 'auto' keeps the pipeline's default program;
+    'dpm' (DPM-Solver++(2M)) requires a pipeline that actually routes the
+    sampler choice — FluxValidate's token-space Euler sampler has no DPM
+    program, and silently setting an unused attribute would hand the user
+    Euler output labeled DPM (ADVICE r3)."""
+    if sampler not in ("auto", "dpm"):
+        raise ValueError(f"unknown sampler {sampler!r}; use auto|dpm")
+    if sampler == "auto":
+        return                        # every pipeline's default
+    if not getattr(vp, "supports_dpm", False):
+        raise ValueError(
+            "sampler='dpm' is not supported by this family's validation "
+            "pipeline (the Flux token-space sampler is Euler-only); drop "
+            "--sampler or use a family routed through ValidationPipeline")
+    vp.sampler = sampler
+
+
 def apply_cache_interval(params, vp) -> None:
     """Apply the ``validation_cache_interval`` config key to a validation
     pipeline (the engine calls this at run() start so a mis-configured
@@ -146,6 +165,10 @@ class ValidationPipeline:
                 "cache_interval > 1 requires the flow-match Euler "
                 "sampler (sampler='auto' on a FlowMatchSchedule)")
         self.cache_interval = int(cache_interval)
+
+    # set_sampler's gate: this pipeline routes sampler='dpm' through
+    # sample_dpm_solver_2m(_flow) in _sample
+    supports_dpm = True
 
     @property
     def supports_velocity_cache(self) -> bool:
