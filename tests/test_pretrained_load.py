@@ -546,8 +546,7 @@ PIXELDIT_RULES = [
 ]
 
 
-def test_pixeldit_checkpoint_loads(tmp_path):
-    from yat_tpu.frontends.pixeldit import make_trainer
+def _init_tiny_pixeldit():
     from yat_tpu.models.pixeldit import PIXELDIT_TINY_TEST, PixelDiT
 
     cfg = PIXELDIT_TINY_TEST
@@ -556,8 +555,12 @@ def test_pixeldit_checkpoint_loads(tmp_path):
                jnp.zeros((1, cfg.max_caption_len, cfg.caption_channels)),
                jnp.zeros((1,)),
                jnp.ones((1, cfg.max_caption_len), jnp.int32))
+    return cfg, v
 
-    rng = np.random.default_rng(3)
+
+def _build_pixeldit_sd(cfg, v, seed=3):
+    """Torch-format PixelDiT state dict + the flax leaves it should load to."""
+    rng = np.random.default_rng(seed)
     sd = {}
     expected = {}
     # fused qkv per block (blocks have cross_attn k/v fused as kv_linear)
@@ -622,6 +625,14 @@ def test_pixeldit_checkpoint_loads(tmp_path):
                 break
         else:
             raise AssertionError(f"no pixeldit rule for {path}")
+    return sd, expected
+
+
+def test_pixeldit_checkpoint_loads(tmp_path):
+    from yat_tpu.frontends.pixeldit import make_trainer
+
+    cfg, v = _init_tiny_pixeldit()
+    sd, expected = _build_pixeldit_sd(cfg, v)
 
     path = tmp_path / "pixeldit.safetensors"
     save_file(sd, str(path))
@@ -646,3 +657,72 @@ def test_pixeldit_checkpoint_loads(tmp_path):
     })
     trainer = make_trainer(params)
     _assert_loaded(trainer._init_variables, expected, check=0)
+
+# ---------------------------------------------------------------------------
+# PixelDiT HF-hub checkpoint fallback (reference train_pixeldit.py:117-121:
+# rank-0 hf_hub_download('model.pth') + wait_for_everyone).  A repo id in
+# pretrained_model_path routes through the hub downloader; offline failure
+# raises a clear, actionable error instead of training random weights.
+# ---------------------------------------------------------------------------
+
+def test_pixeldit_hub_repo_id_downloads_model_pth(tmp_path, monkeypatch):
+    import os
+
+    import torch
+
+    from yat_tpu.frontends.common import load_pretrained_backbone
+
+    cfg, v = _init_tiny_pixeldit()
+    sd, expected = _build_pixeldit_sd(cfg, v)
+
+    calls = {}
+
+    def fake_download(repo_id, filename, local_dir):
+        calls["args"] = (repo_id, filename, local_dir)
+        os.makedirs(local_dir, exist_ok=True)
+        p = os.path.join(local_dir, filename)
+        torch.save({k: torch.tensor(np.ascontiguousarray(t))
+                    for k, t in sd.items()}, p)
+        return p
+
+    monkeypatch.setattr("huggingface_hub.hf_hub_download", fake_download)
+    monkeypatch.chdir(tmp_path)
+    params = TrainingParameters.from_dict({
+        "batch_size": "1", "learning_rate": "1e-4", "steps": "1",
+        "num_steps_per_validation": "10",
+        "pretrained_model_path": "nvlabs/PixelDiT",
+    })
+    out = load_pretrained_backbone(params, "pixeldit", cfg, v)
+    assert calls["args"] == ("nvlabs/PixelDiT", "model.pth", "./checkpoints")
+    np.testing.assert_allclose(out["params"]["proj_out"]["kernel"],
+                               expected["proj_out.kernel"], rtol=1e-6)
+    # second load with the file already on disk must NOT re-download
+    calls.clear()
+    out2 = load_pretrained_backbone(params, "pixeldit", cfg, v)
+    assert "args" not in calls
+    np.testing.assert_allclose(out2["params"]["proj_out"]["kernel"],
+                               expected["proj_out.kernel"], rtol=1e-6)
+
+
+def test_pixeldit_hub_fetch_offline_raises_clearly(tmp_path, monkeypatch):
+    from yat_tpu.frontends.common import _hf_hub_fetch
+
+    def boom(**kw):
+        raise OSError("network unreachable")
+
+    monkeypatch.setattr("huggingface_hub.hf_hub_download", boom)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="place the checkpoint"):
+        _hf_hub_fetch("nvlabs/PixelDiT")
+
+
+def test_hub_repo_id_heuristic(tmp_path):
+    from yat_tpu.frontends.common import _looks_like_hub_repo
+
+    assert _looks_like_hub_repo("nvlabs/PixelDiT-XL.v2")
+    assert not _looks_like_hub_repo("a/b/c")            # path structure
+    assert not _looks_like_hub_repo("model.pth")        # no org
+    f = tmp_path / "org"
+    f.mkdir()
+    (f / "name").write_text("x")
+    assert not _looks_like_hub_repo(str(f / "name"))    # exists locally

@@ -211,6 +211,51 @@ def find_model_config_json(params: TrainingParameters):
     return None
 
 
+def _hf_hub_fetch(repo_id: str, filename: str = "model.pth",
+                  local_dir: str = "./checkpoints") -> str:
+    """Main-process HF-hub checkpoint download with a cross-host barrier
+    (reference train_pixeldit.py:117-121: rank-0 ``hf_hub_download`` +
+    ``wait_for_everyone``; non-main ranks read the rank-0 path).
+
+    Offline-safe: a missing hub library or a failed download raises a
+    clear ValueError naming the local path to place the file at, instead
+    of hanging or silently training random weights."""
+    import os
+
+    import numpy as np
+    target = os.path.join(local_dir, filename)
+    if jax.process_index() == 0 and not os.path.exists(target):
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:
+            raise ValueError(
+                f"pretrained_model_path={repo_id!r} is not a local file and "
+                "huggingface_hub is unavailable to download it — place the "
+                f"checkpoint at {target!r}") from e
+        try:
+            target = hf_hub_download(repo_id=repo_id, filename=filename,
+                                     local_dir=local_dir)
+        except Exception as e:
+            raise ValueError(
+                f"failed to download {filename!r} from hub repo {repo_id!r} "
+                f"— place the checkpoint at {target!r} or point "
+                "pretrained_model_path at a local file") from e
+    # collective doubles as the reference's wait_for_everyone(): non-main
+    # processes block here until process 0 finishes (or fails) the download
+    from yat_tpu.parallel.multihost import broadcast_from_main
+    broadcast_from_main(np.zeros(1, np.int32))
+    return target
+
+
+def _looks_like_hub_repo(path: str) -> bool:
+    """org/name repo ids only — never anything that exists locally or
+    carries path structure beyond one slash."""
+    import os
+    import re
+    return (not os.path.exists(path)
+            and re.fullmatch(r"[\w.\-]+/[\w.\-]+", path) is not None)
+
+
 def load_pretrained_backbone(params: TrainingParameters, family: str,
                              cfg, variables):
     """Merge pretrained denoiser weights into freshly-initialized variables
@@ -239,6 +284,12 @@ def load_pretrained_backbone(params: TrainingParameters, family: str,
             os.path.isfile(params.pretrained_model_path):
         # raw checkpoint file (PixelDiT's .pth, train_pixeldit.py:117-121)
         dirpath = params.pretrained_model_path
+    if dirpath is None and family == "pixeldit" and \
+            params.pretrained_model_path and \
+            _looks_like_hub_repo(params.pretrained_model_path):
+        # reference fetches the NVLabs .pth from the hub by repo id
+        # (train_pixeldit.py:117-121); only PixelDiT ships as a raw .pth
+        dirpath = _hf_hub_fetch(params.pretrained_model_path)
     if dirpath is not None:
         sd = load_torch_state_dict(dirpath)
     elif params.pretrained_pipe_single_file and \

@@ -56,6 +56,16 @@ def _get_nlp():
     if not _NLP_CHECKED:
         _NLP = _try_spacy()
         _NLP_CHECKED = True
+        if _NLP is None:
+            # the reference auto-downloads en_core_web_sm at import
+            # (utils/compress_caption.py:4); here the rule-based fallback
+            # is deliberate (offline-safe, deterministic) but must not be
+            # a silent substitution for the POS/NER compressor
+            import logging
+            logging.getLogger(__name__).warning(
+                "spaCy en_core_web_sm unavailable — caption compression "
+                "falls back to the deterministic rule-based compressor "
+                "(install spacy + en_core_web_sm for POS/NER compression)")
     return _NLP
 
 
