@@ -318,6 +318,86 @@ def test_context_kv_cache_matches_uncached():
     assert imgs_gated.keys() == imgs_cached.keys()
 
 
+def test_pixart_context_kv_cache_matches_uncached():
+    """PixArt's cross-attn K/V over T5 tokens is constant per request —
+    the ctx-K/V encode pass must reproduce the full forward bit-for-bit
+    and the cached pipeline must match the uncached one (VERDICT r3 #6;
+    same legality audit as SANA — MMDiT/Flux joint attention is excluded
+    because its text stream updates per layer and step)."""
+    import numpy as np
+
+    from yat_tpu.models.pixart import PIXART_TINY_TEST, PixArtTransformer2D
+
+    cfg = PIXART_TINY_TEST
+    model = PixArtTransformer2D(cfg=cfg, dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    txt = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), (2, cfg.max_caption_len, cfg.caption_channels))
+    mask = jnp.ones((2, cfg.max_caption_len), jnp.int32)
+    t = jnp.full((2,), 500.0)
+    variables = model.init(jax.random.PRNGKey(0), lat, txt, jnp.zeros((2,)),
+                           mask)
+
+    assert PixArtTransformer2D.supports_context_cache
+    kv = model.apply(variables, lat, txt, t, mask, return_ctx_kv=True)
+    assert len(kv) == cfg.num_layers
+    for k, v in kv:
+        assert k.shape == (2, cfg.max_caption_len, cfg.num_attention_heads,
+                           cfg.attention_head_dim)
+        assert v.shape == k.shape
+
+    plain = model.apply(variables, lat, txt, t, mask)
+    cached = model.apply(variables, lat, txt, t, mask, cached_ctx_kv=kv)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(plain))
+
+    # pipeline level: cached and uncached sampling agree; PAG disables it
+    from yat_tpu.train.state import TrainState
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], adapters=None,
+                       adapters_meta=None, opt_state=None, ema=None)
+
+    def encode_prompts(prompts):
+        embs = [0.1 * jax.random.normal(
+            jax.random.PRNGKey(len(p)),
+            (cfg.max_caption_len, cfg.caption_channels)) for p in prompts]
+        return {"embeddings": jnp.stack(embs),
+                "text_mask": jnp.ones((len(prompts), cfg.max_caption_len),
+                                      jnp.int32)}
+
+    class T:
+        pass
+
+    trainer = T()
+    trainer.state = state
+    trainer.params = TrainingParameters.from_dict({
+        "local_shard_paths": ["/tmp/x.tar"], "batch_size": "1",
+        "learning_rate": "1e-4", "steps": "1",
+        "num_steps_per_validation": "1",
+        "validation_prompts": ["a fox"]})
+
+    def make_vp(**kw):
+        return ValidationPipeline(
+            model=model, schedule=FlowMatchSchedule(shift=3.0),
+            latent_shape=(16, 16, 4), encode_prompts=encode_prompts,
+            num_steps=3, pred_slice=4, **kw)   # learned sigma: keep eps half
+
+    imgs_cached = make_vp()(trainer)
+    uncached_model = PixArtTransformer2D(cfg=cfg, dtype=jnp.float32)
+    object.__setattr__(uncached_model, "supports_context_cache", False)
+    vp2 = ValidationPipeline(
+        model=uncached_model, schedule=FlowMatchSchedule(shift=3.0),
+        latent_shape=(16, 16, 4), encode_prompts=encode_prompts, num_steps=3,
+        pred_slice=4)
+    imgs_plain = vp2(trainer)
+    for k in imgs_plain:
+        np.testing.assert_allclose(imgs_cached[k], imgs_plain[k],
+                                   atol=1e-4, rtol=1e-4)
+
+    # PAG triple-branch batching bypasses the cache but must still sample
+    imgs_pag = make_vp(pag_scale=2.0)(trainer)
+    assert imgs_pag.keys() == imgs_cached.keys()
+
+
 def test_set_sampler_gate():
     """THE one sampler-selection gate (ADVICE r3): 'dpm' on a pipeline
     without a DPM program (FluxValidate is Euler-only) rejects loudly

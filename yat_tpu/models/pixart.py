@@ -116,9 +116,20 @@ class PixArtBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond_emb, text_emb, text_mask):
+    def __call__(self, x, cond_emb, text_emb, text_mask, ctx_kv=None,
+                 return_ctx_kv: bool = False):
         c = self.cfg
         deterministic = self.deterministic
+        if return_ctx_kv:
+            # context-K/V encode pass (sampling): the T5 caption tokens are
+            # constant across denoise steps (train_pixart_sigma.py:158-184
+            # conditioning is computed once), so only attn2's K/V
+            # projections run — apply-time only, init takes the full path
+            return Attention(num_heads=c.num_attention_heads,
+                             head_dim=c.attention_head_dim, dtype=self.dtype,
+                             name="attn2")(x, context=text_emb,
+                                           deterministic=deterministic,
+                                           return_kv=True)
         # per-block table (diffusers BasicTransformerBlock ada_norm_single
         # keeps randn(6,dim)/sqrt(dim) per block — ADVICE r1)
         scale_shift_table = self.param(
@@ -144,7 +155,8 @@ class PixArtBlock(nn.Module):
         h = Attention(num_heads=c.num_attention_heads,
                       head_dim=c.attention_head_dim, dtype=self.dtype,
                       name="attn2")(x, context=text_emb, mask=text_mask,
-                                    deterministic=deterministic)
+                                    deterministic=deterministic,
+                                    cached_kv=ctx_kv)
         x = x + h
 
         h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
@@ -159,6 +171,10 @@ class PixArtTransformer2D(nn.Module):
     cfg: PixArtConfig = PixArtConfig()
     dtype: jnp.dtype = jnp.bfloat16
     gradient_checkpointing: bool = False
+    # cross-attn K/V over T5 caption tokens is constant per request —
+    # legally cacheable across denoise steps (unlike MMDiT/Flux joint
+    # attention, whose text stream updates every layer+step)
+    supports_context_cache = True
 
     @nn.compact
     def __call__(self, latents: jnp.ndarray, text_emb: jnp.ndarray,
@@ -166,7 +182,9 @@ class PixArtTransformer2D(nn.Module):
                  text_mask: Optional[jnp.ndarray] = None, *,
                  deterministic: bool = True,
                  return_repa: bool = False,
-                 pag: bool = False):
+                 pag: bool = False,
+                 cached_ctx_kv: Optional[tuple] = None,
+                 return_ctx_kv: bool = False):
         c = self.cfg
         pag_layers = (set(c.pag_applied_layers)
                       if c.pag_applied_layers is not None
@@ -192,6 +210,17 @@ class PixArtTransformer2D(nn.Module):
                                 name="caption_projection")(
             text_emb.astype(self.dtype))
 
+        if return_ctx_kv:
+            # per-request context-K/V encode pass (sampling): caption
+            # projection + every block's attn2 K/V only; the denoise steps
+            # then skip both
+            return tuple(
+                PixArtBlock(cfg=c, hw=(h // p, w // p),
+                            deterministic=deterministic, dtype=self.dtype,
+                            name=f"blocks_{i}")(
+                    x, cond, ctx, text_mask, return_ctx_kv=True)
+                for i in range(c.num_layers))
+
         block_cls = PixArtBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(PixArtBlock, prevent_cse=False)
@@ -202,7 +231,8 @@ class PixArtTransformer2D(nn.Module):
             x = block_cls(cfg=c, hw=grid_hw, deterministic=deterministic,
                           pag_perturbed=i in pag_layers,
                           dtype=self.dtype, name=f"blocks_{i}")(
-                x, cond, ctx, text_mask)
+                x, cond, ctx, text_mask,
+                cached_ctx_kv[i] if cached_ctx_kv is not None else None)
             if c.repa_depth is not None and i == c.repa_depth and return_repa:
                 repa_proj = RepaProjector(
                     out_dim=c.repa_target_dim, dtype=jnp.float32,

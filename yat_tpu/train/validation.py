@@ -219,11 +219,22 @@ class ValidationPipeline:
         shape = (cond["embeddings"].shape[0], *self.latent_shape)
 
         # context-K/V caching: the caption embeddings are constant across
-        # every denoise step, so models that support it (SANA) project the
-        # caption K/V ONCE per request (~20% of the forward FLOPs) instead
-        # of per step.  Skipped under PAG (triple-branch batching) and
-        # refiner timestep gating (per-step adapter gates could retune the
-        # K/V projections mid-trajectory).
+        # every denoise step, so models that support it project the caption
+        # K/V ONCE per request (~20% of the forward FLOPs) instead of per
+        # step.  Family audit (supports_context_cache):
+        #   - SANA, PixArt: dedicated cross-attn over frozen Gemma/T5
+        #     tokens — K/V constant per request, legally cacheable.
+        #   - MMDiT (SD3.5) / Flux: joint attention UPDATES the text
+        #     stream every layer, and the text tokens also change with the
+        #     (per-step) modulated image stream — K/V are step-dependent,
+        #     caching would be mathematically wrong.  Excluded.
+        #   - SD1.5/SDXL UNet: cross-attn K/V over CLIP tokens are
+        #     constant too (legally cacheable) but live inside conv
+        #     up/down blocks at 4 resolutions; the projections are a far
+        #     smaller FLOP share, so the plumbing isn't worth it yet.
+        # Skipped under PAG (triple-branch batching) and refiner timestep
+        # gating (per-step adapter gates could retune the K/V projections
+        # mid-trajectory).
         if (getattr(self.model, "supports_context_cache", False)
                 and self.pag_scale == 0.0 and self.active_timesteps is None):
             cond, uncond = dict(cond), dict(uncond)
