@@ -170,3 +170,120 @@ def test_http_roundtrip_and_health(tmp_path):
         server.shutdown()
         server.server_close()
         s.stop()
+
+
+# ---------------------------------------------------------------------------
+# Serving regression gate on CONVERTER-PRODUCED weights (VERDICT r3 #8):
+# the rungs above run on model.init randomness; this one loads a
+# deterministic diffusers-key-space checkpoint through the real converter
+# (load_pretrained_backbone → convert_sana → merge_into) and pins that
+# ctx-K/V caching stays math-identical and velocity caching stays within
+# its accuracy envelope on structured weights.
+# ---------------------------------------------------------------------------
+
+def _write_tiny_sana_checkpoint(dirpath, seed=7):
+    """Diffusers-format tiny SANA transformer checkpoint (the
+    sana_600m_inventory schema at TINY_DIT dims), deterministic values."""
+    import os
+
+    from safetensors.numpy import save_file
+
+    D, CAP, L, HID, CIN = 32, 32, 1, 32, 32
+    rng = np.random.default_rng(seed)
+    inv = {
+        "patch_embed.proj.weight": (D, CIN, 1, 1),
+        "patch_embed.proj.bias": (D,),
+        "time_embed.emb.timestep_embedder.linear_1.weight": (D, 256),
+        "time_embed.emb.timestep_embedder.linear_1.bias": (D,),
+        "time_embed.emb.timestep_embedder.linear_2.weight": (D, D),
+        "time_embed.emb.timestep_embedder.linear_2.bias": (D,),
+        "time_embed.linear.weight": (6 * D, D),
+        "time_embed.linear.bias": (6 * D,),
+        "caption_projection.linear_1.weight": (D, CAP),
+        "caption_projection.linear_1.bias": (D,),
+        "caption_projection.linear_2.weight": (D, D),
+        "caption_projection.linear_2.bias": (D,),
+        "caption_norm.weight": (D,),
+        "scale_shift_table": (2, D),
+        "proj_out.weight": (CIN, D),
+        "proj_out.bias": (CIN,),
+    }
+    for i in range(L):
+        p = f"transformer_blocks.{i}"
+        inv[f"{p}.scale_shift_table"] = (6, D)
+        for attn in ("attn1", "attn2"):
+            for n in ("to_q", "to_k", "to_v"):
+                inv[f"{p}.{attn}.{n}.weight"] = (D, D)
+            inv[f"{p}.{attn}.to_out.0.weight"] = (D, D)
+            inv[f"{p}.{attn}.to_out.0.bias"] = (D,)
+        inv[f"{p}.ff.conv_inverted.weight"] = (2 * HID, D, 1, 1)
+        inv[f"{p}.ff.conv_inverted.bias"] = (2 * HID,)
+        inv[f"{p}.ff.conv_depth.weight"] = (2 * HID, 1, 3, 3)
+        inv[f"{p}.ff.conv_depth.bias"] = (2 * HID,)
+        inv[f"{p}.ff.conv_point.weight"] = (D, HID, 1, 1)
+    sd = {k: (0.08 * rng.standard_normal(s)).astype(np.float32)
+          for k, s in inv.items()}
+    # caption_norm is an RMS gain — center it at 1 like a real checkpoint
+    sd["caption_norm.weight"] = (
+        1.0 + 0.05 * rng.standard_normal(32)).astype(np.float32)
+    os.makedirs(dirpath, exist_ok=True)
+    save_file(sd, os.path.join(dirpath,
+                               "diffusion_pytorch_model.safetensors"))
+    return sd
+
+
+def test_serving_caches_hold_on_converter_weights(tmp_path):
+    from yat_tpu.frontends.sana import make_trainer
+    from yat_tpu.train.validation import set_cache_interval
+
+    sd = _write_tiny_sana_checkpoint(str(tmp_path / "ckpt"))
+    shard = write_shard(tmp_path / "s.tar", (4, 4, 32), 32)
+    p = base(tmp_path, shard,
+             pretrained_model_path=str(tmp_path / "ckpt"),
+             model_config_overrides={
+                 **TINY_DIT, "caption_channels": "32",
+                 "num_cross_attention_heads": "2",
+                 "cross_attention_head_dim": "16", "in_channels": "32",
+                 "out_channels": "32", "sample_size": "4",
+                 "tiny_encoders": "1"})
+    t = make_trainer(p)
+    # 7 steps so interval-2 caching actually SKIPS evals (steps 3 and 5;
+    # at ≤5 steps the anchor/final rules make the mask all-evaluate)
+    t.validate_fn.num_steps = 7
+    t.initialize()
+    # the converter really populated the backbone — not model.init noise
+    got = np.asarray(t.state.params["proj_out"]["kernel"])
+    np.testing.assert_allclose(got, sd["proj_out.weight"].T, rtol=1e-6)
+
+    dense = t.validate_fn(t)                  # ctx-K/V engaged (default)
+    for img in dense.values():
+        assert np.isfinite(np.asarray(img, np.float32)).all()
+
+    # ctx-K/V must be math-identical on structured weights: retrace with
+    # the cache gated off and compare
+    object.__setattr__(t.validate_fn.model, "supports_context_cache", False)
+    t.validate_fn._jit_key = None
+    plain = t.validate_fn(t)
+    for k in plain:
+        np.testing.assert_allclose(
+            np.asarray(dense[k], np.float32), np.asarray(plain[k],
+                                                         np.float32),
+            atol=1.0)   # uint8 image space: ≤1 count of fp reassociation
+    object.__setattr__(t.validate_fn.model, "supports_context_cache", True)
+    t.validate_fn._jit_key = None
+
+    # velocity caching stays within its accuracy envelope on structured
+    # weights (extrapolation error shows up here, not on init noise)
+    set_cache_interval(t.validate_fn, 2)
+    cached = t.validate_fn(t)
+    engaged = 0.0
+    for k in cached:
+        a = np.asarray(cached[k], np.float32)
+        b = np.asarray(dense[k], np.float32)
+        assert np.isfinite(a).all()
+        # image-space envelope: mean deviation far below contrast scale
+        assert np.mean(np.abs(a - b)) < 16.0, np.mean(np.abs(a - b))
+        engaged = max(engaged, np.max(np.abs(a - b)))
+    # zero deviation would mean the cached program never extrapolated —
+    # i.e. the gate silently fell back to dense sampling
+    assert engaged > 0.0
