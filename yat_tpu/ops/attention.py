@@ -229,9 +229,135 @@ def _vmem_attn_bwd(scale, res, g):
 _vmem_attn_p.defvjp(_vmem_attn_fwd, _vmem_attn_bwd)
 
 
+# Native-layout variant: one grid cell per BATCH element, blocks are the
+# model's natural [N, H*D] slabs (lane-aligned: H*D is a multiple of 128
+# at every supported config), and the kernel loops heads over static lane
+# slices.  The [B,N,H,D]→[B,H,N,D] relayouts (and their backward twins)
+# never materialize in HBM — the round-3 device trace charged ~8.2 ms of
+# a 105 ms SANA-0.6B 512px step to exactly these cross-attention head
+# transposes (BASELINE.md).  Pallas cannot squeeze a second-to-last block
+# dim, so the (B, H) grid over 4D tensors is not expressible; the head
+# loop is the layout-free formulation.  Round-4 interleaved A/B on the
+# v5e: +6.5% on the headline step (145.6 -> 155.0 imgs/s median),
+# bit-identical losses (BASELINE.md round-4 table).
+_VMEM_NATIVE_LAYOUT = True
+
+
+def set_vmem_native_layout(enabled: bool) -> None:
+    """Toggle the no-transpose (native [B,N,H,D]) VMEM-attention wrapper;
+    trace-time effect only (bench A/B + fallback switch)."""
+    global _VMEM_NATIVE_LAYOUT
+    _VMEM_NATIVE_LAYOUT = bool(enabled)
+
+
+def _vmem_mh_fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                        scale, h, d):
+    """One grid cell = one batch element; q/k/v/o refs are [N, H*D]."""
+    bias = b_ref[...]                                # [1, NK] fp32
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        q = q_ref[:, sl]                             # [NQ, D]
+        k = k_ref[:, sl]                             # [NK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[:, sl] = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[:, sl],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _vmem_mh_bwd_kernel(q_ref, k_ref, v_ref, b_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, *, scale, h, d):
+    """Recompute-based softmax-attention VJP, per-head lane slices."""
+    bias = b_ref[...]
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        v = v_ref[:, sl]
+        g = g_ref[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # [NQ, NK] fp32
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dsum)
+        ds_c = ds.astype(q.dtype)
+        dq_ref[:, sl] = (jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
+                         * scale).astype(dq_ref.dtype)
+        ds_t = jnp.transpose(ds_c)                   # [NK, NQ]
+        dk_ref[:, sl] = (jnp.dot(ds_t, q, preferred_element_type=jnp.float32)
+                         * scale).astype(dk_ref.dtype)
+        p_t = jnp.transpose(p.astype(g.dtype))
+        dv_ref[:, sl] = jnp.dot(p_t, g, preferred_element_type=jnp.float32
+                                ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _vmem_attn_native_p(scale, h, d, q, k, v, bias):
+    """q [B, NQ, H*D], k/v [B, NK, H*D], bias [B, 1, NK] fp32 additive
+    (shared across heads).  Output [B, NQ, H*D]."""
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    kernel = functools.partial(_vmem_mh_fwd_kernel, scale=scale, h=h, d=d)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, nq, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, 1, nk), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((None, nq, hd), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(q, k, v, bias)
+
+
+def _vmem_attn_native_fwd(scale, h, d, q, k, v, bias):
+    return _vmem_attn_native_p(scale, h, d, q, k, v, bias), (q, k, v, bias)
+
+
+def _vmem_attn_native_bwd(scale, h, d, res, g):
+    q, k, v, bias = res
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    kernel = functools.partial(_vmem_mh_bwd_kernel, scale=scale, h=h, d=d)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, nk, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b, nk, hd), v.dtype)),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, nq, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, 1, nk), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, nq, hd), lambda i: (i, 0, 0))],
+        out_specs=(pl.BlockSpec((None, nq, hd), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((None, nk, hd), lambda i: (i, 0, 0))),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(q, k, v, bias, g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_vmem_attn_native_p.defvjp(_vmem_attn_native_fwd, _vmem_attn_native_bwd)
+
+
 def _vmem_attention(q, k, v, mask=None):
-    """[B, N, H, D] wrapper: head-fold, key padding to a lane multiple
-    (masked via the additive bias), and mask → bias conversion."""
+    """[B, N, H, D] wrapper: key padding to a lane multiple (masked via
+    the additive bias) and mask → bias conversion.  Dispatches to the
+    native-layout kernel (no head transposes) unless toggled off."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
     nkp = -(-nk // 128) * 128
@@ -248,6 +374,17 @@ def _vmem_attention(q, k, v, mask=None):
         v = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, 0), (0, 0)))
         bias2 = jnp.pad(bias2, ((0, 0), (0, nkp - nk)),
                         constant_values=-1e9)
+
+    hd = h * d
+    # native path needs lane-aligned slabs and the backward's block set
+    # (q,k,v,g in + dq,dk,dv out + per-head fp32 score intermediates)
+    # resident in ~16 MB VMEM at once
+    vmem_bwd = (3 * (nq + 2 * nkp) * hd * 2) + 3 * nq * nkp * 4
+    if _VMEM_NATIVE_LAYOUT and hd % 128 == 0 and vmem_bwd <= 12 * 2**20:
+        out = _vmem_attn_native_p(
+            scale, h, d, q.reshape(b, nq, hd), k.reshape(b, nkp, hd),
+            v.reshape(b, nkp, hd), bias2[:, None, :])
+        return out.reshape(b, nq, h, d)
 
     qr = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
     kr = k.transpose(0, 2, 1, 3).reshape(b * h, nkp, d)
