@@ -1,0 +1,78 @@
+"""Fused adaLN LayerNorm kernel (ops/norm.py): interpret-mode parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from yat_tpu.ops import norm as N
+
+
+def _inputs(b=2, n=128, d=256, dtype=jnp.bfloat16):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, d)).astype(dtype)
+    sc = (0.1 * jax.random.normal(jax.random.PRNGKey(1), (b, d))
+          ).astype(dtype)
+    sh = (0.1 * jax.random.normal(jax.random.PRNGKey(2), (b, d))
+          ).astype(dtype)
+    return x, sc, sh
+
+
+def test_fwd_bit_identical_to_unfused():
+    """The kernel replicates the inline pattern's rounding exactly."""
+    x, sc, sh = _inputs()
+    with pltpu.force_tpu_interpret_mode():
+        out = N._adaln_p(x, sc, sh, 1e-6)
+    ref = N._adaln_ref(x, sc, sh, 1e-6)
+    assert out.dtype == ref.dtype
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fwd_fp32_matches():
+    x, sc, sh = _inputs(dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = N._adaln_p(x, sc, sh, 1e-6)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(N._adaln_ref(x, sc, sh, 1e-6)),
+                               atol=1e-6)
+
+
+def test_bwd_matches_autodiff():
+    """Custom VJP vs autodiff of the unfused reference (fp32 inputs so the
+    comparison isn't dominated by bf16 rounding)."""
+    x, sc, sh = _inputs(b=2, n=128, d=256, dtype=jnp.float32)
+
+    def loss_k(x, sc, sh):
+        return jnp.sum(N._adaln_p(x, sc, sh, 1e-6) ** 2)
+
+    def loss_r(x, sc, sh):
+        return jnp.sum(N._adaln_ref(x, sc, sh, 1e-6) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_k, argnums=(0, 1, 2))(x, sc, sh)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, sc, sh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_wrapper_broadcast_and_fallback():
+    """[B, 1, D] modulators accepted; CPU backend takes the jnp fallback
+    (identical math) without touching Pallas."""
+    x, sc, sh = _inputs(b=1, n=10, d=12, dtype=jnp.float32)  # odd shapes
+    out = N.adaln_layernorm(x, sc[:, None, :], sh[:, None, :])
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(N._adaln_ref(x, sc, sh, 1e-6)),
+                               atol=1e-6)
+
+
+def test_toggle_disables_kernel(monkeypatch):
+    def boom(*a, **kw):
+        raise AssertionError("kernel engaged while toggled off")
+
+    monkeypatch.setattr(N, "_adaln_p", boom)
+    N.set_fused_adaln(False)
+    try:
+        x, sc, sh = _inputs(dtype=jnp.float32)
+        out = N.adaln_layernorm(x, sc, sh)
+        assert out.shape == x.shape
+    finally:
+        N.set_fused_adaln(True)

@@ -29,6 +29,7 @@ from yat_tpu.models.layers import (
     RMSNorm,
     TimestepEmbedder,
 )
+from yat_tpu.ops.norm import adaln_layernorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,10 +169,8 @@ class FluxDoubleBlock(nn.Module):
             k = RMSNorm(name=f"{tag}_norm_k")(k.reshape(b, n, c.num_heads, hd))
             return q, k, v.reshape(b, n, c.num_heads, hd)
 
-        hi = LayerNorm(use_scale=False, use_bias=False, name="img_norm1")(img)
-        hi = hi * (1 + i_sc1.astype(img.dtype)) + i_sh1.astype(img.dtype)
-        ht = LayerNorm(use_scale=False, use_bias=False, name="txt_norm1")(txt)
-        ht = ht * (1 + t_sc1.astype(img.dtype)) + t_sh1.astype(img.dtype)
+        hi = adaln_layernorm(img, i_sc1, i_sh1)
+        ht = adaln_layernorm(txt, t_sc1, t_sh1)
 
         qi, ki, vi = qkv(hi, "img")
         qt, kt, vt = qkv(ht, "txt")
@@ -187,8 +186,7 @@ class FluxDoubleBlock(nn.Module):
 
         img = img + i_g1.astype(img.dtype) * AdapterDense(
             c.hidden_dim, name="img_to_out", dtype=self.dtype)(a_img)
-        hi = LayerNorm(use_scale=False, use_bias=False, name="img_norm2")(img)
-        hi = hi * (1 + i_sc2.astype(img.dtype)) + i_sh2.astype(img.dtype)
+        hi = adaln_layernorm(img, i_sc2, i_sh2)
         ff = AdapterDense(int(c.hidden_dim * c.mlp_ratio), name="img_ff_1",
                           dtype=self.dtype)(hi)
         ff = AdapterDense(c.hidden_dim, name="img_ff_2",
@@ -197,8 +195,7 @@ class FluxDoubleBlock(nn.Module):
 
         txt = txt + t_g1.astype(img.dtype) * AdapterDense(
             c.hidden_dim, name="txt_to_out", dtype=self.dtype)(a_txt)
-        ht = LayerNorm(use_scale=False, use_bias=False, name="txt_norm2")(txt)
-        ht = ht * (1 + t_sc2.astype(img.dtype)) + t_sh2.astype(img.dtype)
+        ht = adaln_layernorm(txt, t_sc2, t_sh2)
         ff = AdapterDense(int(c.hidden_dim * c.mlp_ratio), name="txt_ff_1",
                           dtype=self.dtype)(ht)
         ff = AdapterDense(c.hidden_dim, name="txt_ff_2",
@@ -223,8 +220,7 @@ class FluxSingleBlock(nn.Module):
         mlp_dim = int(c.hidden_dim * c.mlp_ratio)
         sh, sc, gate = Modulation(c.hidden_dim, 3, name="mod")(cond)
 
-        h = LayerNorm(use_scale=False, use_bias=False, name="pre_norm")(x)
-        h = h * (1 + sc.astype(x.dtype)) + sh.astype(x.dtype)
+        h = adaln_layernorm(x, sc, sh)
         b, n, _ = h.shape
         fused = AdapterDense(3 * c.hidden_dim + mlp_dim, name="linear1",
                              dtype=self.dtype)(h)
@@ -300,7 +296,6 @@ class FluxTransformer(nn.Module):
         # diffusers AdaLayerNormContinuous chunk order is (scale, shift) —
         # matching it keeps norm_out.linear loadable verbatim
         scale, shift = jnp.split(mod[:, None, :], 2, -1)
-        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
-        x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+        x = adaln_layernorm(x, scale, shift)
         return AdapterDense(c.in_channels, name="proj_out",
                             dtype=self.dtype)(x)

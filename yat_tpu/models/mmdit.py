@@ -30,6 +30,7 @@ from yat_tpu.models.layers import (
     TimestepEmbedder,
     unpatchify,
 )
+from yat_tpu.ops.norm import adaln_layernorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,8 +176,7 @@ class MMDiTBlock(nn.Module):
                 attn_x, deterministic=det)
         if attn2_out is not None:
             x = x + attn2_out
-        hx = LayerNorm(use_scale=False, use_bias=False, name="x_norm2")(x)
-        hx = hx * (1 + mx_scale.astype(x.dtype)) + mx_shift.astype(x.dtype)
+        hx = adaln_layernorm(x, mx_scale, mx_shift)
         x = x + mx_gate.astype(x.dtype) * MLP(
             mlp_ratio=c.mlp_ratio, dtype=self.dtype, name="x_ff")(
                 hx, deterministic=det)
@@ -186,8 +186,7 @@ class MMDiTBlock(nn.Module):
         ctx = ctx + sc_gate.astype(x.dtype) * AdapterDense(
             c.hidden_dim, name="c_to_out", dtype=self.dtype)(
                 attn_c, deterministic=det)
-        hc = LayerNorm(use_scale=False, use_bias=False, name="c_norm2")(ctx)
-        hc = hc * (1 + mc_scale.astype(x.dtype)) + mc_shift.astype(x.dtype)
+        hc = adaln_layernorm(ctx, mc_scale, mc_shift)
         ctx = ctx + mc_gate.astype(x.dtype) * MLP(
             mlp_ratio=c.mlp_ratio, dtype=self.dtype, name="c_ff")(
                 hc, deterministic=det)
@@ -245,8 +244,7 @@ class MMDiT(nn.Module):
         # diffusers AdaLayerNormContinuous chunk order is (scale, shift) —
         # matching it keeps norm_out.linear loadable verbatim
         scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
-        x = x * (1 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+        x = adaln_layernorm(x, scale, shift)
         x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
                          name="proj_out")(x, deterministic=deterministic)
         return unpatchify(x, (h, w), p, c.out_channels)

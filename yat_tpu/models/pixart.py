@@ -23,12 +23,12 @@ from flax import linen as nn
 from yat_tpu.models.layers import (
     AdapterDense,
     Attention,
-    LayerNorm,
     MLP,
     PatchEmbed,
     TimestepEmbedder,
     unpatchify,
 )
+from yat_tpu.ops.norm import adaln_layernorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,8 +140,7 @@ class PixArtBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
 
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
-        h = h * (1 + scale_msa) + shift_msa
+        h = adaln_layernorm(x, scale_msa, shift_msa)
         h = Attention(num_heads=c.num_attention_heads,
                       head_dim=c.attention_head_dim, dtype=self.dtype,
                       name="attn1")(h, deterministic=deterministic,
@@ -159,8 +158,7 @@ class PixArtBlock(nn.Module):
                                     cached_kv=ctx_kv)
         x = x + h
 
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
-        h = h * (1 + scale_mlp) + shift_mlp
+        h = adaln_layernorm(x, scale_mlp, shift_mlp)
         h = MLP(mlp_ratio=c.mlp_ratio, dtype=self.dtype,
                 name="ff")(h, deterministic=deterministic)
         x = x + gate_mlp * h
@@ -246,8 +244,7 @@ class PixArtTransformer2D(nn.Module):
         out_mod = out_table[None] + t_emb[:, None, :]
         shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
                         out_mod[:, 1][:, None, :].astype(x.dtype))
-        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
-        x = x * (1 + scale) + shift
+        x = adaln_layernorm(x, scale, shift)
         x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
                          name="proj_out")(x, deterministic=deterministic)
         out = unpatchify(x, (h, w), p, c.out_channels)

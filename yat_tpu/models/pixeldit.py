@@ -31,6 +31,7 @@ from yat_tpu.models.layers import (
     TimestepEmbedder,
     unpatchify,
 )
+from yat_tpu.ops.norm import adaln_layernorm
 from yat_tpu.models.pixart import RepaProjector
 
 
@@ -75,8 +76,7 @@ class DiTBlock(nn.Module):
             x.shape[0], 6, d)
         sh1, sc1, g1, sh2, sc2, g2 = [
             mod[:, i][:, None, :].astype(x.dtype) for i in range(6)]
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
-        h = h * (1 + sc1) + sh1
+        h = adaln_layernorm(x, sc1, sh1)
         h = Attention(num_heads=self.num_heads, head_dim=d // self.num_heads,
                       dtype=self.dtype, name="attn")(
             h, deterministic=self.deterministic)
@@ -87,8 +87,7 @@ class DiTBlock(nn.Module):
                               name="cross_attn")(
                 x, context=ctx, mask=ctx_mask,
                 deterministic=self.deterministic)
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
-        h = h * (1 + sc2) + sh2
+        h = adaln_layernorm(x, sc2, sh2)
         h = MLP(mlp_ratio=self.mlp_ratio, dtype=self.dtype, name="ff")(
             h, deterministic=self.deterministic)
         return x + g2 * h

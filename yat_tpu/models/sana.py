@@ -27,13 +27,13 @@ from yat_tpu.models.layers import (
     AdapterDense,
     Attention,
     GLUMBConv,
-    LayerNorm,
     LiteLinearAttention,
     PatchEmbed,
     RMSNorm,
     TimestepEmbedder,
     unpatchify,
 )
+from yat_tpu.ops.norm import adaln_layernorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,8 +107,7 @@ class SanaBlock(nn.Module):
 
         # 1) self-attention: linear by default; full softmax for patched
         #    blocks (patch_sana_attention_layers.py:125-137 capability)
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm1")(x)
-        h = h * (1 + scale_msa) + shift_msa
+        h = adaln_layernorm(x, scale_msa, shift_msa)
         if self.use_softmax_self_attn:
             h = Attention(
                 num_heads=c.num_attention_heads,
@@ -135,8 +134,7 @@ class SanaBlock(nn.Module):
         x = x + h
 
         # 3) gated conv FFN
-        h = LayerNorm(use_scale=False, use_bias=False, name="norm2")(x)
-        h = h * (1 + scale_mlp) + shift_mlp
+        h = adaln_layernorm(x, scale_mlp, shift_mlp)
         h = GLUMBConv(expand_ratio=c.mlp_ratio, dtype=self.dtype,
                       name="ff")(h, hw, deterministic=deterministic)
         x = x + gate_mlp * h
@@ -222,8 +220,7 @@ class SanaTransformer2D(nn.Module):
         out_mod = out_table[None] + t_emb[:, None, :]          # [B, 2, D]
         shift, scale = (out_mod[:, 0][:, None, :].astype(x.dtype),
                         out_mod[:, 1][:, None, :].astype(x.dtype))
-        x = LayerNorm(use_scale=False, use_bias=False, name="norm_out")(x)
-        x = x * (1 + scale) + shift
+        x = adaln_layernorm(x, scale, shift)
         x = AdapterDense(p * p * c.out_channels, dtype=self.dtype,
                          name="proj_out")(x, deterministic=deterministic)
         return unpatchify(x, (h, w), p, c.out_channels)

@@ -1,0 +1,174 @@
+"""Fused adaLN LayerNorm Pallas kernel (TPU).
+
+The DiT block pattern ``LayerNorm(x, affine-free) * (1 + scale) + shift``
+(AdaLN-single: SANA/PixArt — reference lineage diffusers
+SanaTransformerBlock / PixArtTransformer2DModel; our models/sana.py:110-111,
+models/pixart.py) dominates the non-matmul train-step budget: the round-4
+device trace charges ~7.7 ms/step of forward stat fusions and ~11.3 ms of
+LayerNorm backward fusions on the SANA-0.6B 512px headline step — together
+~19% of the 98 ms step (BASELINE.md round-4).  XLA's per-token cross-lane
+reductions run far above the HBM roofline here, and the backward
+materializes three separate reduction passes.
+
+This kernel does the whole pattern in ONE pass per direction with the
+[N, D] slab resident in VMEM:
+
+* forward: fp32 mean/var over D, normalize, modulate — one read of x, one
+  write of y.
+* backward (custom VJP, recompute-based): re-derives the stats from x (no
+  residual traffic), then produces dx, dscale, dshift in one pass.
+
+Numerics: the forward replicates the unfused path's rounding sequence
+(fp32 stats; ``mean``/``inv`` rounded to the compute dtype before the
+bf16 normalize/modulate chain — the ARCHITECTURE.md norm dtype policy);
+interpret mode is bit-identical to the inline pattern, and on-chip the
+only deviation is fp32 reduction ORDER between Mosaic and XLA (measured
+loss delta ~1e-4 relative on the headline step, within the documented
+norm-policy tolerance).  The backward keeps its intermediate math in
+fp32 (at least as accurate as autodiff of the rounded forward;
+tolerance-pinned against autodiff in tests).  Measured: +2.9% headline
+throughput (155.7 → 160.2 imgs/s median, interleaved A/B, BASELINE.md
+round-4).
+
+Dispatch: TPU backend with N % 128 == 0, D % 128 == 0, and the slab set
+fitting VMEM; everything else (CPU tests, odd aspect buckets) takes the
+identical-math jnp fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FUSED_ADALN = True
+
+
+def set_fused_adaln(enabled: bool) -> None:
+    """Toggle the Pallas lowering (trace-time effect only; bench A/B and
+    fallback switch)."""
+    global _FUSED_ADALN
+    _FUSED_ADALN = bool(enabled)
+
+
+def _adaln_ref(x, scale, shift, eps):
+    """Unfused reference (the models' original inline pattern)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    return y * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _fwd_kernel(x_ref, sc_ref, sh_ref, o_ref, *, eps):
+    x = x_ref[...]                                   # [N, D] compute dtype
+    x32 = x.astype(jnp.float32)
+    d = x.shape[-1]
+    mean = jnp.sum(x32, axis=-1, keepdims=True) / d
+    xc = x32 - mean
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) / d
+    inv = jax.lax.rsqrt(var + eps)
+    # replicate the unfused rounding exactly: mean/inv round to the
+    # compute dtype BEFORE the normalize chain (bit-identical outputs)
+    xhat = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    sc = sc_ref[...]                                 # [1, D] compute dtype
+    sh = sh_ref[...]
+    o_ref[...] = (xhat * (1 + sc) + sh).astype(o_ref.dtype)
+
+
+# modulators ride as [B, 1, D] so their blocks squeeze to a well-formed
+# [1, D] tile (a squeezed 2-D [B, D] leaves a 1-D block Mosaic rejects)
+
+
+def _bwd_kernel(x_ref, sc_ref, g_ref, dx_ref, dsc_ref, dsh_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)               # [N, D]
+    g = g_ref[...].astype(jnp.float32)               # [N, D]
+    d = x.shape[-1]
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    xc = x - mean
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) / d
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    # modulation grads (broadcast over N -> reduce over N)
+    dsc_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True
+                           ).astype(dsc_ref.dtype)
+    dsh_ref[...] = jnp.sum(g, axis=0, keepdims=True).astype(dsh_ref.dtype)
+    # LayerNorm backward with dxhat = g * (1 + scale)
+    dxh = g * (1.0 + sc_ref[...].astype(jnp.float32))
+    m1 = jnp.sum(dxh, axis=-1, keepdims=True) / d
+    m2 = jnp.sum(dxh * xhat, axis=-1, keepdims=True) / d
+    dx_ref[...] = (inv * (dxh - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _adaln_p(x, scale, shift, eps):
+    b, n, d = x.shape
+    kernel = functools.partial(_fwd_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, 1, d), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, 1, d), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x, scale[:, None, :], shift[:, None, :])
+
+
+def _adaln_fwd(x, scale, shift, eps):
+    return _adaln_p(x, scale, shift, eps), (x, scale)
+
+
+def _adaln_bwd(eps, res, g):
+    x, scale = res
+    b, n, d = x.shape
+    kernel = functools.partial(_bwd_kernel, eps=eps)
+    dx, dsc, dsh = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, d), jnp.float32)),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, 1, d), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((None, n, d), lambda i: (i, 0, 0))],
+        out_specs=(pl.BlockSpec((None, n, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((None, 1, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((None, 1, d), lambda i: (i, 0, 0))),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x, scale[:, None, :], g)
+    return (dx, dsc.reshape(b, d).astype(scale.dtype),
+            dsh.reshape(b, d).astype(scale.dtype))
+
+
+_adaln_p.defvjp(_adaln_fwd, _adaln_bwd)
+
+
+def adaln_layernorm(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+                    eps: float = 1e-6) -> jnp.ndarray:
+    """``LayerNorm(x, affine-free) * (1 + scale) + shift`` fused.
+
+    x: [B, N, D] (compute dtype); scale/shift: [B, D] or [B, 1, D]
+    (per-batch AdaLN modulation, broadcast over tokens).  Dispatches to
+    the Pallas kernel on TPU when shapes are lane-aligned and the slab
+    fits VMEM; identical-math jnp fallback otherwise.
+    """
+    if scale.ndim == 3:
+        scale = scale.reshape(scale.shape[0], scale.shape[-1])
+    if shift.ndim == 3:
+        shift = shift.reshape(shift.shape[0], shift.shape[-1])
+    b, n, d = x.shape
+    # bwd slab set: x, g, dx [N, D] fp32 working copies + small vectors
+    vmem = 3 * n * d * 4
+    if (_FUSED_ADALN and jax.default_backend() == "tpu"
+            and n % 128 == 0 and d % 128 == 0 and vmem <= 12 * 2 ** 20):
+        return _adaln_p(x, scale.astype(x.dtype), shift.astype(x.dtype),
+                        eps)
+    return _adaln_ref(x, scale.astype(x.dtype), shift.astype(x.dtype), eps)
