@@ -108,11 +108,15 @@ inline void bilinear_px(const uint8_t* img, int w, int h, float x, float y,
 // the float materialization is pure waste there.
 void resize_core(const uint8_t* img, int w, int h, int tw, int th,
                  float* fout, uint8_t* uout) {
-  std::vector<uint8_t> boxed;
   // integer box shrink while the image is at least 2x the target
+  // (rare: the DCT-domain prescale already lands within 2x unless the
+  // source exceeds 8x the bucket).  Ping-pong buffers — no extra copy.
+  std::vector<uint8_t> ping, pong;
+  bool use_ping = true;
   while (w >= tw * 2 && h >= th * 2) {
     int nw = w / 2, nh = h / 2;
-    boxed.resize(static_cast<size_t>(nw) * nh * 3);
+    std::vector<uint8_t>& dst = use_ping ? ping : pong;
+    dst.resize(static_cast<size_t>(nw) * nh * 3);
     for (int y = 0; y < nh; ++y) {
       for (int x = 0; x < nw; ++x) {
         for (int c = 0; c < 3; ++c) {
@@ -120,18 +124,70 @@ void resize_core(const uint8_t* img, int w, int h, int tw, int th,
           int b = img[((2 * y) * w + 2 * x + 1) * 3 + c];
           int d = img[((2 * y + 1) * w + 2 * x) * 3 + c];
           int e = img[((2 * y + 1) * w + 2 * x + 1) * 3 + c];
-          boxed[(static_cast<size_t>(y) * nw + x) * 3 + c] =
+          dst[(static_cast<size_t>(y) * nw + x) * 3 + c] =
               static_cast<uint8_t>((a + b + d + e + 2) / 4);
         }
       }
     }
-    img = boxed.data();
+    img = dst.data();
     w = nw;
     h = nh;
-    // keep boxed alive across iterations: copy into a stable buffer
-    static thread_local std::vector<uint8_t> stable;
-    stable = boxed;
-    img = stable.data();
+    use_ping = !use_ping;
+  }
+  // Same-size fast paths: the DCT prescale frequently lands EXACTLY on
+  // the bucket (512 src, or 1024/2048 sources at power-of-two buckets) —
+  // the full bilinear pass was measured at ~6 ms/img of pure waste there
+  // (BASELINE.md round-4 host-decode table: 12.6 -> 3.5 ms/img at 512).
+  if (w == tw && h == th) {
+    const size_t n = static_cast<size_t>(tw) * th * 3;
+    if (uout != nullptr) {
+      std::memcpy(uout, img, n);
+    } else {
+      for (size_t i = 0; i < n; ++i) fout[i] = img[i] / 127.5f - 1.0f;
+    }
+    return;
+  }
+  if (uout != nullptr) {
+    // u8 output: 16.16 fixed-point bilinear — no per-pixel float math.
+    // Matches the float path within +/-2 LSB (quality A/B in BASELINE.md);
+    // 1.4-1.9x faster on fractional resizes on this host.
+    const uint32_t fsx =
+        static_cast<uint32_t>((static_cast<uint64_t>(w) << 16) / tw);
+    const uint32_t fsy =
+        static_cast<uint32_t>((static_cast<uint64_t>(h) << 16) / th);
+    for (int y = 0; y < th; ++y) {
+      int64_t syq = static_cast<int64_t>(y) * fsy + (fsy >> 1) - (1 << 15);
+      if (syq < 0) syq = 0;
+      int y0 = static_cast<int>(syq >> 16);
+      if (y0 > h - 1) y0 = h - 1;
+      int y1 = y0 + 1 < h ? y0 + 1 : y0;
+      uint32_t fy = static_cast<uint32_t>(syq & 0xffff);
+      const uint8_t* row0 = img + static_cast<size_t>(y0) * w * 3;
+      const uint8_t* row1 = img + static_cast<size_t>(y1) * w * 3;
+      uint8_t* dst = uout + static_cast<size_t>(y) * tw * 3;
+      for (int x = 0; x < tw; ++x) {
+        int64_t sxq = static_cast<int64_t>(x) * fsx + (fsx >> 1) - (1 << 15);
+        if (sxq < 0) sxq = 0;
+        int x0 = static_cast<int>(sxq >> 16);
+        if (x0 > w - 1) x0 = w - 1;
+        int x1 = x0 + 1 < w ? x0 + 1 : x0;
+        uint32_t fx = static_cast<uint32_t>(sxq & 0xffff);
+        const uint8_t* p00 = row0 + x0 * 3;
+        const uint8_t* p01 = row0 + x1 * 3;
+        const uint8_t* p10 = row1 + x0 * 3;
+        const uint8_t* p11 = row1 + x1 * 3;
+        for (int c = 0; c < 3; ++c) {
+          int64_t top = (static_cast<int64_t>(p00[c]) << 16) +
+                        static_cast<int64_t>(fx) * (p01[c] - p00[c]);
+          int64_t bot = (static_cast<int64_t>(p10[c]) << 16) +
+                        static_cast<int64_t>(fx) * (p11[c] - p10[c]);
+          int64_t v = top + ((static_cast<int64_t>(fy) * (bot - top)) >> 16);
+          if (v < 0) v = 0;
+          dst[x * 3 + c] = static_cast<uint8_t>((v + (1 << 15)) >> 16);
+        }
+      }
+    }
+    return;
   }
   const float sx = static_cast<float>(w) / tw;
   const float sy = static_cast<float>(h) / th;
