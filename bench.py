@@ -341,12 +341,14 @@ def main():
         print(json.dumps(out))
 
     result = None
-    # batch 16 is the only size the remote compile helper accepts; remat
-    # on/off are within noise.  Two passes: the second only runs if the
-    # first produced nothing (transient compile-service 500s must never
-    # leave the driver a 0 result).
+    # remat=True first: with the round-4 recompute-based VJPs (fused adaLN
+    # + native-layout attention) remat-on WINS (163.0 vs 142.3 measured,
+    # BASELINE.md round-4) — the better config lands in the early-emitted
+    # record even if the run is killed mid-headline.  Two passes: the
+    # second only runs if the first produced nothing (transient
+    # compile-service 500s must never leave the driver a 0 result).
     for attempt in range(2):
-        for batch_size, remat in ((16, False), (16, True)):
+        for batch_size, remat in ((16, True), (16, False)):
             if result is not None and not budget_left(12.0):
                 break
             try:
