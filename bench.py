@@ -258,7 +258,7 @@ def measure(batch_size: int, remat: bool, warmup: int = 3,
             iters: int = 20, sample_size: int = None,
             preset: str = "600M", num_layers: int = None,
             caption_len: int = None, int8_base: bool = False,
-            w8a8: bool = False):
+            w8a8: bool = False, on_quick=None, quick_iters: int = 5):
     if w8a8 and not int8_base:
         raise ValueError("w8a8=True requires int8_base=True — without a "
                          "quantized base the flag benchmarks plain bf16 "
@@ -267,35 +267,236 @@ def measure(batch_size: int, remat: bool, warmup: int = 3,
         from yat_tpu.models.layers import set_int8_w8a8
         set_int8_w8a8(True)
     try:
-        return _measure_impl(batch_size, remat, warmup, iters, sample_size,
-                             preset, num_layers, caption_len, int8_base)
+        r = _measure_impl(batch_size, remat, warmup, iters, sample_size,
+                          preset, num_layers, caption_len, int8_base,
+                          on_quick=on_quick, quick_iters=quick_iters)
+        return r[0], r[1]
     finally:
         if w8a8:
             set_int8_w8a8(False)
 
 
+def measure_detail(batch_size: int, remat: bool, warmup: int = 3,
+                   iters: int = 20, on_quick=None, quick_iters: int = 5,
+                   **kw):
+    """Like measure() but returns (rate, tflops_img, extras) where
+    extras splits compile seconds from measure seconds (VERDICT r4
+    next-round #1b) — a slow record then shows WHERE the time went."""
+    return _measure_impl(batch_size, remat, warmup, iters,
+                         kw.get("sample_size"), kw.get("preset", "600M"),
+                         kw.get("num_layers"), kw.get("caption_len"),
+                         kw.get("int8_base", False),
+                         on_quick=on_quick, quick_iters=quick_iters)
+
+
 def _measure_impl(batch_size, remat, warmup, iters, sample_size,
-                  preset, num_layers, caption_len, int8_base):
+                  preset, num_layers, caption_len, int8_base,
+                  on_quick=None, quick_iters: int = 5):
+    extras = {}
+    t0 = time.perf_counter()
     state, batch, step, tflops_img = build(
         batch_size, remat, sample_size=sample_size, preset=preset,
         num_layers=num_layers, caption_len=caption_len,
         int8_base=int8_base)
+    extras["build_s"] = round(time.perf_counter() - t0, 1)
     rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, sub)
         # NOTE: on the axon remote platform block_until_ready returns
         # before execution finishes; only a data fetch truly synchronizes
         float(metrics["loss"])
-    loss_chain = jnp.zeros((), jnp.float32)
+        if i == 0:
+            # first call = trace + compile (or persistent-cache load) +
+            # one execution; later warmups are execution-only
+            extras["compile_s"] = round(time.perf_counter() - t0, 1)
+    extras["warmup_s"] = round(time.perf_counter() - t0, 1)
+
+    def window(n):
+        nonlocal rng, state
+        loss_chain = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            loss_chain = loss_chain + metrics["loss"]
+        float(loss_chain)   # forces completion of every step
+        return batch_size * n / (time.perf_counter() - t0)
+
+    if on_quick is not None and quick_iters:
+        # land a provisional number in MINUTES (VERDICT r4 #1c): a short
+        # timed window is emitted via the callback before the full-length
+        # measurement runs, so a driver kill mid-refinement still leaves
+        # a measured (if noisier) headline on stdout
+        q = window(quick_iters)
+        extras["quick_imgs_per_sec"] = round(q, 2)
+        extras["quick_iters"] = quick_iters
+        on_quick(q, tflops_img, dict(extras))
+    rate = window(iters)
+    extras["measure_iters"] = iters
+    return rate, tflops_img, extras
+
+
+def _matmul_rate(m: int, k: int, n: int) -> tuple:
+    """Sustained plain-matmul rate at (m,k,n) bf16.
+
+    Methodology (the round-3 microbench's grid-repeat protocol): the dot
+    is chained through a ``lax.fori_loop`` carrying x — ``x = x @ W``
+    (square) or ``x = relu(x @ W1) @ W2`` (rectangular pair, both shapes
+    measured together; the relu blocks XLA from reassociating the pair
+    into one precomputed ``x @ (W1 @ W2)``, which halved the real FLOPs
+    and read 392 TF/s on a 197 TF chip when first tried) — with no
+    per-iteration elementwise traffic beyond that fused epilogue, and
+    the rate taken from the SLOPE between two repeat counts, so fixed
+    overhead (the ~30-45 ms axon dispatch RTT, program launch) cancels
+    exactly.  A naive single-count probe under-reads small shapes by the
+    RTT/compute ratio (a 55 us matmul behind a 43 ms round trip); the
+    repeat counts are auto-sized so the slope window is ~40 ms at peak,
+    keeping RTT jitter a few percent.  Weights are scaled to spectral
+    norm < 1 so the bf16 chain can't overflow.  Returns
+    (achieved_tflops, first_call_seconds); first call is compile or
+    persistent-cache load of the larger-count program."""
+    x0 = (jax.random.normal(jax.random.PRNGKey(0), (m, k))
+          / np.sqrt(k)).astype(jnp.bfloat16)
+    w1 = (jax.random.normal(jax.random.PRNGKey(1), (k, n))
+          * (0.5 / np.sqrt(k))).astype(jnp.bfloat16)
+    if k == n:
+        flops_iter = 2.0 * m * k * n
+
+        def body(i, x):
+            return x @ w1
+    else:
+        w2 = (jax.random.normal(jax.random.PRNGKey(2), (n, k))
+              * (0.5 / np.sqrt(n))).astype(jnp.bfloat16)
+        flops_iter = 4.0 * m * k * n
+
+        def body(i, x):
+            return jax.nn.relu(x @ w1) @ w2
+
+    # slope window ~= 40 ms at the chip's bf16 peak
+    n_hi = min(1024, max(32, int(40e-3 * V5E_BF16_PEAK_TFLOPS * 1e12
+                                 / flops_iter)))
+    n_lo = max(4, n_hi // 8)
+
+    def run(iters, x):
+        y = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(y[0].astype(jnp.float32))
+
+    run_jit = jax.jit(run, static_argnums=0)
     t0 = time.perf_counter()
-    for i in range(iters):
-        rng, sub = jax.random.split(rng)
-        state, metrics = step(state, batch, sub)
-        loss_chain = loss_chain + metrics["loss"]
-    float(loss_chain)   # forces completion of every step
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt, tflops_img
+    float(run_jit(n_hi, x0))
+    first_s = time.perf_counter() - t0
+    float(run_jit(n_lo, x0))          # compile the low-count twin
+    ts = {}
+    for cnt in (n_lo, n_hi, n_lo, n_hi, n_lo, n_hi):  # interleave: drift
+        t0 = time.perf_counter()
+        float(run_jit(cnt, x0))
+        ts.setdefault(cnt, []).append(time.perf_counter() - t0)
+    dt = (min(ts[n_hi]) - min(ts[n_lo]))
+    if dt <= 0:
+        return 0.0, first_s
+    return flops_iter * (n_hi - n_lo) / dt / 1e12, first_s
+
+
+def measure_env_health() -> dict:
+    """Environment-health preamble (VERDICT r4 next-round #1a), measured
+    BEFORE the headline and carried in the JSON record, so a degraded
+    scored number is self-labeling: a chip that sustains its normal TF/s
+    on a plain matmul while the train step runs 6x slow points at the
+    host/tunnel, not the code.
+
+    - dispatch_rtt_ms: one tiny cached program per scalar fetch (median
+      of 9) — the per-round-trip cost of the axon tunnel.
+    - pipelined_dispatch_ms_per_call: 20 dependent dispatches, ONE sync —
+      healthy dispatch pipelining makes this << the RTT; a value near the
+      RTT means pipelining is broken, which alone explains a step-time
+      collapse (the r4 scored run's 645 ms/step ≈ one RTT per step).
+    - matmul_bf16_4096_tflops: sustained [4096x4096]@[4096x4096] bf16
+      rate — the chip-health number (v5e peak 197).
+    """
+    h = {}
+    x = jnp.ones((8, 128), jnp.float32)
+    tiny = jax.jit(lambda a: jnp.sum(a) + 1.0)
+    float(tiny(x))            # compile + warm
+    rtts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        float(tiny(x))
+        rtts.append(time.perf_counter() - t0)
+    h["dispatch_rtt_ms"] = round(1000 * sorted(rtts)[len(rtts) // 2], 2)
+
+    bump = jax.jit(lambda a: a * 1.0000001)
+    y = bump(x)
+    float(jnp.sum(y))         # compile + warm
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(20):
+        y = bump(y)
+    float(jnp.sum(y))
+    h["pipelined_dispatch_ms_per_call"] = round(
+        1000 * (time.perf_counter() - t0) / 20, 2)
+
+    rate, first_s = _matmul_rate(4096, 4096, 4096)
+    h["matmul_bf16_4096_tflops"] = round(rate, 1)
+    h["matmul_probe_first_call_s"] = round(first_s, 2)
+    return h
+
+
+def measure_fresh_compile_s() -> float:
+    """Small-graph compile latency through TODAY's compile service: a
+    unique static shape defeats both the in-process and the persistent
+    cache (shape varies per run), so this times an actual remote compile.
+    Run AFTER the headline emit — on the worst recorded hour a trivial
+    remote compile took 215 s (BASELINE.md round-3)."""
+    k = 136 + 8 * (int(time.time()) % 59)
+    a = jnp.ones((32, k), jnp.bfloat16)
+    b = jnp.ones((k, 32), jnp.bfloat16)
+    f = jax.jit(lambda a, b: jnp.sum((a @ b).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(f(a, b))
+    return time.perf_counter() - t0
+
+
+def analytic_attention_pair_tflops(cfg, bwd_factor: float = 2.0) -> float:
+    """The attention pair-term portion of ``analytic_train_tflops_per_image``
+    — work that runs in Pallas attention kernels, not plain XLA matmuls."""
+    n_tok = cfg.sample_size ** 2
+    d_self = cfg.num_attention_heads * cfg.attention_head_dim
+    d_cross = cfg.num_cross_attention_heads * cfg.cross_attention_head_dim
+    pairs = cfg.num_layers * (
+        4.0 * n_tok * cfg.attention_head_dim * d_self
+        + 4.0 * n_tok * cfg.max_caption_len * d_cross)
+    return bwd_factor * pairs / 1e12
+
+
+def roofline_check(tflops_img: float, batch_size: int) -> dict:
+    """Second-source the round-4 trace's matmul-floor claim (VERDICT r4
+    next-round #2): measure the sustained plain-matmul rate at the train
+    step's dominant dtypes/shapes (M = 16x256 image tokens, K/N from
+    SANA-0.6B's qkv/proj and GLUMB inner dims), then predict the step's
+    matmul floor as dense-matmul-TFLOPs / achieved-rate.  The round-4
+    device trace charged matmul-bearing fusions 73.3 ms/step at 80-90%
+    MFU; agreement between that and this probe-based prediction is the
+    two-method ceiling confirmation BASELINE.md round-4 called for."""
+    from yat_tpu.models.sana import SANA_600M
+    rates = {
+        # qkv/proj square; GLUMB inner measured as the 1152->2880->1152
+        # pair (both directions in one chained probe)
+        "4096x1152x1152": round(_matmul_rate(4096, 1152, 1152)[0], 1),
+        "4096x1152x2880_pair": round(
+            _matmul_rate(4096, 1152, 2880)[0], 1),
+    }
+    mean_rate = sum(rates.values()) / len(rates)
+    pair_tf = analytic_attention_pair_tflops(SANA_600M)
+    dense_tf_step = (tflops_img - pair_tf) * batch_size
+    return {
+        "step_shape_matmul_tflops": rates,
+        "dense_matmul_tflops_per_step": round(dense_tf_step, 2),
+        "predicted_matmul_floor_ms": round(
+            1000 * dense_tf_step / mean_rate, 1),
+        "trace_matmul_ms_round4": 73.3,
+    }
 
 
 def main():
@@ -310,8 +511,17 @@ def main():
     # compiles (first run of each graph still compiles + serializes)
     from yat_tpu.utils.platform import enable_compilation_cache
     cache_dir = enable_compilation_cache()
+    cache_entries = 0
     if cache_dir:
-        print(f"# compilation cache: {cache_dir}")
+        import os
+        try:
+            cache_entries = sum(1 for f in os.listdir(cache_dir)
+                                if f.endswith("-cache"))
+        except OSError:
+            pass
+        # a POPULATED cache is what makes the driver run's compiles fast;
+        # an empty dir means every graph cold-compiles through the tunnel
+        print(f"# compilation cache: {cache_dir} ({cache_entries} entries)")
     n_chips = max(1, len(jax.devices()))
     t_start = time.monotonic()
 
@@ -328,7 +538,8 @@ def main():
     out = {"metric": "train images/sec/chip (SANA-0.6B 512px LoRA)",
            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
            "n_chips": n_chips,
-           "device": str(jax.devices()[0].device_kind)}
+           "device": str(jax.devices()[0].device_kind),
+           "xla_cache_entries": cache_entries}
     skipped = []
 
     def emit():
@@ -340,23 +551,85 @@ def main():
             out["rungs_skipped"] = skipped
         print(json.dumps(out))
 
+    # environment-health preamble BEFORE the headline: rides in every
+    # emitted record, so a degraded scored number carries its own
+    # diagnosis (VERDICT r4 next-round #1a)
+    try:
+        out["env_health"] = measure_env_health()
+        print(f"# env health: {out['env_health']}")
+    except Exception as e:  # noqa: BLE001
+        out["env_health"] = {"error": str(e)[:200]}
+        print(f"# env-health probe failed: {str(e)[:200]}")
+
+    def apply_headline(rate, tfi, batch_size, remat, extras,
+                       provisional):
+        per_chip = rate / n_chips
+        # ONE analytic FLOP number drives both MFU and the A100 anchor
+        # (VERDICT r2 weak #1): anchor = what the eager-torch reference
+        # would sustain on A100-bf16 at the assumed MFU with the same
+        # per-image work
+        a100_anchor = A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tfi
+        out.update({
+            "value": round(per_chip, 3),
+            "vs_baseline": round(per_chip / a100_anchor, 3),
+            "vs_baseline_basis": (
+                f"analytic {tfi:.3f} TFLOP/img for LoRA training "
+                "(2*tokens*matmul-params from the real param tree + "
+                "attention pair terms, x2 for backward: frozen base "
+                "skips dW in BOTH frameworks); A100 anchor = 312 TF * "
+                f"{A100_ASSUMED_MFU:.2f} assumed MFU / that = "
+                f"{a100_anchor:.1f} imgs/s — the assumed MFU is generous "
+                "to the reference's eager torch loop, which publishes no "
+                "number; the same TFLOP/img feeds mfu_analytic"),
+            "a100_anchor_imgs_per_sec": round(a100_anchor, 1),
+            "tflops_per_image": round(tfi, 3),
+            "batch_size": batch_size,
+            "remat": remat,
+            "mfu_analytic": round(
+                per_chip * tfi / V5E_BF16_PEAK_TFLOPS, 3),
+            "headline_timing": extras,
+            "headline_provisional": provisional,
+        })
+        emit()
+
     result = None
     # remat=True first: with the round-4 recompute-based VJPs (fused adaLN
     # + native-layout attention) remat-on WINS (163.0 vs 142.3 measured,
-    # BASELINE.md round-4) — the better config lands in the early-emitted
-    # record even if the run is killed mid-headline.  Two passes: the
-    # second only runs if the first produced nothing (transient
-    # compile-service 500s must never leave the driver a 0 result).
+    # BASELINE.md round-4).  Each config lands TWICE on stdout: a
+    # provisional 5-iter record via on_quick within the first minutes,
+    # then the refined 15-iter window — so a driver kill at any point
+    # after the first quick window still leaves a measured headline, and
+    # the record is re-emitted after EACH config (ADVICE r4).  Two
+    # passes: the second only runs if the first produced nothing
+    # (transient compile-service 500s must never leave the driver a 0).
     for attempt in range(2):
         for batch_size, remat in ((16, True), (16, False)):
             if result is not None and not budget_left(12.0):
+                print(f"# headline b={batch_size} remat={remat} skipped "
+                      "(wall-clock budget)")
                 break
             try:
-                imgs_per_sec, tfi = measure(batch_size, remat)
+                def on_quick(q, tfi_q, ex, _b=batch_size, _r=remat):
+                    print(f"# headline b={_b} remat={_r} provisional "
+                          f"({ex.get('quick_iters')} iters): "
+                          f"{q:.2f} imgs/s")
+                    if result is None or q > result[0]:
+                        # a provisional always precedes its own refined
+                        # window, so overwriting the record is safe
+                        apply_headline(q, tfi_q, _b, _r, ex,
+                                       provisional=True)
+
+                rate, tfi, extras = measure_detail(
+                    batch_size, remat, warmup=3, iters=15,
+                    on_quick=on_quick)
                 print(f"# headline b={batch_size} remat={remat}: "
-                      f"{imgs_per_sec:.2f} imgs/s")
-                if result is None or imgs_per_sec > result[0]:
-                    result = (imgs_per_sec, batch_size, remat, tfi)
+                      f"{rate:.2f} imgs/s "
+                      f"(compile {extras.get('compile_s')}s, "
+                      f"warmup {extras.get('warmup_s')}s)")
+                if result is None or rate > result[0]:
+                    result = (rate, batch_size, remat, tfi, extras)
+                    apply_headline(rate, tfi, batch_size, remat, extras,
+                                   provisional=False)
             except Exception as e:  # noqa: BLE001 — OOM/compile → next
                 msg = str(e)[:300].replace("\n", " ")
                 print(f"# batch={batch_size} remat={remat} failed: {msg}")
@@ -366,32 +639,25 @@ def main():
         out["error"] = "all headline configs failed"
         emit()
         return
-    imgs_per_sec, batch_size, remat, tflops_img = result
-    per_chip = imgs_per_sec / n_chips
-    # ONE analytic FLOP number drives both MFU and the A100 anchor
-    # (VERDICT r2 weak #1): anchor = what the eager-torch reference would
-    # sustain on A100-bf16 at the assumed MFU with the same per-image work
-    a100_anchor = A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tflops_img
-    out.update({
-        "value": round(per_chip, 3),
-        "vs_baseline": round(per_chip / a100_anchor, 3),
-        "vs_baseline_basis": (
-            f"analytic {tflops_img:.3f} TFLOP/img for LoRA training "
-            "(2*tokens*matmul-params from the real param tree + attention "
-            "pair terms, x2 for backward: frozen base skips dW in BOTH "
-            "frameworks); A100 anchor = 312 TF * "
-            f"{A100_ASSUMED_MFU:.2f} assumed MFU / that = "
-            f"{a100_anchor:.1f} imgs/s — the assumed MFU is generous to "
-            "the reference's eager torch loop, which publishes no "
-            "number; the same TFLOP/img feeds mfu_analytic"),
-        "a100_anchor_imgs_per_sec": round(a100_anchor, 1),
-        "tflops_per_image": round(tflops_img, 3),
-        "batch_size": batch_size,
-        "remat": remat,
-        "mfu_analytic": round(per_chip * tflops_img / V5E_BF16_PEAK_TFLOPS,
-                              3),
-    })
-    emit()   # headline record lands even if everything below is killed
+    imgs_per_sec, batch_size, remat, tflops_img, _ = result
+
+    # fresh small-graph compile latency (unique shape → real remote
+    # compile) — after the headline emit so a slow compile service can't
+    # block the scored number; plus the probe-based matmul-floor
+    # cross-check of the round-4 trace roofline (VERDICT r4 #2)
+    try:
+        out["env_health"]["fresh_compile_s"] = round(
+            measure_fresh_compile_s(), 1)
+        print(f"# fresh compile: {out['env_health']['fresh_compile_s']}s")
+    except Exception as e:  # noqa: BLE001
+        print(f"# fresh-compile probe failed: {str(e)[:200]}")
+    if budget_left(10.0):
+        try:
+            out["roofline_check"] = roofline_check(tflops_img, batch_size)
+            print(f"# roofline check: {out['roofline_check']}")
+        except Exception as e:  # noqa: BLE001
+            print(f"# roofline check failed: {str(e)[:200]}")
+    emit()
 
     # second north-star metric right after the headline: cache-encode
     # imgs/sec (BASELINE.md) — JPEG decode + bucket + DC-AE encode +
@@ -419,21 +685,54 @@ def main():
     # (BENCH_r02/r03) — the 4-layer proxy below covers the 4096-token
     # shape the fused linear-attention kernel owns.
     def rung_4096tok():
-        for layers, b4 in ((4, 2), (2, 2)):
+        """4096-token (2048px) train rung as a DEPTH-SCALING measurement
+        (VERDICT r4 next-round #6): the remote-compile helper has 500'd
+        the full 28-layer graph every scored round, so measure depths
+        4/8/12, fit seconds/step = a + b*layers, and report the
+        extrapolated full-depth throughput WITH its measured slope —
+        turning 'the helper blocks full depth' into a bounded claim.
+        Reference shape: 2048px + VAE tiling, train_sana.py:56-57."""
+        b4 = 2
+        pts = []
+        for layers in (4, 8, 12):
             try:
                 v, rtfi = measure(b4, True, warmup=2, iters=6,
                                   sample_size=64, num_layers=layers)
-                return {"value": round(v / n_chips, 3),
-                        "resolution": 2048, "batch_size": b4,
-                        "num_layers": layers,
-                        "note": "shrunk-depth train graph at the "
-                                "full 4096-token sequence",
-                        "mfu_analytic": round(
-                            v / n_chips * rtfi / V5E_BF16_PEAK_TFLOPS, 3)}
+                pts.append((layers, v))
+                print(f"# 4096-token {layers}-layer: {v:.2f} imgs/s")
             except Exception as e:  # noqa: BLE001
                 print(f"# 4096-token {layers}-layer rung failed: "
                       f"{str(e)[:200]}")
-        return None
+        if not pts:
+            try:
+                v, _ = measure(b4, True, warmup=2, iters=6,
+                               sample_size=64, num_layers=2)
+                pts.append((2, v))
+            except Exception as e:  # noqa: BLE001
+                print(f"# 4096-token fallback failed: {str(e)[:200]}")
+                return None
+        layers0, v0 = pts[-1]
+        r = {"value": round(v0 / n_chips, 3), "resolution": 2048,
+             "batch_size": b4, "num_layers": layers0,
+             "note": "shrunk-depth train graph at the full 4096-token "
+                     "sequence; full 28-layer throughput extrapolated "
+                     "from the measured depth slope",
+             "measured": {f"layers_{lay}": round(v / n_chips, 3)
+                          for lay, v in pts}}
+        if len(pts) >= 2:
+            # least-squares s(L) = a + b*L on seconds/step
+            ls = np.asarray([p[0] for p in pts], np.float64)
+            ss = np.asarray([b4 / p[1] for p in pts], np.float64)
+            bcoef, acoef = np.polyfit(ls, ss, 1)
+            full = b4 / (acoef + bcoef * 28)
+            r["depth_scaling"] = {
+                "ms_per_layer": round(1000 * bcoef, 2),
+                "fixed_ms": round(1000 * acoef, 2),
+                "extrapolated_full_28_layer_imgs_per_sec": round(
+                    full / n_chips, 3)}
+            print(f"# 4096-token depth slope: {1000 * bcoef:.2f} ms/layer"
+                  f", extrapolated 28-layer: {full:.2f} imgs/s")
+        return r
 
     def rung_1024():
         v, rtfi = measure(8, True, warmup=2, iters=8, sample_size=32)
@@ -526,6 +825,11 @@ def main():
             r = None
         if r is not None:
             out[key] = r
+            if key == "kernel_rung_4096tok" and "depth_scaling" in r:
+                # top-level mirror so the depth-scaling result is visible
+                # without digging into the rung record
+                out["kernel_rung_4096tok_depth_scaling"] = \
+                    r["depth_scaling"]
         else:
             skipped.append({"rung": key, "reason": "measurement failed"})
         emit()
@@ -635,7 +939,8 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
     return imgs_per_sec, tflops_per_img
 
 
-def measure_cache_encode(n_images: int = 64, batch: int = 8) -> tuple:
+def measure_cache_encode(n_images: int = 64, batch: int = 8,
+                         pipeline_depth: int = 3) -> tuple:
     """Cache-encode throughput (second north-star metric, BASELINE.md):
     synthetic 512px JPEGs → native decode + bucket → DC-AE encode +
     Gemma-2-2b caption encode → shard write — the extract_features work
@@ -699,7 +1004,7 @@ def measure_cache_encode(n_images: int = 64, batch: int = 8) -> tuple:
                           shard_size=n_images, vae_max_batch_size=batch,
                           text_encoder_max_batch_size=batch,
                           max_samples=n_images)
-    ex.run()
+    ex.run(pipeline_depth=pipeline_depth)
     return ex.images_per_sec, ex.phase_ms_per_image
 
 

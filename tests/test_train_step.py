@@ -479,3 +479,89 @@ def test_sharded_flux_step():
     step = make_train_step(task_loss=loss_fn, tx=tx, donate=False)
     state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_modulation_params_replicated():
+    """AdaLN modulation-head kernels stay replicated under fsdp/tp: their
+    fsdp-sharded kernel grads forced GSPMD into 'Involuntary full
+    rematerialization' (replicate-then-repartition every block backward,
+    MULTICHIP_r04 tail); large kernels keep their fsdp sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from yat_tpu.parallel.mesh import param_sharding_rules
+
+    mesh = _mesh_dp_fsdp_tp()
+    kernel = jnp.zeros((32, 192))
+    for path in (("blocks_0", "c_mod", "mod", "kernel"),
+                 ("blocks_0", "x_mod", "mod", "kernel"),
+                 ("blocks_3", "img_mod", "mod", "kernel"),
+                 ("final_mod", "kernel")):
+        assert param_sharding_rules(path, kernel, mesh) == P(), path
+    # control: an ordinary large kernel still gets fsdp
+    spec = param_sharding_rules(("blocks_0", "ff", "fc1", "kernel"),
+                                jnp.zeros((64, 256)), mesh)
+    assert "fsdp" in tuple(spec) or "tp" in tuple(spec)
+
+
+def test_mmdit_sharded_compile_no_spmd_remat_warning(tmp_path):
+    """Compiling the sharded MMDiT-X train step over {dp:2,fsdp:2,tp:2}
+    must produce NO '[SPMD] Involuntary full rematerialization' compiler
+    warnings (VERDICT r4 next-round #3).  Runs in a subprocess because
+    the warning is emitted on the C++ stderr of the compiling process."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+import jax.numpy as jnp
+from yat_tpu.config import TrainingParameters
+from yat_tpu.models.mmdit import MMDIT_TINY_TEST, MMDiT
+from yat_tpu.ops.schedulers import FlowMatchSchedule
+from yat_tpu.parallel.mesh import batch_sharding, create_mesh, shard_pytree
+from yat_tpu.train.state import create_train_state, make_optimizer
+from yat_tpu.train.step import make_train_step
+from yat_tpu.train.tasks import make_flow_matching_loss
+
+mesh = create_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+b = 8
+cfg = dataclasses.replace(MMDIT_TINY_TEST, dual_attention_layers=(0,))
+model = MMDiT(cfg=cfg, dtype=jnp.float32)
+batch = {
+    "latents": jnp.zeros((b, 8, 8, 16), jnp.float32),
+    "embeddings": jnp.zeros((b, 8, 16), jnp.float32),
+    "text_mask": jnp.ones((b, 8), jnp.int32),
+    "pooled_text": jnp.zeros((b, 16), jnp.float32),
+}
+variables = model.init(jax.random.PRNGKey(5), batch["latents"],
+                       batch["embeddings"], jnp.zeros((b,)),
+                       batch["text_mask"], pooled_text=batch["pooled_text"])
+params = TrainingParameters.from_dict({
+    "urls": [], "batch_size": str(b), "learning_rate": "1e-4",
+    "steps": "1", "num_steps_per_validation": "10",
+    "validation_prompts": []})
+tx = make_optimizer(params)
+state = shard_pytree(create_train_state(variables["params"], tx), mesh)
+step = make_train_step(
+    task_loss=make_flow_matching_loss(model, FlowMatchSchedule(shift=3.0),
+                                      extra_keys=("pooled_text",)),
+    tx=tx, donate=False)
+_, m = step(state, jax.device_put(batch, batch_sharding(mesh)),
+            jax.random.PRNGKey(6))
+print("MMDIT_SHARDED_LOSS", float(m["loss"]))
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert "MMDIT_SHARDED_LOSS" in r.stdout, (r.stdout[-1500:],
+                                              r.stderr[-1500:])
+    assert "Involuntary full rematerialization" not in r.stderr, \
+        r.stderr[-2000:]

@@ -419,3 +419,52 @@ def test_set_sampler_gate():
     assert vp2.sampler == "dpm"
     # ValidationPipeline routes dpm through sample_dpm_solver_2m(_flow)
     assert ValidationPipeline.supports_dpm is True
+
+
+def test_validation_failure_metric_and_escalation():
+    """Single-host validation failures are swallowed (reference parity,
+    trainer.py:368) but observable — a validation/failed scalar lands in
+    the metrics stream — and 3 CONSECUTIVE failures escalate to an
+    exception instead of silently burning steps (VERDICT r4 weak #6)."""
+    import types
+
+    import pytest
+
+    from yat_tpu.train import engine as eng
+
+    tr = eng.Trainer.__new__(eng.Trainer)
+    tr.params = types.SimpleNamespace(dual_gpu=False, checkpoint_dir=None)
+    tr.global_step = 7
+    tr._validation_failures = 0
+    calls = []
+
+    class FakeLogger:
+        def add_scalar(self, tag, v, step):
+            calls.append((tag, v, step))
+
+        def add_image(self, *a):
+            pass
+
+    tr.logger = FakeLogger()
+    tr.save_model = lambda: None
+    boom = [True]
+
+    def validate_fn(t):
+        if boom[0]:
+            raise ValueError("broken validate_fn")
+        return {}
+
+    tr.validate_fn = validate_fn
+    tr._validate_and_save()
+    tr._validate_and_save()
+    assert ("validation/failed", 1, 7) in calls
+    assert tr._validation_failures == 2
+    boom[0] = False                       # a success resets the counter
+    tr._validate_and_save()
+    assert tr._validation_failures == 0
+    assert calls[-1] == ("validation/failed", 0, 7)
+    boom[0] = True                        # 3 consecutive → escalation
+    tr._validate_and_save()
+    tr._validate_and_save()
+    with pytest.raises(RuntimeError, match="3 consecutive"):
+        tr._validate_and_save()

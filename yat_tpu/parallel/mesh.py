@@ -116,6 +116,17 @@ def param_sharding_rules(path: tuple, value: Any, mesh: Mesh) -> P:
     names = [str(p) for p in path]
     module = names[-2] if len(names) >= 2 else ""
 
+    # AdaLN modulation heads (MMDiT x_mod/c_mod, Flux img/txt/final_mod,
+    # SANA/PixArt cond projections) stay REPLICATED: their [H, k*H]
+    # kernels are a negligible fraction of the model, and fsdp-sharding
+    # them makes the backward reshard a batch-sharded activation grad
+    # into a feature-sharded kernel grad — GSPMD can only do that by
+    # full rematerialization ("Involuntary full rematerialization"
+    # SPMD warnings, MULTICHIP_r04).  Replicated params turn that into
+    # a plain cross-batch psum.
+    if module == "mod" or module.endswith("_mod"):
+        return P()
+
     if tp > 1 and ndim == 2:
         if _TP_COL.search(module) and shape[1] % tp == 0:
             spec[1] = "tp"

