@@ -44,6 +44,8 @@ def main():
         run_save_model(rank, tmp)
     elif scenario == "validate_save":
         run_validate_save(rank, tmp)
+    elif scenario == "full_rehearsal":
+        run_full_rehearsal(rank, tmp)
     else:
         raise SystemExit(f"unknown scenario {scenario}")
     print(f"[worker {rank}] {scenario} OK", flush=True)
@@ -227,6 +229,98 @@ def run_validate_save(rank, tmp):
     if rank == 0:
         out = os.path.join(tmp, "models", "5", "model.safetensors")
         assert os.path.exists(out), "process 0 did not write the export"
+
+
+def run_full_rehearsal(rank, tmp):
+    """The pod-workflow rehearsal (VERDICT r4 next-round #7): the REAL
+    ``Trainer.run()`` across 2 processes — per-host shard streams with
+    WindowedBucketSync lockstep, a validation cadence hit running a
+    COLLECTIVE jitted program, Orbax save at the cadence, then a SECOND
+    trainer resuming from the checkpoint with data fast-forward — and the
+    final sharded train state must be bit-identical across processes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from yat_tpu.config import TrainingParameters
+    from yat_tpu.frontends.sana import make_trainer
+
+    # per-host shards with DIFFERENT content: host r writes shard-r; the
+    # config lists both and make_local_source splits them by rank
+    paths = [os.path.join(tmp, f"shard-{r}.tar") for r in range(2)]
+    host_rng = np.random.default_rng(100 + rank)
+    keys = [("1.0", "0.5")[int(host_rng.integers(2))] for _ in range(36)]
+    _write_feature_shard(paths[rank], keys)
+    multihost_utils.sync_global_devices("rehearsal_shards_written")
+
+    base = {
+        "local_shard_paths": paths,
+        "batch_size": "4",
+        "learning_rate": "1e-3",
+        "steps": "6",
+        "num_steps_per_validation": "3",
+        "validation_prompts": [],
+        "use_ema": "1",
+        "output_dir": os.path.join(tmp, "models"),
+        "checkpoint_dir": os.path.join(tmp, "ckpt"),
+        "model_config_overrides": {
+            "hidden_dim": 32, "num_layers": 1,
+            "num_attention_heads": 2, "attention_head_dim": 16,
+            "num_cross_attention_heads": 2, "cross_attention_head_dim": 16,
+            "caption_channels": 16, "max_caption_len": 8,
+            "in_channels": 4, "sample_size": 8, "mlp_ratio": 1.0,
+        },
+    }
+
+    def collective_validate(trainer):
+        # a jitted reduction over the globally sharded state: every host
+        # must enter it, and its value must agree everywhere
+        total = float(jax.jit(
+            lambda t: sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                          for x in jax.tree.leaves(t)))(
+            trainer.state.params))
+        vals = np.asarray(multihost_utils.process_allgather(
+            np.asarray(total, np.float32)))
+        assert np.allclose(vals, vals[0]), \
+            f"collective validation diverged across hosts: {vals}"
+        return {"validation/0/rehearsal": np.zeros((4, 4, 3), np.float32)}
+
+    def state_checksum(trainer):
+        s = float(jax.jit(
+            lambda t: sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                          for x in jax.tree.leaves(t)))(
+            trainer.state.params))
+        return np.asarray(s, np.float32)
+
+    params = TrainingParameters.from_dict(dict(base))
+    tr = make_trainer(params)
+    tr.validate_fn = collective_validate
+    tr.run()
+    assert tr.global_step == 6, tr.global_step
+    sums = np.asarray(multihost_utils.process_allgather(state_checksum(tr)))
+    assert np.allclose(sums, sums[0]), \
+        f"post-run state diverged across hosts: {sums}"
+
+    from yat_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints(params.checkpoint_dir)
+
+    # resume: restore step 6, fast-forward the data stream, 3 more steps
+    params2 = TrainingParameters.from_dict({**base, "steps": "9",
+                                            "resume": "1"})
+    tr2 = make_trainer(params2)
+    tr2.validate_fn = collective_validate
+    tr2.run()
+    assert tr2.global_step == 9, tr2.global_step
+    sums2 = np.asarray(multihost_utils.process_allgather(
+        state_checksum(tr2)))
+    assert np.allclose(sums2, sums2[0]), \
+        f"post-resume state diverged across hosts: {sums2}"
+    assert not np.allclose(sums2[0], sums[0]), \
+        "resumed run did not train (state unchanged)"
+    wait_for_checkpoints(params2.checkpoint_dir)
+    if rank == 0:
+        assert os.path.isdir(os.path.join(tmp, "ckpt")), "no checkpoints"
 
 
 if __name__ == "__main__":

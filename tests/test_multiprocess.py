@@ -85,3 +85,13 @@ def test_multiprocess_4proc_validate_and_save(tmp_path):
 def test_multiprocess_4proc_bucket_lockstep(tmp_path):
     """Bucket lockstep at 4 hosts with 4 different streams."""
     _run_scenario("bucket_sync", tmp_path, nprocs=4, devices_per_proc=2)
+
+
+def test_multiprocess_full_rehearsal(tmp_path):
+    """End-to-end pod-workflow rehearsal (VERDICT r4 next-round #7): the
+    REAL Trainer.run() in 2 processes x 4 devices — WindowedBucketSync
+    lockstep over per-host shard streams, collective validation at the
+    cadence, Orbax save, then resume + data fast-forward in a second
+    trainer — asserting the sharded train state stays identical across
+    processes after both runs."""
+    _run_scenario("full_rehearsal", tmp_path, timeout=900)

@@ -231,12 +231,28 @@ class Trainer:
         if self.batch_transform is not None:
             out = self.batch_transform(batch, out)
         bs = batch_sharding(self.mesh)
+        multi = jax.process_count() > 1
 
         def place(k, v):
             arr = np.asarray(v)
             # scalars and unbatched extras replicate; batch arrays shard
             if k in ("empty_embeddings", "empty_text_mask") or arr.ndim == 0:
+                if multi:
+                    # identical on every host (deterministic empty-caption
+                    # encode / config scalar) → a global replicated array
+                    from yat_tpu.parallel.mesh import replicated
+                    return jax.make_array_from_process_local_data(
+                        replicated(self.mesh), arr)
                 return jax.device_put(arr)
+            if multi:
+                # each host contributes its FULL local batch: the global
+                # batch is nproc x batch_size rows (the reference's
+                # effective-batch semantics, README.md:63).  A bare
+                # device_put here would claim the local rows ARE the
+                # global batch — wrong size, and half of every host's
+                # decoded data silently dropped (caught by the
+                # full_rehearsal multi-process test).
+                return jax.make_array_from_process_local_data(bs, arr)
             return jax.device_put(arr, bs)
 
         return {k: place(k, v) for k, v in out.items() if v is not None}
