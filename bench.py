@@ -816,19 +816,21 @@ def main():
                     v / n_chips * rtfi / V5E_BF16_PEAK_TFLOPS, 3)}
 
     def rung_cache_chunk():
-        """Dispatch-amortization A/B for cache-encode (VERDICT r4 #5):
-        larger VAE/TE chunks halve/quarter the per-image RPC count
-        through the tunnel (~30 ms fixed per execution), attacking the
-        device_wait phase that dominates after the decode fix."""
-        v16, p16 = measure_cache_encode(n_images=96, batch=16)
-        print(f"# cache-encode b16/c16: {v16:.2f} imgs/s, phases {p16}")
-        r = {"b16_c16": {"value": round(v16, 2), "phase_ms": p16}}
-        if budget_left(27.0):
-            v32, p32 = measure_cache_encode(n_images=96, batch=32)
-            print(f"# cache-encode b32/c32: {v32:.2f} imgs/s, "
-                  f"phases {p32}")
-            r["b32_c32"] = {"value": round(v32, 2), "phase_ms": p32}
-        return r
+        """Dispatch-depth A/B for cache-encode (VERDICT r4 #5).  The
+        round-5 amortization study closed the other levers by
+        measurement: VAE chunk 16/32 OOMs v5e HBM (fp32 DC-AE island at
+        512px beside the resident Gemma), and a 32-image sampler batch
+        with one TE call LOSES (10.9 vs 13.7-16.4 — the serial 32-image
+        decode before dispatch adds more latency than the saved RPCs).
+        The remaining lever is ring depth: depth 6 halved device_wait on
+        a clean tunnel window (29 vs 55 ms/img, 27.5 vs 16.4 imgs/s) but
+        AMPLIFIES stalls on degraded windows (3-9 imgs/s measured) — so
+        the default stays 3 and this rung records the comparison on the
+        scored run's own hour."""
+        v6, p6 = measure_cache_encode(n_images=96, batch=8,
+                                      pipeline_depth=6)
+        print(f"# cache-encode b8/depth6: {v6:.2f} imgs/s, phases {p6}")
+        return {"b8_depth6": {"value": round(v6, 2), "phase_ms": p6}}
 
     # (name, key, gate_minutes, fn): the gate is the latest elapsed time
     # at which STARTING the rung is still safe.  Warm-cache rungs take
@@ -973,7 +975,9 @@ def measure_serving(batch_size: int = 4, num_steps: int = 20,
 
 
 def measure_cache_encode(n_images: int = 64, batch: int = 8,
-                         pipeline_depth: int = 3) -> tuple:
+                         pipeline_depth: int = 3,
+                         vae_chunk: int = None,
+                         te_chunk: int = None) -> tuple:
     """Cache-encode throughput (second north-star metric, BASELINE.md):
     synthetic 512px JPEGs → native decode + bucket → DC-AE encode +
     Gemma-2-2b caption encode → shard write — the extract_features work
@@ -1019,23 +1023,27 @@ def measure_cache_encode(n_images: int = 64, batch: int = 8,
         "local_shard_paths": [shard], "batch_size": str(batch),
         "learning_rate": "1e-4", "steps": "1",
         "num_steps_per_validation": "1000000", "validation_prompts": [],
-        "compute_features": "1", "vae_max_batch_size": str(batch),
-        "text_encoder_max_batch_size": str(batch), "aspect_ratio": "512",
+        "compute_features": "1",
+        "vae_max_batch_size": str(vae_chunk or batch),
+        "text_encoder_max_batch_size": str(te_chunk or batch),
+        "aspect_ratio": "512",
         "bfloat16": "1",   # Gemma-2-2b in bf16 (fp32 would crowd HBM)
     })
     cfg = build_sana_config(params)
     encode_images, encode_captions, _ = build_encoders(params, cfg)
-    # warm the encoder compiles so the metric measures steady state, not
-    # the one-time (remote) compilation of DC-AE + Gemma
-    encode_images(np.zeros((batch, 512, 512, 3), np.float32))
-    encode_captions(["warmup caption"] * batch)
+    # warm the encoder compiles AT THE CHUNK SHAPES the run will use, so
+    # the metric measures steady state, not the one-time (remote)
+    # compilation of DC-AE + Gemma
+    encode_images(np.zeros((vae_chunk or batch, 512, 512, 3), np.float32))
+    encode_captions(["warmup caption"] * (te_chunk or batch))
     sampler = ImageBucketSampler(
         LocalShardSource([shard], seed=0), batch,
         bin_for_resolution(512), seed=0)
     ex = FeatureExtractor(sampler, encode_images, encode_captions,
                           output_dir=os.path.join(tmp, "features"),
-                          shard_size=n_images, vae_max_batch_size=batch,
-                          text_encoder_max_batch_size=batch,
+                          shard_size=n_images,
+                          vae_max_batch_size=vae_chunk or batch,
+                          text_encoder_max_batch_size=te_chunk or batch,
                           max_samples=n_images)
     ex.run(pipeline_depth=pipeline_depth)
     return ex.images_per_sec, ex.phase_ms_per_image
