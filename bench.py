@@ -573,19 +573,19 @@ def main():
         out["env_health"] = {"error": str(e)[:200]}
         print(f"# env-health probe failed: {str(e)[:200]}")
 
-    def apply_headline(rate, tfi, batch_size, remat, extras,
+    def apply_headline(rate, tflops_img, batch_size, remat, extras,
                        provisional):
         per_chip = rate / n_chips
         # ONE analytic FLOP number drives both MFU and the A100 anchor
         # (VERDICT r2 weak #1): anchor = what the eager-torch reference
         # would sustain on A100-bf16 at the assumed MFU with the same
         # per-image work
-        a100_anchor = A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tfi
+        a100_anchor = A100_BF16_PEAK_TFLOPS * A100_ASSUMED_MFU / tflops_img
         out.update({
             "value": round(per_chip, 3),
             "vs_baseline": round(per_chip / a100_anchor, 3),
             "vs_baseline_basis": (
-                f"analytic {tfi:.3f} TFLOP/img for LoRA training "
+                f"analytic {tflops_img:.3f} TFLOP/img for LoRA training "
                 "(2*tokens*matmul-params from the real param tree + "
                 "attention pair terms, x2 for backward: frozen base "
                 "skips dW in BOTH frameworks); A100 anchor = 312 TF * "
@@ -594,11 +594,11 @@ def main():
                 "to the reference's eager torch loop, which publishes no "
                 "number; the same TFLOP/img feeds mfu_analytic"),
             "a100_anchor_imgs_per_sec": round(a100_anchor, 1),
-            "tflops_per_image": round(tfi, 3),
+            "tflops_per_image": round(tflops_img, 3),
             "batch_size": batch_size,
             "remat": remat,
             "mfu_analytic": round(
-                per_chip * tfi / V5E_BF16_PEAK_TFLOPS, 3),
+                per_chip * tflops_img / V5E_BF16_PEAK_TFLOPS, 3),
             "headline_timing": extras,
             "headline_provisional": provisional,
         })
