@@ -616,7 +616,11 @@ def main():
     # (transient compile-service 500s must never leave the driver a 0).
     for attempt in range(2):
         for batch_size, remat in ((16, True), (16, False)):
-            if result is not None and not budget_left(12.0):
+            # once a refined headline landed, the second config (remat
+            # off — tied within 0.5% in every r4/r5 measurement) is worth
+            # less than the rungs it would starve: it only runs when the
+            # first config finished unusually fast
+            if result is not None and not budget_left(9.0):
                 print(f"# headline b={batch_size} remat={remat} skipped "
                       "(wall-clock budget)")
                 break
@@ -667,12 +671,14 @@ def main():
         print(f"# fresh compile: {out['env_health']['fresh_compile_s']}s")
     except Exception as e:  # noqa: BLE001
         print(f"# fresh-compile probe failed: {str(e)[:200]}")
-    if budget_left(10.0):
+    if budget_left(14.0):
         try:
             out["roofline_check"] = roofline_check(tflops_img, batch_size)
             print(f"# roofline check: {out['roofline_check']}")
         except Exception as e:  # noqa: BLE001
             print(f"# roofline check failed: {str(e)[:200]}")
+    else:
+        print("# roofline check skipped (wall-clock budget)")
     emit()
 
     # second north-star metric right after the headline: cache-encode
@@ -836,16 +842,20 @@ def main():
     # at which STARTING the rung is still safe.  Warm-cache rungs take
     # 1-3 min each; a cold compile through the tunnel can take 5-10, so
     # later rungs get progressively stricter gates.
+    # The record is re-emitted after every rung, so a driver kill in the
+    # tail only truncates — it cannot lose what already ran.  That makes
+    # generous late gates cheap: the only waste is the one rung that was
+    # mid-flight at the kill.
     rungs = (
-        ("4096-token", "kernel_rung_4096tok", 14.0, rung_4096tok),
-        ("1024px kernel", "kernel_rung", 17.0, rung_1024),
-        ("serving", "serving_512_rung", 20.0, rung_serving),
-        ("int8-base", "int8_base_rung", 23.0, rung_int8),
-        ("SANA-1.6B", "sana_1_6b_rung", 25.0, rung_sana16),
-        ("SDXL", "sdxl_1024_rung", 27.0, rung_sdxl),
-        ("caption-128", "caption_128_rung", 28.0, rung_cap128),
-        ("cache-chunk", "cache_encode_chunk_scaling", 25.0,
+        ("4096-token", "kernel_rung_4096tok", 16.0, rung_4096tok),
+        ("1024px kernel", "kernel_rung", 19.0, rung_1024),
+        ("serving", "serving_512_rung", 26.0, rung_serving),
+        ("cache-chunk", "cache_encode_chunk_scaling", 28.0,
          rung_cache_chunk),
+        ("int8-base", "int8_base_rung", 30.0, rung_int8),
+        ("SANA-1.6B", "sana_1_6b_rung", 32.0, rung_sana16),
+        ("SDXL", "sdxl_1024_rung", 34.0, rung_sdxl),
+        ("caption-128", "caption_128_rung", 35.0, rung_cap128),
     )
     for name, key, gate, fn in rungs:
         if not budget_left(gate):
