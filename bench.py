@@ -499,8 +499,25 @@ def roofline_check(tflops_img: float, batch_size: int) -> dict:
     }
 
 
-def main():
+def normalize_xla_flags(env=None) -> None:
+    """Strip CPU-mesh-only XLA flags from the environment.
+
+    The persistent-cache key hashes the XLA_FLAGS env var verbatim
+    (jax cache_key._hash_xla_flags) — a leftover CPU-mesh flag from a
+    prior harness step (--xla_force_host_platform_device_count) would
+    silently invalidate every pre-warmed TPU executable and turn the
+    scored run into cold compiles.  It has no effect on a real-TPU
+    bench, so normalize it away before any compile happens."""
     import os
+    env = os.environ if env is None else env
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in flags:
+        env["XLA_FLAGS"] = " ".join(
+            f for f in flags.split()
+            if not f.startswith("--xla_force_host_platform_device_count"))
+
+
+def main():
     import sys
     # progress lines must survive a timeout kill (piped stdout is
     # block-buffered by default; a killed run would show nothing)
@@ -508,17 +525,7 @@ def main():
         sys.stdout.reconfigure(line_buffering=True)
     except Exception:  # noqa: BLE001
         pass
-    # The persistent-cache key hashes the XLA_FLAGS env var verbatim
-    # (jax cache_key._hash_xla_flags) — a leftover CPU-mesh flag from a
-    # prior harness step (--xla_force_host_platform_device_count) would
-    # silently invalidate every pre-warmed TPU executable and turn the
-    # scored run into cold compiles.  It has no effect on a real-TPU
-    # bench, so normalize it away before any compile happens.
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" in flags:
-        os.environ["XLA_FLAGS"] = " ".join(
-            f for f in flags.split()
-            if not f.startswith("--xla_force_host_platform_device_count"))
+    normalize_xla_flags()
     # persistent executable cache: re-runs skip the minutes-long remote
     # compiles (first run of each graph still compiles + serializes)
     from yat_tpu.utils.platform import enable_compilation_cache

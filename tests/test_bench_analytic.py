@@ -107,3 +107,21 @@ def test_serving_rung_cached_smoke():
     # BOTH variants (measure_serving's accounting)
     assert t2 < t1
     assert t2 > t1 * nfe / 6         # the once-per-request term remains
+
+
+def test_normalize_xla_flags_strips_cpu_mesh_flag_only():
+    """bench.normalize_xla_flags removes the CPU-mesh device-count flag
+    (which would re-key every pre-warmed TPU executable — the persistent
+    cache hashes XLA_FLAGS verbatim) and leaves everything else."""
+    import bench
+
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                        "--xla_some_other_flag=1"}
+    bench.normalize_xla_flags(env)
+    assert env["XLA_FLAGS"] == "--xla_some_other_flag=1"
+    env2 = {"XLA_FLAGS": "--xla_some_other_flag=1"}
+    bench.normalize_xla_flags(env2)
+    assert env2["XLA_FLAGS"] == "--xla_some_other_flag=1"
+    env3 = {}
+    bench.normalize_xla_flags(env3)   # no flags: no-op, no KeyError
+    assert "XLA_FLAGS" not in env3
